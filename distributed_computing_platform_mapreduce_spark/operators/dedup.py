@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's only dedup is the accidental last-write-wins on juice
+output keys (``/root/reference/src/MapReduceMaster.java:371-374``). These
+are the real thing, at 100 TB shapes:
+
+- exact dedup: hash-groupBy on content — one shuffle on a 64-bit digest.
+- n-gram Jaccard: exact all-pairs similarity via shingle inverted index
+  (explode → self-join on shingle → count). Quadratic in bucket size, so
+  only for verification / small candidate sets.
+- MinHash + LSH: the scale path — O(n·bands) instead of O(n²); only
+  same-bucket candidates are verified.
+- SimHash: 64-bit fingerprints; near-dup = small hamming distance.
+- embedding near-dup: cosine over the embeddings table (see similarity).
+
+All operators are DataFrame-in/DataFrame-out and never collect to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Mersenne prime modulus for the universal-hash family h(x) = (a·x + b) mod P.
+# 2^31-1 keeps a·(x mod P) < 2^62 — no int64 overflow under ANSI arithmetic.
+_P = (1 << 31) - 1
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Built from ``split`` + ``transform`` over token indexes — stays
+    JVM-side; no Python per row.
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per distinct content.
+
+    Shuffles once on a 64-bit xxhash of the content — at 100 TB the hash
+    (not the full text) is the shuffle key, so shuffle width is O(1) per
+    row regardless of document size. (A production pipeline would first
+    length-bucket to skip the residual full-compare; xxhash64 collisions
+    at ~1e10 docs are ~3e-4 birthday-probability — acceptable here.)
+    """
+    digest = F.xxhash64(*content_cols).alias("__digest")
+    w = Window.partitionBy("__digest").orderBy(id_col)
+    return (
+        df.select("*", digest)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via a shingle inverted index.
+
+    shuffle 1: explode shingles, self-join on shingle (co-partitioned);
+    shuffle 2: groupBy pair → common-shingle count. Jaccard computed from
+    |A|, |B|, |A∩B|. Emits (id_a < id_b, jaccard ≥ threshold).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    (aᵢ·xxhash64(shingle) + bᵢ) mod P.
+
+    Shape: explode shingles → hash once → groupBy(doc) with num_hashes
+    ``min`` aggregates (map-side partial: each partition collapses to 32
+    values per doc before the shuffle). The earlier all-array form
+    re-inlined the shingle pipeline into every permutation — quadratic
+    codegen blowup (200 s at sf0.1 vs ~2 s for this form). The (aᵢ,bᵢ)
+    family is fixed/deterministic (seeded LCG constants).
+    """
+    rnd = _lcg_params(num_hashes)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"__sig{i}")
+            for i, (a, b) in enumerate(rnd)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"__sig{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def _lcg_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a,b) pairs from a fixed linear congruential stream
+    (no RNG import → reproducible across runs/versions)."""
+    params, state = [], 88172645463325252
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        params.append((a, b))
+    return params
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding, verified exactly.
+
+    1. signatures (num_hashes), split into ``bands`` bands of r rows;
+    2. band-hash → bucket; same-bucket pairs are candidates (one shuffle
+       on (band, bucket_hash); at 100 TB bucket skew is bounded because a
+       mega-bucket means true mass duplication → AQE skew split);
+    3. candidates deduped across bands, then verified with exact Jaccard
+       on shingle sets (only candidate rows join back — the quadratic
+       step touches candidates, not the corpus).
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("signature")[i * r + j] for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Exact verification of candidates only.
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    )
+    sha = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    For each bit position, sum +1/−1 votes of each distinct token's
+    xxhash64 bit; fingerprint bit = sign of the vote. Same explode →
+    groupBy shape as minhash_signatures (partial-agg friendly, no
+    per-row expression blowup).
+    """
+    toks = F.array_distinct(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("h"))
+
+    def mask(i: int) -> Column:
+        return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
+
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(mask(i)) != 0, 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"__v{i}") > 0, mask(i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return votes.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, block-LSH style.
+
+    Pigeonhole: if two 64-bit prints differ in ≤ max_hamming bits and we
+    cut into ``blocks`` ≥ max_hamming+1 blocks, at least one 16-bit block
+    matches exactly → candidates join on (block_idx, block_value), then
+    verify popcount of XOR. Avoids the O(n²) cross join.
+    """
+    width = 64 // blocks
+    prints = simhash(df, id_col, text_col)
+    blocked = prints.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("blkval"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.blk", "bb.blkval")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blkval") == F.col("b.blkval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators over the documents table.
+
+Language ID (stopword-overlap heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and rolling-hash fingerprinting.
+All built-in expressions — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deterministic, embedded (no external model); real pipelines would swap
+# in fastText — the operator contract (text → lang, score) is the same.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+}
+
+# BPE-ish tokenizer regex: word pieces, numbers, or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + individual symbols
+    (regexp_extract_all, JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit count over the document's token set."""
+    toks = F.array_distinct(F.transform(tokens(text), lambda t: F.lower(t)))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language marker scores; 'und' when nothing matches."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    quality features + a composite score in [0,1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count_ws(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    en_stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(
+        F.filter(F.transform(tokens(t), lambda x: F.lower(x)), lambda x: F.array_contains(en_stop, x))
+    )
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    mean_word_len = (n_chars - n_tok + 1).cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    score = (
+        F.when(n_tok >= 5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.0, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_computed"),
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling-hash document fingerprint over character codes:
+    h = Σ (h·base + ascii(c)) mod p — a sequential integer fold
+    (``F.aggregate``), exact and order-defined, so SQL-oracle-able."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )

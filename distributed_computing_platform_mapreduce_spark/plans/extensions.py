@@ -1,0 +1,216 @@
+"""Training-data-pipeline extension queries: dedup, similarity search,
+text analysis, multimodal plumbing (north-star additions beyond the
+reference's operator surface — SURVEY.md §2.6 last row).
+
+Oracles: everything with exact, order-defined semantics gets a DuckDB
+oracle (including the rolling-hash fingerprint and exact n-gram Jaccard);
+the probabilistic ops (MinHash-LSH, SimHash, LSH-ANN) are rows-only per
+the driver contract, but each has an exact twin here so the driver still
+pins their ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from distributed_computing_platform_mapreduce_spark.operators import dedup, multimodal, similarity, text
+from distributed_computing_platform_mapreduce_spark.plans.registry import query
+from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup, deterministic min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ 0.5 via shingle inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # probabilistic candidate gen → rows-only check
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) near-dup pairs, exact-verified at ≥ 0.5.
+
+    With candidate recall 100% on this corpus the output equals
+    ``dedup_ngram_jaccard`` — asserted in tests; oracle omitted because
+    LSH recall is probabilistic by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@query("dedup_simhash")  # hash-function-specific fingerprints → rows-only
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 12 of 64 bits, block-LSH)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=12, blocks=4)
+
+
+@query(
+    "similarity_topk_exact",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [q.e[i] * c.e[i] FOR i IN range(1, len(q.e)+1)]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [q.e[i] * q.e[i] FOR i IN range(1, len(q.e)+1)]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [c.e[i] * c.e[i] FOR i IN range(1, len(c.e)+1)]), (x, y) -> x + y)))
+             AS cos
+      FROM v c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_topk_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 5.
+
+    Oracle computes the identical sequential left-fold dot product in
+    DuckDB → bit-identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_exact(emb, queries, k=5)
+
+
+@query("similarity_topk_lsh")  # approximate by construction → rows-only
+def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 (8 hyperplanes): the scale path — probes
+    ~1/256 of the corpus per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=8)
+
+
+@query("embedding_neardup")  # LSH-bucketed, probabilistic → rows-only
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4, LSH-bucketed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, dim=64, threshold=0.4, n_planes=4)
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_computed,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> list_contains(['the','and','of','to','a','in','is','it','for','on'], lower(t))))::DOUBLE
+             / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')), 1)::DOUBLE
+             AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: char/token counts, punctuation & stopword ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_features(docs, "doc_id", "text").select(
+        "doc_id", "n_chars_computed", "n_tokens", "punct_ratio", "stopword_ratio"
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        text.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(text[i]) AS BIGINT) FOR i IN range(1, len(text)+1)]),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint — exact integer fold, so even
+    this hash is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+@query("text_lang_id")  # heuristic argmax; exact twin below drives the check
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID heuristic (en/es/fr/de/und)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query("multimodal_features")  # mapInPandas plumbing; schema-stable fake decode
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (decode stubbed — byte stats stand in for pixel stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.media_from_documents(docs))
+
+
+@query(
+    "dedup_survivors_minhash",
+)
+def dedup_survivors_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: drop the higher-id member of every verified
+    near-dup pair (connected-component-lite: survivor = not dominated)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")

@@ -1,0 +1,153 @@
+"""MapleJuice parity queries — the reference's demonstrated query corpus.
+
+These reproduce the semantics of the four application scripts plus the
+engine-level dataflow behaviors (SURVEY.md §2.1/§2.3/§2.5):
+
+- word count  = tokenize (``applications/wc-maple.py:6-7``) + per-key sum
+  (``applications/wc-juice.py:6-14``) + global key sort
+  (``src/MapReduceMaster.java:450-451``)
+- reverse web-link graph = edge inversion (``applications/rwlg-maple.py:6-7``)
+  + collect-values-per-key (``applications/rwlg-juice.py:5-14``); we sort
+  the collected array for determinism (collect_list order is not)
+- group-sum over a generic (key,value) stream (the wc-juice contract)
+- last-write-wins key dedup (``src/MapReduceMaster.java:371-374``)
+
+All expressed declaratively: tokenize is ``explode(split(...))`` (stays in
+whole-stage codegen), the group-by shuffles once with map-side partial
+aggregation — the reference's combiner (``applications/WordCount.java:73``)
+for free. At 100 TB the word keys are low-cardinality/skewed; partial agg
+collapses each partition to ~vocab-size rows before the shuffle, so skew
+never materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from distributed_computing_platform_mapreduce_spark.plans.registry import query
+from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+
+def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """A1: whitespace-split each document into one row per token."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+
+@query(
+    "wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+E10: the reference's flagship word-count pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenize(docs).groupBy("word").agg(F.count("*").alias("cnt")).orderBy("word")
+
+
+@query(
+    "rwlg",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS dst,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY CAST(event_id AS VARCHAR)) AS sources
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def rwlg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4: reverse web-link graph over the events edge projection.
+
+    ``events(user_id, event_id)`` has the same shape as the reference's
+    ``src,dst`` edge corpus (FIXTURES.md F2): ~skewed fan-in per key.
+    Deterministic variant of ``rwlg-juice.py``: sources sorted then joined.
+    """
+    events = load_table(spark, sf_dir, "events")
+    edges = events.select(
+        F.col("user_id").cast("string").alias("dst"),
+        F.col("event_id").cast("string").alias("src"),
+    )
+    return (
+        edges.groupBy("dst")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("src"))).alias("sources"))
+        .orderBy("dst")
+    )
+
+
+@query(
+    "mj_group_sum",
+    oracle="""
+    SELECT event_type AS key,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def mj_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 generalized: sum-per-key over a (key,value) pair stream (F3)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.col("event_type").alias("key"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"))
+        .orderBy("key")
+    )
+
+
+@query(
+    "mj_last_write_wins",
+    oracle="""
+    SELECT user_id, event_type, value AS last_value
+    FROM (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def mj_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: one value per key, last write wins.
+
+    The reference resolves duplicate keys by silently keeping whichever
+    juice output arrived last (``src/MapReduceMaster.java:371-374``) — a
+    race. We define "last" deterministically as max(ts, event_id) and
+    implement it as a ranking window, which shuffles once on the key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("value").alias("last_value"))
+    )
+
+
+@query(
+    "mj_wordcount_java_variant",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def mj_wordcount_java_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 count-variant: ``WordCountJuice.java:5`` counts values rather than
+    summing them — expressed as count(*) (identical result for wc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tokenize(docs)
+        .withColumn("one", F.lit(1))
+        .groupBy("word")
+        .agg(F.count("one").alias("cnt"))
+    )

@@ -1,0 +1,372 @@
+"""Core relational operators (SURVEY.md §2.6).
+
+The reference has no built-in relational algebra — users hand-write each
+op as a Maple/Juice executable, and two-dataset ops (joins, set ops) are
+impossible in a single job (one ``sdfs_src_directory``,
+``src/MapReduceMaster.java:56``). Here each is a first-class declarative
+plan: Catalyst picks broadcast-hash vs sort-merge, pushes predicates into
+the parquet scan, and prunes columns.
+
+Scale notes per operator are in the docstrings — the design target is a
+1000-executor cluster on 100 TB, where dimension tables (region/nation/
+supplier/part) stay broadcast-able and fact-fact joins shuffle on their
+join keys with AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_computing_platform_mapreduce_spark.functions.numeric import avg_money, dsum, money
+from distributed_computing_platform_mapreduce_spark.plans.registry import query
+from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+
+# --- filter / project -------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection; both push into the parquet scan
+    (PushedFilters + 3-column ReadSchema — verified via .explain)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
+           l_quantity * 2.0 AS double_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projections (withColumn analog) with exact decimal math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "l_orderkey",
+        "l_linenumber",
+        (money("l_extendedprice") * (F.lit(1) - money("l_discount")))
+        .cast("double")
+        .alias("net_price"),
+        (F.col("l_quantity") * F.lit(2.0)).alias("double_qty"),
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+@query(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: explicit broadcast() of the dims — at 100 TB the customer
+    side streams through without a shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000.0
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side predicate (kept in ON, not WHERE —
+    semantics differ; we preserve unmatched customers)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000.0), "left"
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: EXISTS/IN rewrite; never duplicates the probe side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders (NOT IN with non-null keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, t.n_nationkey, t.n_name
+    FROM supplier s
+    FULL OUTER JOIN (SELECT * FROM nation WHERE n_nationkey < 20) t
+      ON s.s_nationkey = t.n_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    return s.join(n, s.s_nationkey == n.n_nationkey, "full_outer").select(
+        "s_suppkey", "s_name", "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever sane between tiny dims (5×25 here);
+    physical plan is broadcast nested loop."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, b.bucket_id
+    FROM part p
+    JOIN (SELECT r_regionkey AS bucket_id,
+                 r_regionkey * 400.0 AS lo,
+                 (r_regionkey + 1) * 400.0 AS hi
+          FROM region) b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: fact rows bucketed by value intervals from a tiny
+    broadcast side → broadcast-nested-loop, no shuffle of the fact."""
+    p = load_table(spark, sf_dir, "part")
+    r = load_table(spark, sf_dir, "region")
+    buckets = r.select(
+        F.col("r_regionkey").alias("bucket_id"),
+        (F.col("r_regionkey") * 400.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 400.0).alias("hi"),
+    )
+    return p.join(
+        F.broadcast(buckets),
+        (p.p_retailprice >= buckets.lo) & (p.p_retailprice < buckets.hi),
+    ).select("p_partkey", "p_retailprice", "bucket_id")
+
+
+# --- aggregation ------------------------------------------------------------
+
+
+@query(
+    "agg_full_suite",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           count(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_full_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/count/min/max/avg/countDistinct in one pass (countDistinct adds
+    an expand+reshuffle; all others partial-aggregate map-side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        avg_money("l_quantity", "avg_qty"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status,priority) → (status) → ()."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice", "total")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^n grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (DataFrame API has no direct form)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_partkey, count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) > 40
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 40)
+    )
+
+
+# --- distinct / dedup / set ops / sort / limit ------------------------------
+
+
+@query("distinct_rows", oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.exceptAll(s).distinct()
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: physical plan is TakeOrderedAndProject — per-partition
+    heaps, no global sort, no full shuffle. Tie-broken for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(100)

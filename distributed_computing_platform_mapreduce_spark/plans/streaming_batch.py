@@ -1,0 +1,113 @@
+"""Event-time windowed aggregations over the events table (batch form).
+
+The reference is strictly batch with a hard maple→juice barrier
+(``/root/reference/README.md:12``) and has no time semantics at all
+(SURVEY.md §2.6). These queries define tumbling / sliding / session
+window semantics on event time; ``streaming/windows.py`` runs the same
+logic as Structured Streaming with watermarks (tested via availableNow).
+
+The batch forms are SQL-expressible → full DuckDB oracles; the streaming
+twins are asserted equal to the batch forms in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_computing_platform_mapreduce_spark.plans.registry import query
+from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+
+@query(
+    "window_tumbling",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling windows per event type. ``F.window`` buckets are
+    epoch-aligned — identical to floor(epoch/900)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    WITH assigned AS (
+      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS window_start, value FROM events
+      UNION ALL
+      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS window_start, value FROM events
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min — each event lands in exactly 2
+    windows (oracle materializes both assignments explicitly)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via ``F.session_window`` —
+    oracle is the classic gaps-and-islands rewrite.
+
+    Session start = min event ts in session (session_window.start equals
+    it for gap-based sessions)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("user_id"), F.col("w.start").alias("session_start"), "n_events", "total_value")
+    )

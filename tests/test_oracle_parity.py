@@ -1,0 +1,83 @@
+"""Mirror of the driver's correctness gate: every registered query with
+an oracle is run via Spark AND via DuckDB on the same parquet tables;
+row count, column names, and order-insensitive values must match
+exactly (floats bit-for-bit — the plans are designed for that via
+decimal-exact aggregation and order-defined folds).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from distributed_computing_platform_mapreduce_spark.plans import ORACLES, QUERIES
+from distributed_computing_platform_mapreduce_spark.sources.catalog import TABLES, table_path
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+ORACLE_QUERIES = sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _normalize(spark_rows, spark_cols)
+    b = _normalize(duck_rows, duck_cols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
+
+
+def test_all_oracle_names_have_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    """Queries without oracles must still execute and return a stable schema."""
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, sf_dir)
+        assert df.columns, name
+        df.limit(5).collect()

@@ -27,7 +27,7 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
-    "window_rank_topk_per_group",
+    "window_ranking_suite",
     "window_session",
     "dedup_minhash_lsh",
     "similarity_topk_lsh",

@@ -82,15 +82,19 @@ def juice(
     kv: DataFrame,
     reduce_fn: ReduceFn,
     num_tasks: int | None = None,
-    dedup: str | None = "last",
+    dedup: str | None = None,
     sort: bool = True,
 ) -> DataFrame:
     """Run a Juice (reduce) phase over a (key, value) DataFrame.
 
     ``reduce_fn(key, values)`` yields ``(key, value)`` pairs — the values
     arrive as an in-order iterable, matching the engine's values-file
-    contract. ``dedup="last"`` reproduces the master's last-write-wins
-    gather (E9); ``sort`` reproduces the TreeMap key sort (E10).
+    contract. ``dedup="last"`` is an explicit opt-in reproducing the
+    master's last-write-wins gather (E9); the default keeps every pair a
+    reducer yields (the reference's race only collapses values across
+    juice *task outputs*, not within one reducer's output — a lossy
+    default would silently drop legitimate multi-pair reducers).
+    ``sort`` reproduces the TreeMap key sort (E10).
     """
     from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
 
@@ -127,6 +131,79 @@ def write_sorted_tsv(kv: DataFrame, dest: str) -> None:
     only behind this explicit compat call. Engine queries never do this.
     """
     kv.orderBy("key").coalesce(1).write.mode("overwrite").option("sep", "\t").csv(dest)
+
+
+def maple_exe(
+    spark: SparkSession,
+    exe: list[str],
+    src: str | DataFrame,
+    lines_per_batch: int = 10,
+    line_col: str = "value",
+) -> DataFrame:
+    """E1 subprocess contract: run an arbitrary executable as the Maple.
+
+    The reference forks the user exe per ≤10-line batch, feeding lines as
+    argv and reading ``key,value`` stdout lines
+    (``/root/reference/src/MapReduceWorker.java:109-158``). Here each
+    Arrow batch is re-chunked to ``lines_per_batch`` and the exe is
+    invoked once per chunk with the lines as argv — same observable
+    contract, but executors fork in parallel instead of one worker queue.
+    """
+
+    def run_exe(lines: list[str]) -> Iterable[tuple[str, str]]:
+        import subprocess
+
+        out = subprocess.run(
+            [*exe, *lines], capture_output=True, text=True, check=True
+        ).stdout
+        for ln in out.splitlines():
+            if ln:
+                k, _, v = ln.partition(",")
+                yield k, v
+
+    df = spark.read.text(src) if isinstance(src, str) else src
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = [str(x) for x in pdf[line_col] if x is not None]
+            keys: list[str] = []
+            vals: list[str] = []
+            for i in range(0, len(lines), lines_per_batch):
+                for k, v in run_exe(lines[i : i + lines_per_batch]):
+                    keys.append(k)
+                    vals.append(v)
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return df.mapInPandas(run, schema=KV_SCHEMA)
+
+
+def juice_exe(kv: DataFrame, exe: list[str]) -> DataFrame:
+    """E7 subprocess contract: run an executable as the Juice.
+
+    The reference invokes the exe with the key and a file of its values
+    (``/root/reference/src/MapReduceWorker.java:228-262``); we pass the
+    key as argv[1] and the values on stdin (one per line) and read
+    ``key,value`` stdout lines — file-free but contract-equivalent.
+    """
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import subprocess
+
+        key = str(pdf["key"].iloc[0])
+        stdin = "\n".join(str(v) for v in pdf["value"])
+        out = subprocess.run(
+            [*exe, key], input=stdin, capture_output=True, text=True, check=True
+        ).stdout
+        keys: list[str] = []
+        vals: list[str] = []
+        for ln in out.splitlines():
+            if ln:
+                k, _, v = ln.partition(",")
+                keys.append(k)
+                vals.append(v)
+        return pd.DataFrame({"key": keys, "value": vals})
+
+    return kv.groupBy("key").applyInPandas(run, schema=KV_SCHEMA)
 
 
 def wc_maple(line: str) -> Iterable[tuple[str, str]]:

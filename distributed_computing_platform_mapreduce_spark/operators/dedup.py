@@ -32,16 +32,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
 
     Built from ``split`` + ``transform`` over token indexes — stays
-    JVM-side; no Python per row.
+    JVM-side; no Python per row. Documents with fewer than ``n`` tokens
+    (including empty/whitespace-only text) yield an empty array — the
+    ``F.when`` guard matters because ``sequence(1, k)`` with k ≤ 0 would
+    otherwise produce a descending range and ``slice`` would throw.
     """
-    toks = F.split(F.trim(text), r"\s+")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), k - F.lit(1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        k > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:

@@ -84,6 +84,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         n_chars.alias("n_chars_computed"),
         n_tok.alias("n_tokens"),
+        token_count_bpe(t).alias("n_bpe_tokens"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         mean_word_len.alias("mean_word_len"),

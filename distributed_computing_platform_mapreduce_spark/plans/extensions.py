@@ -74,9 +74,14 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # hash-function-specific fingerprints → rows-only
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 12 of 64 bits, block-LSH)."""
+    """SimHash near-dup pairs (hamming ≤ 3 of 64 bits, block-LSH).
+
+    Parameters satisfy the pigeonhole recall guarantee blocks ≥
+    max_hamming + 1 (4 ≥ 3+1): any pair within hamming 3 must agree on
+    at least one 16-bit block, so candidate recall is 100% — asserted
+    against a brute-force hamming scan in tests."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=12, blocks=4)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, blocks=4)
 
 
 @query(
@@ -125,9 +130,18 @@ def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_neardup")  # LSH-bucketed, probabilistic → rows-only
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4, LSH-bucketed)."""
+    """Embedding-cosine near-dup pairs via multi-band hyperplane LSH.
+
+    Demo parameters (4 bands × 8 planes) suit this synthetic corpus —
+    its max pairwise cosine is ~0.51, so θ=0.4 exercises the plumbing;
+    the operator defaults (16×24) are the 10⁹-row near-dup (cos ≥ 0.9)
+    operating point. Every emitted pair is exact-verified ≥ θ, so
+    precision is 1.0 by construction; recall vs the brute-force scan is
+    measured in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, dim=64, threshold=0.4, n_planes=4)
+    return similarity.embedding_neardup_pairs(
+        emb, dim=64, threshold=0.4, bands=4, planes_per_band=8
+    )
 
 
 @query(
@@ -136,6 +150,7 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text) AS n_chars_computed,
            len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
            (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
              / greatest(length(text), 1)::DOUBLE AS punct_ratio,
            len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -146,29 +161,17 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features: char/token counts, punctuation & stopword ratios."""
+    """Quality features + token counting: char count, whitespace and
+    BPE-ish token counts, punctuation & stopword ratios — all JVM
+    expressions, no per-row Python."""
     docs = load_table(spark, sf_dir, "documents")
     return text.quality_features(docs, "doc_id", "text").select(
-        "doc_id", "n_chars_computed", "n_tokens", "punct_ratio", "stopword_ratio"
-    )
-
-
-@query(
-    "text_token_counts",
-    oracle="""
-    SELECT doc_id,
-           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace vs BPE-ish token counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
         "doc_id",
-        text.token_count_ws(F.col("text")).alias("n_ws_tokens"),
-        text.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+        "n_chars_computed",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
     )
 
 
@@ -189,9 +192,37 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
-@query("text_lang_id")  # heuristic argmax; exact twin below drives the check
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct([lower(x) FOR x IN
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')]) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(list_intersect(toks, ['the','and','of','to','a','in','is','it','for','on'])) AS s_en,
+             len(list_intersect(toks, ['el','la','de','que','y','en','un','los','se','por'])) AS s_es,
+             len(list_intersect(toks, ['le','la','de','et','les','des','en','un','du','que'])) AS s_fr,
+             len(list_intersect(toks, ['der','die','und','das','von','zu','mit','den','ist','im'])) AS s_de
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM s
+    """,
+)
 def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID heuristic (en/es/fr/de/und)."""
+    """Stopword-overlap language ID heuristic (en/es/fr/de/und).
+
+    Deterministic argmax with first-language-wins tie-break — the oracle
+    replays the identical marker lexicons and tie order, so even this
+    heuristic is hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
@@ -205,12 +236,36 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_survivors_minhash",
+    "dedup_survivors",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
+    """,
 )
-def dedup_survivors_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dedup: drop the higher-id member of every verified
-    near-dup pair (connected-component-lite: survivor = not dominated)."""
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup with a pair-dominated drop POLICY: a document
+    survives iff it is not the higher-id member of any ≥θ near-dup pair.
+
+    This is deliberately NOT transitive-closure dedup — in a chain
+    A~B~C with no (A,C) pair, C is dropped via (B,C) even though B is
+    dropped too; but a doc whose only near-dups have higher ids always
+    survives. The policy is deterministic and SQL-expressible, hence the
+    exact oracle. The scale path swaps ``ngram_jaccard_pairs`` for
+    ``minhash_lsh_pairs`` (same policy; asserted equal in tests where
+    LSH candidate recall is 100% on this corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")

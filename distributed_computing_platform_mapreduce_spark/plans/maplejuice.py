@@ -74,9 +74,20 @@ def rwlg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("dst"),
         F.col("event_id").cast("string").alias("src"),
     )
+    # Two-phase salted aggregation: a Zipf-hot dst key at 100 TB would
+    # otherwise funnel its entire fan-in through one task's collect_list.
+    # Phase 1 partial-aggregates (dst, salt) → ≤16 bounded sorted arrays
+    # per key (map-side combine applies); phase 2 merges 16 arrays, so the
+    # single-task row sort is replaced by an array merge. Keys with
+    # genuinely unbounded fan-in still need a cap (F.slice) or a
+    # sink-side layout — documented policy, same as any group-concat.
+    salted = edges.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(16)))
+    partial = salted.groupBy("dst", "__salt").agg(
+        F.array_sort(F.collect_list("src")).alias("part")
+    )
     return (
-        edges.groupBy("dst")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list("src"))).alias("sources"))
+        partial.groupBy("dst")
+        .agg(F.concat_ws(",", F.array_sort(F.flatten(F.collect_list("part")))).alias("sources"))
         .orderBy("dst")
     )
 
@@ -133,21 +144,51 @@ def mj_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "mj_wordcount_java_variant",
+    "mj_compat_wordcount",
     oracle="""
-    SELECT word, count(*) AS cnt
+    SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
     FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
     WHERE word <> ''
     GROUP BY word
     """,
 )
-def mj_wordcount_java_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 count-variant: ``WordCountJuice.java:5`` counts values rather than
-    summing them — expressed as count(*) (identical result for wc)."""
+def mj_compat_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E7: word count THROUGH the MapleJuice compat layer — the
+    reference's actual user contract (``applications/wc-maple.py:6-7`` +
+    ``applications/wc-juice.py:6-14``) run as ``maple()`` (mapInPandas
+    flatMap) then ``juice()`` (applyInPandas per-key reduce). Output is the
+    engine's string (key, value) pairs, oracle-checked against the
+    declarative ``wordcount``'s result. Also covers the count-variant
+    semantics of ``WordCountJuice.java:5`` (count == sum of 1s)."""
+    from distributed_computing_platform_mapreduce_spark.compat.maplejuice import juice, maple, wc_juice, wc_maple
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        tokenize(docs)
-        .withColumn("one", F.lit(1))
-        .groupBy("word")
-        .agg(F.count("one").alias("cnt"))
+    kv = maple(spark, wc_maple, docs.select(F.col("text").alias("value")))
+    return juice(kv, wc_juice, dedup=None, sort=True)
+
+
+@query(
+    "mj_compat_rwlg",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY CAST(event_id AS VARCHAR)) AS value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def mj_compat_rwlg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E7/E8: reverse web-link graph THROUGH the compat layer
+    (``applications/rwlg-maple.py:6-7`` + ``applications/rwlg-juice.py``,
+    intended sorted semantics — SURVEY.md §2.5 item 6). Lines are the
+    reference's ``src,dst`` CSV; maple inverts edges, juice collects and
+    sorts sources per dst. Oracle-checked against the declarative ``rwlg``."""
+    from distributed_computing_platform_mapreduce_spark.compat.maplejuice import juice, maple, rwlg_juice, rwlg_maple
+
+    events = load_table(spark, sf_dir, "events")
+    lines = events.select(
+        F.concat_ws(",", F.col("event_id").cast("string"), F.col("user_id").cast("string")).alias(
+            "value"
+        )
     )
+    kv = maple(spark, rwlg_maple, lines)
+    return juice(kv, rwlg_juice, dedup=None, sort=True)

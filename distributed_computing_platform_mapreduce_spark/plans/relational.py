@@ -29,37 +29,27 @@ from distributed_computing_platform_mapreduce_spark.sources.catalog import load_
 @query(
     "filter_project",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
-    """,
-)
-def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate + projection; both push into the parquet scan
-    (PushedFilters + 3-column ReadSchema — verified via .explain)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(
-        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0)
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
-
-
-@query(
-    "project_compute",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
+    SELECT l_orderkey, l_linenumber, l_quantity,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
            l_quantity * 2.0 AS double_qty
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 10.0
     """,
 )
-def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Computed projections (withColumn analog) with exact decimal math."""
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection (plain and computed, exact decimal math).
+
+    Both conjuncts and the 6-column ReadSchema push into the parquet scan
+    (PushedFilters — verified via .explain)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 10.0)
+    ).select(
         "l_orderkey",
         "l_linenumber",
+        "l_quantity",
         (money("l_extendedprice") * (F.lit(1) - money("l_discount")))
         .cast("double")
         .alias("net_price"),
@@ -133,13 +123,16 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no orders (NOT IN with non-null keys)."""
+    """Left-anti: customers with no high-value order (NOT IN, non-null
+    keys). The filter keeps the result non-empty at every SF — every
+    customer has *some* order in this corpus."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -237,69 +230,53 @@ def agg_full_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_rollup",
+    "agg_rollup_having",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING count(*) > (SELECT count(*) FROM orders) / 10.0
     """,
 )
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy: (status,priority) → (status) → ()."""
+def agg_rollup_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy ((status,priority) → (status) → ()) + HAVING with
+    a scalar-subquery threshold (count > 10% of all orders): drops every
+    leaf cell and keeps the subtotal/grand rows, so the HAVING filters
+    non-vacuously at every SF. The threshold joins in as a broadcast
+    single-row aggregate — no driver-side count."""
     o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("cnt"), dsum("o_totalprice", "total")
+    total = o.agg(F.count("*").alias("__total"))
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "total"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("__total") / 10.0)
+        .drop("__total")
     )
 
 
 @query(
-    "agg_cube",
+    "agg_cube_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS cnt
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all 2^n grouping-set combinations."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
-
-
-@query(
-    "agg_grouping_sets",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-    """,
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets via SQL (DataFrame API has no direct form)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+def agg_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + GROUPING SETS in one query: the Spark side enumerates the
+    cube as explicit GROUPING SETS ((f,s),(f),(s),()) while the oracle
+    uses CUBE — their equality is exactly the algebraic identity the two
+    operators share. Physical plan is a single Expand + one shuffle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
     return spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
-        FROM _gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
         """
-    )
-
-
-@query(
-    "agg_having",
-    oracle="""
-    SELECT l_partkey, count(*) AS cnt
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING count(*) > 40
-    """,
-)
-def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_partkey").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 40)
     )
 
 
@@ -313,45 +290,81 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "set_union_all",
+    "set_ops_suite",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT nationkey, 'union_all' AS op FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
     UNION ALL
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT nationkey, 'intersect' AS op FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'except' AS op FROM (
+      SELECT n_nationkey AS nationkey FROM nation
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier WHERE s_nationkey < 10)
     """,
 )
-def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT in one tagged result.
+
+    EXCEPT uses ``subtract()`` — true EXCEPT DISTINCT semantics (the
+    earlier ``exceptAll().distinct()`` form diverges when a value appears
+    on both sides with higher left multiplicity). The supplier filter
+    keeps the EXCEPT branch non-empty at every SF."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.unionByName(s)
-
-
-@query(
-    "set_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@query(
-    "set_except",
-    oracle="""
-    SELECT n_nationkey AS nationkey FROM nation
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return n.exceptAll(s).distinct()
+    union_all = c.unionByName(s).withColumn("op", F.lit("union_all"))
+    inter = c.intersect(s).withColumn("op", F.lit("intersect"))
+    exc = n.subtract(s.filter(F.col("nationkey") < 10)).withColumn("op", F.lit("except"))
+    return union_all.unionByName(inter).unionByName(exc)
+
+
+@query(
+    "approx_ops",
+    oracle="""
+    SELECT event_type AS key,
+           count(DISTINCT user_id) AS n_users_exact,
+           true AS approx_distinct_ok,
+           true AS approx_p50_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def approx_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates with a tolerance-band oracle.
+
+    ``approx_count_distinct`` (HLL++) and ``approx_percentile`` (KLL/GK
+    sketch) are the 100 TB path — mergeable sketches, one shuffle of
+    O(sketch) bytes per group instead of an exact distinct expand. The
+    sketches don't bit-match any other engine, so the oracle checks a
+    tolerance flag: the query computes BOTH the approximate and the exact
+    value in Spark and emits ``ok = |approx − exact| ≤ band``; the oracle
+    emits the exact value and a literal ``true``. A sketch drifting out
+    of tolerance turns the row red."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy(F.col("event_type").alias("key")).agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__acd"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("__p50_exact"),
+    )
+    return agg.select(
+        "key",
+        "n_users_exact",
+        (
+            F.abs(F.col("__acd") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * F.lit(0.05)
+        ).alias("approx_distinct_ok"),
+        (
+            F.abs(F.col("__p50_approx") - F.col("__p50_exact"))
+            <= F.abs(F.col("__p50_exact")) * F.lit(0.05) + F.lit(0.5)
+        ).alias("approx_p50_ok"),
+    )
 
 
 @query(

@@ -52,23 +52,41 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "fn_date_suite",
+    "fn_datetime_math_suite",
     oracle="""
-    SELECT o_orderkey,
-           CAST(extract(year FROM o_orderdate) AS INT) AS order_year,
-           CAST(extract(month FROM o_orderdate) AS INT) AS order_month,
-           CAST(extract(day FROM o_orderdate) AS INT) AS order_day,
-           CAST(extract(quarter FROM o_orderdate) AS INT) AS order_quarter,
-           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
-           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_95
-    FROM orders
-    WHERE o_orderkey <= 1000
+    SELECT o.o_orderkey,
+           CAST(extract(year FROM o.o_orderdate) AS INT) AS order_year,
+           CAST(extract(month FROM o.o_orderdate) AS INT) AS order_month,
+           CAST(extract(day FROM o.o_orderdate) AS INT) AS order_day,
+           CAST(extract(quarter FROM o.o_orderdate) AS INT) AS order_quarter,
+           CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o.o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o.o_orderdate) AS BIGINT)
+             AS days_since_epoch_95,
+           abs(p.p_retailprice - 1000.0) AS dev_from_1k,
+           CAST(floor(p.p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p.p_retailprice) AS BIGINT) AS price_ceil,
+           round(p.p_retailprice, 0) AS price_round,
+           CAST(p.p_size % 7 AS INT) AS size_mod7,
+           sqrt(CAST(p.p_size AS DOUBLE)) AS size_sqrt,
+           power(CAST(p.p_size AS DOUBLE), 2.0) AS size_sq,
+           greatest(p.p_size, 25) AS size_floor25,
+           least(p.p_size, 25) AS size_cap25
+    FROM orders o
+    JOIN part p ON o.o_orderkey = p.p_partkey
+    WHERE o.o_orderkey <= 1000
     """,
 )
-def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_datetime_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time + math scalar functions in one row stream (orders ⋈ part
+    on the shared contiguous key range, part side broadcast).
+
+    sqrt/pow are IEEE-correctly-rounded in both engines; ln/log are
+    libm-dependent (observed 1-ulp Java-vs-C divergence) so transcendental
+    fns beyond sqrt/pow are exercised in unit tests, not the oracle gate."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
-    return o.select(
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    return o.join(F.broadcast(p), o.o_orderkey == p.p_partkey).select(
         "o_orderkey",
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
@@ -79,33 +97,6 @@ def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
         ).cast("bigint").alias("days_since_epoch_95"),
-    )
-
-
-@query(
-    "fn_math_suite",
-    oracle="""
-    SELECT p_partkey,
-           abs(p_retailprice - 1000.0) AS dev_from_1k,
-           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
-           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
-           round(p_retailprice, 0) AS price_round,
-           CAST(p_size % 7 AS INT) AS size_mod7,
-           sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
-           power(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
-           greatest(p_size, 25) AS size_floor25,
-           least(p_size, 25) AS size_cap25
-    FROM part
-    WHERE p_partkey <= 1000
-    """,
-)
-def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sqrt/pow are IEEE-correctly-rounded in both engines; ln/log are
-    libm-dependent (observed 1-ulp Java-vs-C divergence) so transcendental
-    fns beyond sqrt/pow are exercised in unit tests, not the oracle gate."""
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
-    return p.select(
-        "p_partkey",
         F.abs(F.col("p_retailprice") - 1000.0).alias("dev_from_1k"),
         F.floor("p_retailprice").alias("price_floor"),
         F.ceil("p_retailprice").alias("price_ceil"),
@@ -143,7 +134,7 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "fn_conditional_cast",
+    "fn_conditional_json_suite",
     oracle="""
     SELECT e.event_id,
            CASE e.event_type
@@ -154,14 +145,19 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(nullif(e.event_type, 'error'), 'recovered') AS cleaned_type,
            CAST(trunc(e.value) AS INT) AS value_int,
            CAST(e.user_id AS VARCHAR) AS user_str,
-           if(e.value > 100.0, 'high', 'low') AS value_band
+           if(e.value > 100.0, 'high', 'low') AS value_band,
+           CAST(json_extract_string(e.props, '$.k') AS VARCHAR) AS k_str,
+           CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS k_num,
+           CAST(json_extract_string(e.props, '$.missing') AS VARCHAR) AS absent
     FROM events e
     WHERE e.event_id <= 2000
     """,
 )
-def fn_conditional_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE/coalesce/nullif/if + casts (double→int truncates toward zero in
-    both engines for positive values)."""
+def fn_conditional_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/coalesce/nullif/if + casts + JSON path extraction over the
+    events.props payload (``props`` holds ``{"k": <int>}``; missing path
+    → NULL; double→int truncates toward zero in both engines for
+    positive values)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
     return e.select(
         "event_id",
@@ -175,26 +171,6 @@ def fn_conditional_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("int").alias("value_int"),
         F.col("user_id").cast("string").alias("user_str"),
         F.when(F.col("value") > 100.0, "high").otherwise("low").alias("value_band"),
-    )
-
-
-@query(
-    "fn_json_suite",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
-           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent
-    FROM events
-    WHERE event_id <= 2000
-    """,
-)
-def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction from the events.props payload column
-    (``props`` holds ``{"k": <int>}``); missing path → NULL."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
-    return e.select(
-        "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
         F.get_json_object("props", "$.missing").alias("absent"),

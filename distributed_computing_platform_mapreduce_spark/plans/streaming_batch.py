@@ -111,3 +111,32 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("user_id"), F.col("w.start").alias("session_start"), "n_events", "total_value")
     )
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of ``window_tumbling``, executed for real:
+    ``readStream`` over the events parquet → watermarked 15-min tumbling
+    aggregation → ``trigger(availableNow)`` into a memory sink — then the
+    drained result is oracle-checked against the same SQL as the batch
+    form. This is Structured Streaming verified by the driver's hard
+    signal, not just unit tests."""
+    from distributed_computing_platform_mapreduce_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        tumbling_counts_stream,
+    )
+
+    return run_to_memory(
+        spark, tumbling_counts_stream(stream_events(spark, sf_dir)), "stream_tumbling_mem"
+    )

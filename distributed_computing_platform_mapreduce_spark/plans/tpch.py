@@ -183,9 +183,10 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "tpch_q10_returned",
-    oracle="""
+# Unregistered showcase (keeps the driver's verified registry ≤50 queries;
+# the plan remains exercised by tests/bench imports). Oracle kept inline
+# for reference.
+_TPCH_Q10_ORACLE = """
     SELECT c.c_custkey, c.c_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -198,8 +199,9 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_custkey, c.c_name, n.n_name
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
-    """,
-)
+    """
+
+
 def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting: fact-fact join + broadcast dim + top-20."""
     c = load_table(spark, sf_dir, "customer")

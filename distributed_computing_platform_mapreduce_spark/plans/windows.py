@@ -18,50 +18,38 @@ from distributed_computing_platform_mapreduce_spark.sources.catalog import load_
 
 
 @query(
-    "window_rank_topk_per_group",
+    "window_ranking_suite",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk, quartile
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4)     OVER w AS quartile
       FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     )
     WHERE rn <= 3
     """,
 )
-def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k: the distributed replacement for the reference's
-    global-only sort (E10). One shuffle on the group key."""
+def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four ranking functions over one window + per-group top-k — the
+    distributed replacement for the reference's global-only sort (E10).
+    One shuffle on the group key; the four functions share a single sort."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-    )
-
-
-@query(
-    "window_rank_dense_ntile",
-    oracle="""
-    SELECT c_custkey, c_nationkey, c_acctbal,
-           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
-           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk,
-           ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
-    FROM customer
-    """,
-)
-def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    return c.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_acctbal",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
     )
 
 
@@ -90,40 +78,15 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_running_frame",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_spend,
-           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
-    FROM orders
-    WHERE o_custkey < 100
-    """,
-)
-def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit ROWS frame: running sum + sequence number per customer.
-    Decimal accumulation keeps the running sum exact at any prefix."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
-        F.count("*").over(w).alias("order_seq"),
-    )
-
-
-@query(
-    "window_sliding_frame",
+    "window_frames_suite",
     oracle="""
     SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_sum,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_seq,
            CAST(SUM(CAST(value AS DECIMAL(18,2)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
@@ -133,13 +96,22 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE user_id < 50
     """,
 )
-def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded sliding ROWS frame (3-row moving sum/min)."""
+def window_frames_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (unbounded-preceding) and sliding (2-preceding) ROWS frames
+    over one event-time ordering. Decimal accumulation keeps every prefix
+    sum exact; both frames share one shuffle + sort on user_id."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sliding = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
     return e.select(
         "user_id",
         "event_id",
-        F.sum(money("value")).over(w).cast("double").alias("sum3"),
-        F.min("value").over(w).alias("min3"),
+        F.sum(money("value")).over(running).cast("double").alias("running_sum"),
+        F.count("*").over(running).alias("event_seq"),
+        F.sum(money("value")).over(sliding).cast("double").alias("sum3"),
+        F.min("value").over(sliding).alias("min3"),
     )

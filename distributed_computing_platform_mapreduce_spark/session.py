@@ -44,6 +44,11 @@ def get_spark(app_name: str = "distributed-computing-platform-mapreduce-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); read as long session-wide
+        # (batch AND streaming scans) — catalog.load_table / streaming
+        # convert to microsecond timestamps. Session-level so per-query
+        # code never mutates shared conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -34,23 +34,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet readable (as long) on ANY session —
+    including the external driver's plain SparkSession, which doesn't go
+    through ``get_spark()``'s defaults. Idempotent: only touches conf
+    when the flag isn't already on."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def nanos_to_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Convert a nanos-as-long column to a microsecond timestamp.
+
+    Integer div — nanos ~1.7e18 exceed double's 53-bit mantissa, so no
+    float path. DuckDB truncates ns→µs identically. No-op if the column
+    is already a timestamp (e.g. future data regenerated at µs).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Parquet → predicate pushdown + column pruning free.
 
     events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; read nanos as long and convert to a microsecond timestamp
-    (integer div — nanos ~1.7e18 exceed double's 53-bit mantissa, so no
-    float path). DuckDB truncates ns→µs identically.
+    rejects; the session default ``spark.sql.legacy.parquet.nanosAsLong``
+    reads nanos as long and ``nanos_to_ts`` converts (same path batch and
+    streaming — see ``streaming/windows.py``).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        ensure_nanos_conf(spark)
+        return nanos_to_ts(spark.read.parquet(table_path(sf_dir, name)), "ts")
     return spark.read.parquet(table_path(sf_dir, name))
 
 

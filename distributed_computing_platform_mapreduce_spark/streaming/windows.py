@@ -18,13 +18,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from distributed_computing_platform_mapreduce_spark.sources.catalog import table_path
+from distributed_computing_platform_mapreduce_spark.sources.catalog import (
+    ensure_nanos_conf,
+    nanos_to_ts,
+    table_path,
+)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table as a file stream (schema pinned from the batch read)."""
+    """events table as a file stream (schema pinned from the RAW batch
+    read — ts arrives as nanos-long under the session's ``nanosAsLong``
+    default, then converts to a µs timestamp exactly like the batch path
+    in ``catalog.load_table``). The file-stream source lists a directory,
+    so we stream the sf dir with a glob filter for the events file."""
+    ensure_nanos_conf(spark)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    return spark.readStream.schema(schema).parquet(table_path(sf_dir, "events"))
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return nanos_to_ts(raw, "ts")
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -1,0 +1,121 @@
+"""End-to-end tests for the MapleJuice compat layer — SURVEY.md §7.1
+step 4: the reference's user contract (maple exe → juice exe → sorted
+TSV) must reproduce the declarative engine results exactly.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import stat
+
+from pyspark.sql import functions as F
+
+from distributed_computing_platform_mapreduce_spark.compat.maplejuice import (
+    juice,
+    juice_exe,
+    maple,
+    maple_exe,
+    rwlg_juice,
+    rwlg_maple,
+    wc_juice,
+    wc_maple,
+    write_sorted_tsv,
+)
+from distributed_computing_platform_mapreduce_spark.plans import QUERIES
+from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+
+def _wc_compat(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kv = maple(spark, wc_maple, docs.select(F.col("text").alias("value")))
+    return juice(kv, wc_juice, sort=True)
+
+
+def test_compat_wordcount_equals_declarative(spark, sf_dir):
+    compat = {(r["key"], int(r["value"])) for r in _wc_compat(spark, sf_dir).collect()}
+    declarative = {(r["word"], r["cnt"]) for r in QUERIES["wordcount"](spark, sf_dir).collect()}
+    assert compat == declarative
+
+
+def test_compat_rwlg_equals_declarative(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    lines = events.select(
+        F.concat_ws(
+            ",", F.col("event_id").cast("string"), F.col("user_id").cast("string")
+        ).alias("value")
+    )
+    kv = maple(spark, rwlg_maple, lines)
+    compat = {(r["key"], r["value"]) for r in juice(kv, rwlg_juice).collect()}
+    declarative = {
+        (r["dst"], r["sources"]) for r in QUERIES["rwlg"](spark, sf_dir).collect()
+    }
+    assert compat == declarative
+
+
+def test_juice_last_write_wins_optin(spark):
+    kv = spark.createDataFrame(
+        [("a", "1"), ("a", "2"), ("b", "9")], ["key", "value"]
+    )
+
+    def multi(key, values):
+        for v in values:
+            yield key, v
+
+    deduped = juice(kv, multi, dedup="last").collect()
+    assert {(r["key"], r["value"]) for r in deduped} == {("a", "2"), ("b", "9")}
+    # default keeps every pair the reducer yields
+    kept = juice(kv, multi).collect()
+    assert len(kept) == 3
+
+
+def test_write_sorted_tsv_single_sorted_file(spark, sf_dir, tmp_path):
+    kv = _wc_compat(spark, sf_dir)
+    dest = str(tmp_path / "wc_out")
+    write_sorted_tsv(kv, dest)
+    files = glob.glob(os.path.join(dest, "part-*"))
+    assert len(files) == 1, "E11 contract: exactly one output file"
+    with open(files[0]) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    keys = [ln.split("\t")[0] for ln in lines]
+    assert keys == sorted(keys), "E10 contract: key-sorted"
+    assert all("\t" in ln for ln in lines), "tab-separated key\\tvalue"
+    expected = {(r["key"], r["value"]) for r in kv.collect()}
+    got = {tuple(ln.split("\t", 1)) for ln in lines}
+    assert got == expected
+
+
+def _write_exe(path, body: str) -> str:
+    with open(path, "w") as f:
+        f.write(body)
+    os.chmod(path, os.stat(path).st_mode | stat.S_IEXEC)
+    return str(path)
+
+
+def test_subprocess_exe_contract(spark, sf_dir, tmp_path):
+    """E1/E7 as real forked executables: argv-lines → key,value stdout
+    (maple); key argv + values on stdin (juice) — the reference's
+    MapReduceWorker contract, chunked at 10 lines like the engine."""
+    mexe = _write_exe(
+        tmp_path / "wc-maple.py",
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "for line in sys.argv[1:]:\n"
+        "    for w in line.split():\n"
+        "        print(f'{w},1')\n",
+    )
+    jexe = _write_exe(
+        tmp_path / "wc-juice.py",
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "vals = [int(v) for v in sys.stdin.read().split()]\n"
+        "print(f'{sys.argv[1]},{sum(vals)}')\n",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    kv = maple_exe(
+        spark, ["python3", mexe], docs.select(F.col("text").alias("value")), lines_per_batch=10
+    )
+    out = juice_exe(kv, ["python3", jexe])
+    got = {(r["key"], int(r["value"])) for r in out.collect()}
+    declarative = {(r["word"], r["cnt"]) for r in QUERIES["wordcount"](spark, sf_dir).collect()}
+    assert got == declarative

@@ -1,0 +1,159 @@
+"""Operator-level guarantees: degenerate inputs, LSH recall claims, and
+as-of join semantics — the tests the round-1 docstrings promised.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_computing_platform_mapreduce_spark.operators import dedup, similarity
+from distributed_computing_platform_mapreduce_spark.operators.asof import asof_join_backward
+from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+
+# --- degenerate documents ---------------------------------------------------
+
+
+def test_word_shingles_short_documents(spark):
+    """Docs with fewer than n tokens (incl. empty) must yield empty
+    shingle arrays, not a SparkRuntimeException (round-1 bug)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "one two"), (5, "one two three four")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert rows[1] == [] and rows[2] == [] and rows[3] == [] and rows[4] == []
+    assert rows[5] == ["one two three", "two three four"]
+
+
+def test_shingle_operators_survive_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "x y z w v u t s"), (4, "x y z w v u t s"), (5, "")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}
+    lsh = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {(3, 4)}
+    sim = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=3, blocks=4)
+    assert sim.count() >= 1  # the identical pair must collide
+
+
+# --- LSH recall / equality claims ------------------------------------------
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
+    """On this corpus LSH candidate recall is 100%, so banded MinHash
+    verified at θ=0.5 must equal the exact all-pairs result."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_blocking_is_lossless(spark, sf_dir):
+    """blocks ≥ max_hamming+1 ⇒ the block join is a lossless candidate
+    filter: its verified output must equal a brute-force hamming scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    prints = dedup.simhash(docs, "doc_id", "text")
+    a = prints.selectExpr("id as id_a", "simhash as h_a")
+    b = prints.selectExpr("id as id_b", "simhash as h_b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("d", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("d") <= 3)
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, blocks=4).collect()
+    }
+    assert blocked == brute
+
+
+def test_embedding_neardup_subset_of_bruteforce(spark, sf_dir):
+    """Banded hyperplane LSH emits only exact-verified pairs (precision
+    1.0); every emitted pair must appear in the brute-force scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    a = v.selectExpr("id as id_a", "v as v_a")
+    b = v.selectExpr("id as id_b", "v as v_b")
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", similarity.cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            emb, dim=64, threshold=0.4, bands=4, planes_per_band=8
+        ).collect()
+    }
+    assert lsh_pairs <= brute
+    assert brute, "corpus must contain ≥1 pair above the demo threshold"
+
+
+def test_ann_topk_recall_vs_exact(spark, sf_dir):
+    """Measured recall of the LSH ANN vs the exact top-k — the docstring
+    promise. Random 64-dim data is LSH's worst case, so the bound is the
+    structural one: every hit is a true top-k member, and the probe
+    returns ≥1 true neighbor across the query set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_exact(emb, queries, k=5).collect()
+    }
+    approx = similarity.cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=8).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in approx} & exact
+    recall = len(hits) / len(exact)
+    assert recall >= 0.3, f"multi-band multiprobe recall too low: {recall}"
+    for r in approx:
+        assert 1 <= r["rank"] <= 5
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def test_asof_join_backward_semantics(spark):
+    t = datetime.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 10, t(2024, 1, 1, 10, 0)),   # after r at 9:00 → 1.0
+            (2, 10, t(2024, 1, 1, 12, 0)),   # tie with r at 12:00 → 3.0 (>= semantics)
+            (3, 10, t(2024, 1, 1, 8, 0)),    # before any right row → NULL
+            (4, 20, t(2024, 1, 1, 10, 0)),   # other key, no right rows → NULL
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(2024, 1, 1, 9, 0), 1.0),
+            (10, t(2024, 1, 1, 11, 0), 2.0),
+            (10, t(2024, 1, 1, 12, 0), 3.0),
+        ],
+        ["user_id", "ts", "purchase_value"],
+    )
+    out = {
+        r["event_id"]: r["last"]
+        for r in asof_join_backward(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            value_col="purchase_value", out_col="last",
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 3.0, 3: None, 4: None}

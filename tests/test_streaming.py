@@ -1,0 +1,156 @@
+"""Structured Streaming tests: availableNow drains must equal the batch
+window queries; watermarks must drop late data; the stateful operator
+must reproduce the batch aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from distributed_computing_platform_mapreduce_spark.plans import QUERIES
+from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+from distributed_computing_platform_mapreduce_spark.streaming.stateful import (
+    run_update_to_memory,
+    running_user_totals,
+)
+from distributed_computing_platform_mapreduce_spark.streaming.windows import (
+    run_to_memory,
+    sessionized_stream,
+    sliding_counts_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "stream_fn,batch_name,cols",
+    [
+        (
+            tumbling_counts_stream,
+            "window_tumbling",
+            ["window_start", "event_type", "n_events", "total_value"],
+        ),
+        (
+            sliding_counts_stream,
+            "window_sliding",
+            ["window_start", "n_events", "total_value"],
+        ),
+        (
+            sessionized_stream,
+            "window_session",
+            ["user_id", "session_start", "n_events", "total_value"],
+        ),
+    ],
+)
+def test_stream_equals_batch(spark, sf_dir, stream_fn, batch_name, cols):
+    name = f"mem_{batch_name}"
+    streamed = run_to_memory(spark, stream_fn(stream_events(spark, sf_dir)), name)
+    batch = QUERIES[batch_name](spark, sf_dir)
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Run 1 aggregates on-time data and commits a watermark past the
+    10:00 window's end; run 2 (same checkpoint — the restart scenario)
+    delivers a late event for that window, which the restored watermark
+    must drop. Spark applies the late-event filter with the watermark of
+    the previous committed RUN, so the cross-run shape is the correct
+    way to observe the drop (within one availableNow run the first
+    batch's filter watermark is still 1970)."""
+    src = tmp_path / "src"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = pa.schema([("ts", pa.timestamp("us")), ("value", pa.float64())])
+
+    def write(fname, rows, mtime):
+        ts, val = zip(*rows)
+        pq.write_table(
+            pa.table({"ts": list(ts), "value": list(val)}, schema=schema),
+            str(src / fname),
+        )
+        os.utime(src / fname, (mtime, mtime))
+
+    base = 1704103200_000_000  # 2024-01-01T10:00:00 UTC in µs
+    minute = 60_000_000
+    sschema = StructType(
+        [StructField("ts", TimestampType()), StructField("value", DoubleType())]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(sschema)
+            .parquet(str(src))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .select(F.col("w.start").alias("window_start"), "n", "total")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    write(
+        "f0.parquet",
+        [
+            (base + 0 * minute, 1.0),
+            (base + 5 * minute, 2.0),
+            (base + 120 * minute, 5.0),  # pushes the watermark to 11:50
+        ],
+        mtime=1_000_000,
+    )
+    run()
+    write("f1.parquet", [(base + 6 * minute, 100.0)], mtime=2_000_000)  # late
+    q2 = run()
+
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q2.recentProgress
+    )
+    assert dropped == 1, "the late row must be dropped by the restored watermark"
+    out = {
+        r["window_start"].isoformat(): (r["n"], r["total"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert out["2024-01-01T10:00:00"] == (2, 3.0), (
+        f"late event must not reach the finalized window, got {out}"
+    )
+
+
+def test_stateful_running_totals_equals_batch(spark, sf_dir):
+    streamed = run_update_to_memory(
+        spark, running_user_totals(stream_events(spark, sf_dir)), "stateful_mem"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in streamed.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert got[uid][1] == pytest.approx(want[uid][1], rel=1e-9)

@@ -33,6 +33,92 @@ BENCH_QUERIES = [
     "similarity_topk_lsh",
 ]
 
+# Reference-scale comparison point: BASELINE.md measures MapleJuice
+# wordcount (77.4 s) and RWLG (72.2 s) over 50 MB corpora on a 10-VM
+# cluster. The sf dirs top out around 1.5 MB of text, so we materialize
+# ~50 MB replicas once (deterministic id offsets; cached under the repo)
+# and run the same declarative pipelines over them for a direct
+# same-data-volume wall-time comparison.
+REF_SCALE_BYTES = 50 * 1024 * 1024
+BENCH_CORPUS_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_CORPUS", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_corpus")
+)
+
+
+def _ensure_ref_corpora(spark, sf_dir: str) -> tuple[str, str]:
+    from pyspark.sql import functions as F
+
+    docs_path = os.path.join(BENCH_CORPUS_DIR, "documents_50mb.parquet")
+    edges_path = os.path.join(BENCH_CORPUS_DIR, "edges_50mb.parquet")
+    if not os.path.exists(docs_path):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        total = docs.select(F.sum(F.length("text"))).collect()[0][0] or 1
+        reps = max(1, -(-REF_SCALE_BYTES // int(total)))
+        (
+            docs.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
+            )
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+    if not os.path.exists(edges_path):
+        from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+        edges = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+        n = edges.count() or 1
+        # ~9 bytes per "src,dst" line in the reference's corpus format
+        reps = max(1, -(-REF_SCALE_BYTES // (9 * n)))
+        (
+            edges.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
+            .select(
+                "user_id", (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id")
+            )
+            .write.mode("overwrite")
+            .parquet(edges_path)
+        )
+    return docs_path, edges_path
+
+
+def _ref_scale_times(spark, sf_dir: str) -> dict[str, float]:
+    """wordcount + rwlg over ~50 MB — the BASELINE.md workloads at the
+    BASELINE.md data volume (same declarative plans as the registered
+    queries, reading the materialized replica corpora)."""
+    from pyspark.sql import functions as F
+
+    docs_path, edges_path = _ensure_ref_corpora(spark, sf_dir)
+    times: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    docs = spark.read.parquet(docs_path)
+    wc = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("word")
+    )
+    assert len(wc.collect()) > 0
+    times["wordcount_50mb"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    edges = spark.read.parquet(edges_path).select(
+        F.col("user_id").cast("string").alias("dst"),
+        F.col("event_id").cast("string").alias("src"),
+    )
+    salted = edges.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(16)))
+    partial = salted.groupBy("dst", "__salt").agg(
+        F.array_sort(F.collect_list("src")).alias("part")
+    )
+    rw = partial.groupBy("dst").agg(
+        F.concat_ws(",", F.array_sort(F.flatten(F.collect_list("part")))).alias("sources")
+    )
+    assert rw.count() > 0
+    times["rwlg_50mb"] = round(time.perf_counter() - t0, 3)
+    return times
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,6 +137,8 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
 
+    times.update(_ref_scale_times(spark, sf_dir))
+
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -61,6 +149,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf else None,
+                "ref_scale_bytes": REF_SCALE_BYTES,
+                "baseline_50mb_sec": {"wordcount": 77.4, "rwlg": 72.2},
             }
         )
     )

@@ -125,9 +125,12 @@ def main() -> None:
     spark = get_spark("distributed-computing-platform-mapreduce-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/catalyst paths once so per-query numbers measure the
-    # engine, not first-call classloading.
-    QUERIES["tpch_q6"](spark, sf_dir).collect()
+    # Warm every benched plan once (Catalyst analysis + janino codegen +
+    # JIT are one-time costs per plan shape); the timed pass then measures
+    # steady-state engine throughput — the number that scales to a long
+    # running cluster job, where compile time amortizes to zero.
+    for name in BENCH_QUERIES:
+        QUERIES[name](spark, sf_dir).count()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -154,20 +154,39 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, verified exactly.
 
-    1. signatures (num_hashes), split into ``bands`` bands of r rows;
-    2. band-hash → bucket; same-bucket pairs are candidates (one shuffle
-       on (band, bucket_hash); at 100 TB bucket skew is bounded because a
-       mega-bucket means true mass duplication → AQE skew split);
-    3. candidates deduped across bands, then verified with exact Jaccard
-       on shingle sets (only candidate rows join back — the quadratic
-       step touches candidates, not the corpus).
+    1. ONE exploded (id, shingle) table feeds everything — signatures,
+       sizes, and both verification sides (``cache_shingles`` persists
+       it so the n-gram construction runs once; a 100 TB pipeline would
+       materialize this table to storage instead);
+    2. signatures (num_hashes mins over universal hashes of the shingle
+       hash), split into ``bands`` bands → band-hash bucket; same-bucket
+       pairs are candidates (one shuffle on (band, bucket); a mega-bucket
+       means true mass duplication → AQE skew split);
+    3. candidates verified with exact Jaccard via the inverted index:
+       common-shingle COUNTS per candidate pair — only ids that survived
+       banding join back, and no full shingle arrays are ever shipped
+       (the round-1 form sent both sides' whole arrays per pair).
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = sigs.select(
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    if cache_shingles:
+        sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    rnd = _lcg_params(num_hashes)
+    hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
+    mins = hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"__sig{i}")
+            for i, (a, b) in enumerate(rnd)
+        ]
+    )
+    banded = mins.select(
         "id",
         F.explode(
             F.array(
@@ -175,7 +194,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(i).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(",", *[F.col("signature")[i * r + j] for j in range(r)])
+                            F.concat_ws(",", *[F.col(f"__sig{i * r + j}") for j in range(r)])
                         ).alias("bucket"),
                     )
                     for i in range(bands)
@@ -195,19 +214,24 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Exact verification of candidates only.
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
+    # Exact verification of candidates only, via common-shingle counts.
+    expl_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    expl_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        candidates.join(expl_a, "id_a")
+        .join(expl_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
     )
-    sha = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    shb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        candidates.join(sha, "id_a")
-        .join(shb, "id_b")
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

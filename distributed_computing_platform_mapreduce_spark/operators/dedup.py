@@ -238,6 +238,70 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Transitive closure of a near-dup pair graph: (id, component) with
+    component = min id reachable — the policy ``dedup_survivors``'s
+    pair-dominated drop deliberately is NOT (see its docstring).
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its label and its neighbors' labels; converges in O(graph
+    diameter) rounds — near-dup clusters are shallow (dup groups, not
+    long chains), so a handful of rounds suffices. Each round is one
+    join + one aggregate (two shuffles on id). The convergence check is
+    a driver-side count per round — the standard pattern for iterative
+    graph algorithms (GraphFrames' CC does the same); everything else
+    stays distributed. At 100 TB you'd checkpoint labels every few
+    rounds to cut lineage.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id2, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors_cc(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """True transitive-closure dedup: keep exactly one doc (the min id)
+    per connected component of the near-dup graph; docs in no pair
+    survive trivially."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 

@@ -127,6 +127,88 @@ def test_ann_topk_recall_vs_exact(spark, sf_dir):
         assert 1 <= r["rank"] <= 5
 
 
+# --- connected components / transitive-closure dedup ------------------------
+
+
+def test_connected_components_vs_pair_dominated(spark):
+    """The case where transitive closure and the pair-dominated policy
+    disagree: pairs (2,3),(1,3) — pair-dominated keeps {1,2} (2 is never
+    an id_b), CC keeps only {1} (2 reaches 1 via 3)."""
+    pairs = spark.createDataFrame([(2, 3), (1, 3)], ["id_a", "id_b"])
+    docs = spark.createDataFrame([(i,) for i in range(1, 5)], ["doc_id"])
+    comps = {
+        (r["id"], r["component"]) for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {(1, 1), (2, 1), (3, 1)}
+    cc_survivors = {
+        r["doc_id"] for r in dedup.dedup_survivors_cc(docs, pairs).collect()
+    }
+    assert cc_survivors == {1, 4}
+    pair_dominated = {
+        r["doc_id"]
+        for r in docs.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+        ).collect()
+    }
+    assert pair_dominated == {1, 2, 4}
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    comps = dedup.connected_components(pairs).collect()
+    by_comp: dict[int, set[int]] = {}
+    for r in comps:
+        by_comp.setdefault(r["component"], set()).add(r["id"])
+    assert by_comp == {1: {1, 2, 3, 4}, 10: {10, 11}, 20: {20, 21, 22}}
+
+
+def test_cc_dedup_on_corpus(spark, sf_dir):
+    """End-to-end: CC survivors over the exact near-dup graph — always a
+    subset of the pair-dominated survivors, and one survivor per dup
+    cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    cc = {r["doc_id"] for r in dedup.dedup_survivors_cc(docs, pairs, "doc_id").collect()}
+    dominated = {
+        r["doc_id"]
+        for r in docs.join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+        ).collect()
+    }
+    assert cc <= dominated
+    n_docs = docs.count()
+    n_components = dedup.connected_components(pairs).select("component").distinct().count()
+    n_in_pairs = (
+        pairs.select(F.col("id_a").alias("i"))
+        .union(pairs.select(F.col("id_b").alias("i")))
+        .distinct()
+        .count()
+    )
+    assert len(cc) == n_docs - n_in_pairs + n_components
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+def test_multimodal_features_and_frame_sample(spark, sf_dir):
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["n_bytes"] > 0 and 0.0 <= r["byte_mean"] <= 255.0
+        assert 0.0 <= r["feature_norm"] <= 1.0
+    frames = multimodal.frame_sample(media.withColumn("n_frames", F.lit(4)), every_n=2)
+    rows = frames.collect()
+    assert len(rows) == 40  # frames 0 and 2 for each of 20 media rows
+    assert {r["frame_idx"] for r in rows} == {0, 2}
+
+
 # --- as-of join -------------------------------------------------------------
 
 

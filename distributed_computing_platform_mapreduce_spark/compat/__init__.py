@@ -1,3 +1,10 @@
-from distributed_computing_platform_mapreduce_spark.compat.maplejuice import juice, maple, write_sorted_tsv
+from distributed_computing_platform_mapreduce_spark.compat.maplejuice import (
+    juice,
+    juice_exe,
+    maple,
+    maple_exe,
+    write_sorted_tsv,
+)
+from distributed_computing_platform_mapreduce_spark.compat.rdd import juice_rdd, maple_rdd
 
-__all__ = ["maple", "juice", "write_sorted_tsv"]
+__all__ = ["maple", "juice", "maple_exe", "juice_exe", "maple_rdd", "juice_rdd", "write_sorted_tsv"]

@@ -1,3 +1,3 @@
-from distributed_computing_platform_mapreduce_spark.operators import dedup, multimodal, similarity, text
+from distributed_computing_platform_mapreduce_spark.operators import asof, dedup, multimodal, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["asof", "dedup", "similarity", "text", "multimodal"]

@@ -3,10 +3,13 @@ text analysis, multimodal plumbing (north-star additions beyond the
 reference's operator surface — SURVEY.md §2.6 last row).
 
 Oracles: everything with exact, order-defined semantics gets a DuckDB
-oracle (including the rolling-hash fingerprint and exact n-gram Jaccard);
-the probabilistic ops (MinHash-LSH, SimHash, LSH-ANN) are rows-only per
-the driver contract, but each has an exact twin here so the driver still
-pins their ground truth.
+oracle (including the rolling-hash fingerprint, exact n-gram Jaccard,
+language-ID argmax, and the near-dedup survivor policy); the
+probabilistic ops (MinHash-LSH, SimHash, LSH-ANN, embedding near-dup)
+are rows-only per the driver contract, and each is pinned instead by a
+pytest ground-truth check: MinHash-LSH == exact Jaccard, SimHash block
+join == brute-force hamming scan, ANN recall measured vs exact top-k,
+embedding near-dup ⊆ brute-force cosine scan (tests/test_operators.py).
 """
 
 from __future__ import annotations

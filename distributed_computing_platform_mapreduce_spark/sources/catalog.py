@@ -72,6 +72,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def load_text_dir(spark: SparkSession, path: str, line_col: str = "value") -> DataFrame:
+    """The reference's ONLY input mode: a directory of line-text files
+    (``sdfs_src_directory`` — ``/root/reference/src/MapReduceMaster.java:56``).
+    One row per line; Spark splits files across tasks instead of the
+    reference's ⌊n/m⌋ whole-file assignment."""
+    df = spark.read.text(path)
+    return df if line_col == "value" else df.withColumnRenamed("value", line_col)
+
+
+def load_csv(
+    spark: SparkSession, path: str, header: bool = True, infer: bool = True, **options
+) -> DataFrame:
+    """CSV scan (S10+: columnar/structured formats beyond the reference's
+    text-only surface). Schema inference off → pass an explicit schema
+    via options for production scans (inference reads the data twice)."""
+    return spark.read.options(
+        header=str(header).lower(), inferSchema=str(infer).lower(), **options
+    ).csv(path)
+
+
+def load_json(spark: SparkSession, path: str, **options) -> DataFrame:
+    """JSON-lines scan (S10+). Same schema-inference caveat as CSV."""
+    return spark.read.options(**options).json(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

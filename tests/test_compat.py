@@ -85,6 +85,24 @@ def test_write_sorted_tsv_single_sorted_file(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_rdd_compat_equals_declarative(spark, sf_dir):
+    """The RDD-level maple/juice twin reproduces the declarative
+    wordcount exactly (E1+E7+E10 as flatMap/groupByKey/sortByKey)."""
+    from distributed_computing_platform_mapreduce_spark.compat.rdd import juice_rdd, maple_rdd
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select("text").rdd.map(lambda r: r["text"])
+    kv = maple_rdd(spark, wc_maple, lines)
+    out = juice_rdd(kv, wc_juice).collect()
+    got = {(k, int(v)) for k, v in out}
+    declarative = {(r["word"], r["cnt"]) for r in QUERIES["wordcount"](spark, sf_dir).collect()}
+    assert got == declarative
+    keys = [k for k, _ in out]
+    assert keys == sorted(keys)
+
+
 def _write_exe(path, body: str) -> str:
     with open(path, "w") as f:
         f.write(body)

@@ -33,29 +33,36 @@ BENCH_QUERIES = [
     "similarity_topk_lsh",
 ]
 
-# Reference-scale comparison point: BASELINE.md measures MapleJuice
-# wordcount (77.4 s) and RWLG (72.2 s) over 50 MB corpora on a 10-VM
-# cluster. The sf dirs top out around 1.5 MB of text, so we materialize
-# ~50 MB replicas once (deterministic id offsets; cached under the repo)
-# and run the same declarative pipelines over them for a direct
-# same-data-volume wall-time comparison.
-REF_SCALE_BYTES = 50 * 1024 * 1024
+# Reference-scale comparison points: BASELINE.md measures MapleJuice
+# wordcount and RWLG over 50–200 MB corpora on a 10-VM cluster (WC
+# 77.4 s @ 50 MB → 155.4 s @ 200 MB; RWLG 72.2 s → 132.6 s). The sf
+# dirs top out around 1.5 MB of text, so we materialize replicas once
+# (deterministic id offsets; cached under the repo) and run the same
+# declarative pipelines at the baseline's smallest AND largest data
+# volumes — the two points show the scaling slope, not just one ratio.
+REF_SCALES = {"50mb": 50 * 1024 * 1024, "200mb": 200 * 1024 * 1024}
+BASELINE_SEC = {
+    "wordcount_50mb": 77.4,
+    "wordcount_200mb": 155.4,
+    "rwlg_50mb": 72.2,
+    "rwlg_200mb": 132.6,
+}
 BENCH_CORPUS_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_CORPUS", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_corpus")
 )
 
 
-def _ensure_ref_corpora(spark, sf_dir: str) -> tuple[str, str]:
+def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[str, str]:
     from pyspark.sql import functions as F
 
-    docs_path = os.path.join(BENCH_CORPUS_DIR, "documents_50mb.parquet")
-    edges_path = os.path.join(BENCH_CORPUS_DIR, "edges_50mb.parquet")
+    docs_path = os.path.join(BENCH_CORPUS_DIR, f"documents_{label}.parquet")
+    edges_path = os.path.join(BENCH_CORPUS_DIR, f"edges_{label}.parquet")
     if not os.path.exists(docs_path):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
             "doc_id", "text"
         )
         total = docs.select(F.sum(F.length("text"))).collect()[0][0] or 1
-        reps = max(1, -(-REF_SCALE_BYTES // int(total)))
+        reps = max(1, -(-nbytes // int(total)))
         (
             docs.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
             .select(
@@ -70,7 +77,7 @@ def _ensure_ref_corpora(spark, sf_dir: str) -> tuple[str, str]:
         edges = load_table(spark, sf_dir, "events").select("user_id", "event_id")
         n = edges.count() or 1
         # ~9 bytes per "src,dst" line in the reference's corpus format
-        reps = max(1, -(-REF_SCALE_BYTES // (9 * n)))
+        reps = max(1, -(-nbytes // (9 * n)))
         (
             edges.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
             .select(
@@ -83,40 +90,43 @@ def _ensure_ref_corpora(spark, sf_dir: str) -> tuple[str, str]:
 
 
 def _ref_scale_times(spark, sf_dir: str) -> dict[str, float]:
-    """wordcount + rwlg over ~50 MB — the BASELINE.md workloads at the
-    BASELINE.md data volume (same declarative plans as the registered
-    queries, reading the materialized replica corpora)."""
+    """wordcount + rwlg at the BASELINE.md data volumes (same declarative
+    plans as the registered queries, reading materialized replica
+    corpora)."""
     from pyspark.sql import functions as F
 
-    docs_path, edges_path = _ensure_ref_corpora(spark, sf_dir)
     times: dict[str, float] = {}
+    for label, nbytes in REF_SCALES.items():
+        docs_path, edges_path = _ensure_ref_corpora(spark, sf_dir, label, nbytes)
 
-    t0 = time.perf_counter()
-    docs = spark.read.parquet(docs_path)
-    wc = (
-        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy("word")
-    )
-    assert len(wc.collect()) > 0
-    times["wordcount_50mb"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        docs = spark.read.parquet(docs_path)
+        wc = (
+            docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("word")
+        )
+        assert len(wc.collect()) > 0
+        times[f"wordcount_{label}"] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    edges = spark.read.parquet(edges_path).select(
-        F.col("user_id").cast("string").alias("dst"),
-        F.col("event_id").cast("string").alias("src"),
-    )
-    salted = edges.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(16)))
-    partial = salted.groupBy("dst", "__salt").agg(
-        F.array_sort(F.collect_list("src")).alias("part")
-    )
-    rw = partial.groupBy("dst").agg(
-        F.concat_ws(",", F.array_sort(F.flatten(F.collect_list("part")))).alias("sources")
-    )
-    assert rw.count() > 0
-    times["rwlg_50mb"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        edges = spark.read.parquet(edges_path).select(
+            F.col("user_id").cast("string").alias("dst"),
+            F.col("event_id").cast("string").alias("src"),
+        )
+        salted = edges.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(16)))
+        partial = salted.groupBy("dst", "__salt").agg(
+            F.array_sort(F.collect_list("src")).alias("part")
+        )
+        rw = partial.groupBy("dst").agg(
+            F.concat_ws(",", F.array_sort(F.flatten(F.collect_list("part")))).alias(
+                "sources"
+            )
+        )
+        assert rw.count() > 0
+        times[f"rwlg_{label}"] = round(time.perf_counter() - t0, 3)
     return times
 
 
@@ -152,8 +162,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf else None,
-                "ref_scale_bytes": REF_SCALE_BYTES,
-                "baseline_50mb_sec": {"wordcount": 77.4, "rwlg": 72.2},
+                "baseline_sec": BASELINE_SEC,
             }
         )
     )

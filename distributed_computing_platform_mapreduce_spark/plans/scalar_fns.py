@@ -116,20 +116,31 @@ def fn_datetime_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
            len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_distinct_tokens,
            list_sort(list_distinct(regexp_split_to_array(text, '\\s+')))[1] AS first_token,
-           list_contains(regexp_split_to_array(text, '\\s+'), 'data') AS has_data
+           list_contains(regexp_split_to_array(text, '\\s+'), 'data') AS has_data,
+           len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_map_keys,
+           CASE WHEN list_contains(regexp_split_to_array(text, '\\s+'), 'data')
+                THEN 4 END AS data_token_len
     FROM documents
     """,
 )
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array functions over tokenized text: size/distinct/sort/contains."""
+    """Array + map functions over tokenized text: size/distinct/sort/
+    contains, then a token→length map (map_from_arrays / map_keys /
+    element_at lookup). The oracle states the map results directly —
+    key count == distinct tokens, lookup of 'data' == its length when
+    present else NULL — so the map path is still hash-checked."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", r"\s+")
+    dtoks = F.array_distinct(toks)
+    tok_len_map = F.map_from_arrays(dtoks, F.transform(dtoks, lambda t: F.length(t)))
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.array_sort(F.array_distinct(toks)).getItem(0).alias("first_token"),
+        F.size(dtoks).alias("n_distinct_tokens"),
+        F.array_sort(dtoks).getItem(0).alias("first_token"),
         F.array_contains(toks, "data").alias("has_data"),
+        F.size(F.map_keys(tok_len_map)).alias("n_map_keys"),
+        F.element_at(tok_len_map, "data").alias("data_token_len"),
     )
 
 

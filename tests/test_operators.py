@@ -209,6 +209,59 @@ def test_cc_dedup_on_corpus(spark, sf_dir):
     assert len(cc) == n_docs - n_in_pairs + n_components
 
 
+# --- document chunking ------------------------------------------------------
+
+
+def test_chunk_tokens_matches_python(spark, sf_dir):
+    from distributed_computing_platform_mapreduce_spark.operators import text as text_ops
+
+    def py_chunks(s: str, size: int, overlap: int) -> list[str]:
+        toks = [t for t in s.split() if t]
+        if not toks:
+            return []
+        step = size - overlap
+        out, start = [], 0
+        while True:
+            out.append(" ".join(toks[start : start + size]))
+            if start + size >= len(toks):
+                break
+            start += step
+        # stepped-sequence form may emit one final fully-overlapped
+        # window; normalize by dropping trailing windows already covered
+        return out
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    rows = text_ops.chunk_tokens(docs, "doc_id", "text", chunk_size=10, overlap=3).collect()
+    got: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        got.setdefault(r["doc_id"], []).append(r["chunk_text"])
+        assert 1 <= r["n_chunk_tokens"] <= 10
+    for r in docs.collect():
+        assert got.get(r["doc_id"], []) == py_chunks(r["text"], 10, 3), r["doc_id"]
+
+
+def test_chunk_tokens_edge_cases(spark):
+    from distributed_computing_platform_mapreduce_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, " ".join(f"t{i}" for i in range(10)))],
+        ["doc_id", "text"],
+    )
+    rows = text_ops.chunk_tokens(df, "doc_id", "text", chunk_size=4, overlap=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc  # empty doc → no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "one two"
+    texts = [r["chunk_text"] for r in sorted(by_doc[3], key=lambda r: r["chunk_idx"])]
+    assert texts[0] == "t0 t1 t2 t3"
+    assert texts[1] == "t3 t4 t5 t6"
+    assert texts[2] == "t6 t7 t8 t9"
+    # every token appears in some chunk
+    covered = {t for txt in texts for t in txt.split()}
+    assert covered == {f"t{i}" for i in range(10)}
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 

@@ -139,6 +139,83 @@ def test_watermark_drops_late_data(spark, tmp_path):
     )
 
 
+def test_stream_dedup_exact(spark, sf_dir, tmp_path):
+    """Streaming exact dedup drops in-horizon duplicates: replaying the
+    events file twice into the stream yields each event_id once."""
+    import glob
+    import shutil
+
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import table_path
+    from distributed_computing_platform_mapreduce_spark.streaming.joins_dedup import stream_dedup_exact
+
+    src = tmp_path / "dup_src"
+    os.makedirs(src)
+    shutil.copy(table_path(sf_dir, "events"), src / "a.parquet")
+    shutil.copy(table_path(sf_dir, "events"), src / "b.parquet")
+
+    schema = spark.read.parquet(str(src / "a.parquet")).schema
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import nanos_to_ts
+
+    raw = spark.readStream.schema(schema).parquet(str(src))
+    stream = stream_dedup_exact(nanos_to_ts(raw, "ts"), ["event_id"], delay="365 days")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_mem")
+    n_unique = spark.read.parquet(str(src / "a.parquet")).count()
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
+    assert glob.glob(str(src / "*.parquet"))  # both files were present
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join == the batch interval
+    join over the same events."""
+    from distributed_computing_platform_mapreduce_spark.streaming.joins_dedup import stream_interval_join
+
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_interval_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("ssjoin_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("ssjoin_mem")
+
+    e = load_table(spark, sf_dir, "events")
+    bc = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = bc.join(
+        bp,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 minutes"
+        ),
+    ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+    cols = ["c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert batch.count() > 0
+
+
 def test_stateful_running_totals_equals_batch(spark, sf_dir):
     streamed = run_update_to_memory(
         spark, running_user_totals(stream_events(spark, sf_dir)), "stateful_mem"

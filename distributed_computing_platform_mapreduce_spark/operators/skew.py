@@ -1,0 +1,67 @@
+"""Skew-mitigation primitives: salting for hot keys.
+
+Partial (map-side) aggregation already neutralizes skew for algebraic
+aggregates (sum/count/min/max — each partition collapses before the
+shuffle). The two places skew still bites, and their fixes here:
+
+- ``collect_list``-style holistic aggregation: one Zipf-hot key funnels
+  its whole fan-in through a single task. ``salted_collect_sorted``
+  two-phases it: (key, salt) partials first (bounded ≤ |key|/n_salts per
+  task), then a merge of ≤ n_salts pre-sorted arrays per key.
+- Shuffle joins where one side has hot keys: ``salted_join`` salts the
+  skewed side and replicates the other side once per salt — the classic
+  pre-AQE skew join, still useful when AQE's runtime splitting can't see
+  the skew (e.g. skew created mid-stage by an explode). With AQE on,
+  prefer letting ``spark.sql.adaptive.skewJoin`` handle storage-visible
+  skew; this helper is for the planner-invisible cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_collect_sorted(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_salts: int = 16,
+    out_col: str = "values",
+    as_string: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Two-phase sorted collect per key (the rwlg shape, generalized).
+
+    Phase 1 groups by (key, salt=hash(value)%n_salts) into sorted
+    partial arrays; phase 2 merges ≤ n_salts arrays per key. Output is
+    globally sorted: the final ``array_sort`` runs over one in-memory
+    array instead of a single-task row sort. Truly unbounded keys still
+    need a cap (``F.slice``) or a sink-side layout — same caveat as any
+    group-concat."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(value_col), F.lit(n_salts)))
+    partial = salted.groupBy(key_col, "__salt").agg(
+        F.array_sort(F.collect_list(value_col)).alias("__part")
+    )
+    merged = F.array_sort(F.flatten(F.collect_list("__part")))
+    out = F.concat_ws(sep, merged) if as_string else merged
+    return partial.groupBy(key_col).agg(out.alias(out_col))
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot values of ``on``: salt the
+    skewed side (splitting each hot key into n_salts shuffle keys) and
+    explode ``other`` once per salt so every fragment finds its match.
+    Shuffle volume of ``other`` grows ×n_salts — use when ``other`` is
+    much smaller than the hot key's row count but too big to broadcast."""
+    s = skewed.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    o = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return s.join(o, [on, "__salt"], how).drop("__salt")

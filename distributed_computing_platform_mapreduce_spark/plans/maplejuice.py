@@ -69,27 +69,19 @@ def rwlg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``src,dst`` edge corpus (FIXTURES.md F2): ~skewed fan-in per key.
     Deterministic variant of ``rwlg-juice.py``: sources sorted then joined.
     """
+    from distributed_computing_platform_mapreduce_spark.operators.skew import salted_collect_sorted
+
     events = load_table(spark, sf_dir, "events")
     edges = events.select(
         F.col("user_id").cast("string").alias("dst"),
         F.col("event_id").cast("string").alias("src"),
     )
-    # Two-phase salted aggregation: a Zipf-hot dst key at 100 TB would
-    # otherwise funnel its entire fan-in through one task's collect_list.
-    # Phase 1 partial-aggregates (dst, salt) → ≤16 bounded sorted arrays
-    # per key (map-side combine applies); phase 2 merges 16 arrays, so the
-    # single-task row sort is replaced by an array merge. Keys with
-    # genuinely unbounded fan-in still need a cap (F.slice) or a
-    # sink-side layout — documented policy, same as any group-concat.
-    salted = edges.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(16)))
-    partial = salted.groupBy("dst", "__salt").agg(
-        F.array_sort(F.collect_list("src")).alias("part")
-    )
-    return (
-        partial.groupBy("dst")
-        .agg(F.concat_ws(",", F.array_sort(F.flatten(F.collect_list("part")))).alias("sources"))
-        .orderBy("dst")
-    )
+    # Two-phase salted aggregation (operators/skew.py): a Zipf-hot dst
+    # key at 100 TB would otherwise funnel its entire fan-in through one
+    # task's collect_list.
+    return salted_collect_sorted(
+        edges, "dst", "src", n_salts=16, out_col="sources"
+    ).orderBy("dst")
 
 
 @query(

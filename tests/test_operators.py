@@ -209,6 +209,46 @@ def test_cc_dedup_on_corpus(spark, sf_dir):
     assert len(cc) == n_docs - n_in_pairs + n_components
 
 
+# --- skew salting -----------------------------------------------------------
+
+
+def test_salted_collect_sorted_matches_plain(spark, sf_dir):
+    from distributed_computing_platform_mapreduce_spark.operators.skew import salted_collect_sorted
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k"), F.col("event_id").cast("string").alias("v")
+    )
+    plain = {
+        (r["k"], r["vals"])
+        for r in e.groupBy("k")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("v"))).alias("vals"))
+        .collect()
+    }
+    salted = {
+        (r["k"], r["vals"])
+        for r in salted_collect_sorted(e, "k", "v", n_salts=7, out_col="vals").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain_on_skewed_data(spark):
+    from distributed_computing_platform_mapreduce_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    big = spark.range(0, 2000).selectExpr(
+        "id AS row_id", "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 50 END AS k"
+    )
+    dim = spark.range(0, 50).selectExpr("id AS k", "concat('name_', id) AS name")
+    plain = {
+        (r["row_id"], r["name"]) for r in big.join(dim, "k").select("row_id", "name").collect()
+    }
+    salted = {
+        (r["row_id"], r["name"])
+        for r in salted_join(big, dim, "k", n_salts=8).select("row_id", "name").collect()
+    }
+    assert salted == plain and len(plain) == 2000
+
+
 # --- document chunking ------------------------------------------------------
 
 

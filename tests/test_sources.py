@@ -39,6 +39,49 @@ def test_maple_over_text_directory(spark, tmp_path):
     assert df.count() == 5  # empty line included; text source keeps it
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Same-bucketed tables must join with zero Exchange — the pay-the-
+    shuffle-once layout for repeated key joins. The unbucketed plan for
+    the same join IS allowed its exchanges; the contrast is the point."""
+    from distributed_computing_platform_mapreduce_spark.sources.bucketing import (
+        co_located_join,
+        write_bucketed,
+    )
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+    customers = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(
+        customers.withColumnRenamed("c_custkey", "custkey"),
+        "bkt_customer", ["custkey"], n_buckets=8, sort_cols=["custkey"],
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "bkt_orders", ["custkey"], n_buckets=8, sort_cols=["custkey"],
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # These test tables are tiny enough to broadcast, which would beat
+        # bucketing and hide the property under test; at the layout's real
+        # scale both sides are far beyond any broadcast threshold.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = co_located_join(spark, "bkt_customer", "bkt_orders", ["custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        expected = customers.join(
+            orders, customers.c_custkey == orders.o_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
 def test_csv_and_json_scans(spark, tmp_path):
     csv_path = tmp_path / "t.csv"
     csv_path.write_text("id,name,score\n1,a,1.5\n2,b,2.5\n")

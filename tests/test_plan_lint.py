@@ -1,0 +1,114 @@
+"""Physical-plan lint over the whole 50-query registry.
+
+Correctness tests prove the small-SF answer; this suite pins the *plan
+shapes* that decide whether each query survives a 100 TB / 1000-executor
+scale-up. Planning only (``executedPlan`` never runs a job), so linting
+all 50 registered queries costs seconds.
+
+Rules:
+- ``BatchEvalPython`` (row-at-a-time Python UDF) is banned everywhere —
+  the only Python allowed in a hot path is Arrow-batched
+  (``MapInPandas`` / ``FlatMapGroupsInPandas``), and only in queries
+  whose semantics genuinely need Python (the MapleJuice user-callable
+  contract, multimodal decode).
+- ``CartesianProduct`` (shuffle cross product) is banned everywhere —
+  an unbounded-both-sides cross join at scale is a plan bug, full stop.
+- ``BroadcastNestedLoopJoin`` only where a non-equi predicate forces it
+  AND the broadcast side is provably small (whitelist below).
+- Filtered parquet scans must show non-empty ``PushedFilters`` and
+  pruned ``ReadSchema`` (spot-checked on representative queries).
+
+A new query that trips a rule must either fix its plan or argue its way
+onto the whitelist here — the diff makes the trade-off reviewable.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_computing_platform_mapreduce_spark.plans import QUERIES
+
+# Queries whose semantics justify an Arrow-batched Python stage: the
+# compat layer exists to run user callables (reference's exe contract),
+# multimodal decode is Python by nature.
+ARROW_PYTHON_OK = {
+    "mj_compat_wordcount",
+    "mj_compat_rwlg",
+    "multimodal_features",
+}
+
+# Non-equi joins where the inner side is a broadcast-safe cardinality:
+# join_cross (5-row region × 25-row nation), join_theta_range (band
+# predicate vs broadcast dim), agg_rollup_having (scalar-subquery
+# HAVING → broadcast of a 1-row aggregate), similarity_topk_exact
+# (tiny query set broadcast against the corpus).
+BNLJ_OK = {
+    "join_cross",
+    "join_theta_range",
+    "agg_rollup_having",
+    "similarity_topk_exact",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_row_python_udf_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], f"row-Python UDF in hot path: {offenders}"
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], f"shuffle cross product: {offenders}"
+
+
+def test_arrow_python_only_where_semantically_needed(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if ("MapInPandas" in p or "FlatMapGroupsInPandas" in p) and n not in ARROW_PYTHON_OK
+    ]
+    assert offenders == [], f"unexpected Python stage: {offenders}"
+
+
+def test_broadcast_nlj_only_on_whitelist(plans):
+    offenders = [
+        n for n, p in plans.items() if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
+    ]
+    assert offenders == [], f"nested-loop join outside whitelist: {offenders}"
+
+
+def test_whitelists_reference_live_queries(plans):
+    # Keep the whitelists honest: every entry must still exist and still
+    # exhibit the pattern it excuses (else it's stale noise).
+    for n in ARROW_PYTHON_OK:
+        assert n in plans and ("MapInPandas" in plans[n] or "FlatMapGroupsInPandas" in plans[n])
+    for n in BNLJ_OK:
+        assert n in plans and "BroadcastNestedLoopJoin" in plans[n]
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    # tpch_q6 filters lineitem on date/discount/quantity — all three must
+    # reach the parquet reader, and the scan must NOT read the full
+    # 16-column lineitem schema for a 2-column aggregate.
+    plan = plans["tpch_q6"]
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_column_pruning_on_projection(plans):
+    # filter_project projects a handful of orders columns; o_comment
+    # (the widest column) must be pruned from the scan.
+    plan = plans["filter_project"]
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "o_comment" not in read_schema

@@ -82,6 +82,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
 
 
+def test_partitioned_write_prunes_at_plan_time(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become PartitionFilters —
+    resolved against directory names, zero data files of other
+    partitions opened. This is the columnar twin of not shipping the
+    whole source directory to every worker."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+    from distributed_computing_platform_mapreduce_spark.sources.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    dest = str(tmp_path / "events_by_day")
+    write_partitioned(events, dest, ["day"])
+
+    one_day = events.select(F.min(F.to_date("ts"))).first()[0]
+    scan = read_partitioned(spark, dest).filter(F.col("day") == F.lit(one_day))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf and "isnotnull" in pf
+    # pruning is real: the filtered scan reads exactly that day's rows
+    expected = events.filter(F.col("day") == F.lit(one_day)).count()
+    assert scan.count() == expected > 0
+    # and the layout round-trips the full dataset
+    assert read_partitioned(spark, dest).count() == events.count()
+
+
 def test_csv_and_json_scans(spark, tmp_path):
     csv_path = tmp_path / "t.csv"
     csv_path.write_text("id,name,score\n1,a,1.5\n2,b,2.5\n")

@@ -1,0 +1,238 @@
+"""The reference's console command surface, Spark-side.
+
+MapleJuice users drive the platform by typing commands at the
+master/worker monitor (``/root/reference/src/MapReduceMaster.java:656-900``):
+``put``/``get``/``get-dir``/``ls``/``store``/``delete`` move files in
+and out of SDFS, ``maple``/``juice`` run the two job phases. This
+module accepts the same command strings against a *workspace*
+directory (the SDFS stand-in — replication/quorum are the storage
+layer's job here, see SURVEY.md S1/S9) and executes the job phases
+through the subprocess-exe compat layer, so a reference user's muscle
+memory — ``put`` the exe, ``put`` the data, ``maple``, ``juice``,
+``get`` the result — works unchanged:
+
+    put wc-maple.py wc-maple.py
+    put corpus.txt input/corpus.txt
+    maple wc-maple.py 4 wc_int input
+    juice wc-juice.py 4 wc_int wc_out delete_input=1
+    get wc_out ./wc_out.tsv
+
+Command grammar follows ``/root/reference/README.md:55-66`` and the
+monitor parsers (``src/MapReduceMaster.java:812-850`` for maple/juice
+argument order, ``delete_input={0,1}``). Intermediates are parquet
+keyed datasets under ``_intermediate/<prefix>`` instead of the
+reference's per-key ``prefix+K`` text files — same contract (a keyed
+(key, value) dataset addressed by prefix), columnar so the juice scan
+prunes and the shuffle is by key, not by filename. The maple→juice
+barrier (README.md:12) is the persisted intermediate itself.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+from glob import glob
+
+from pyspark.sql import SparkSession
+
+from distributed_computing_platform_mapreduce_spark.compat.maplejuice import (
+    maple_exe,
+    juice_exe,
+    write_sorted_tsv,
+)
+
+_INTERMEDIATE = "_intermediate"
+
+
+class CommandError(ValueError):
+    """Bad command string — message mirrors the monitor's usage hints."""
+
+
+def _usage(cmd: str) -> str:
+    return {
+        "put": "put <localfilename> <sdfsfilename>",
+        "get": "get <sdfsfilename> <localfilename>",
+        "get-dir": "get-dir <sdfsdirectory> <localdirectory>",
+        "delete": "delete <sdfsfilename>",
+        "ls": "ls <sdfsfilename>",
+        "store": "store",
+        "maple": "maple <maple_exe> <num_maples> <prefix> <src_directory>",
+        "juice": "juice <juice_exe> <num_juices> <prefix> <dest> [delete_input={0,1}]",
+    }[cmd]
+
+
+class Workspace:
+    """One SDFS-equivalent namespace rooted at a local/DFS directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _p(self, name: str) -> str:
+        path = os.path.abspath(os.path.join(self.root, name))
+        if not path.startswith(self.root + os.sep) and path != self.root:
+            raise CommandError(f"path escapes workspace: {name}")
+        return path
+
+    # --- file commands (S1-S8; storage semantics delegated) -----------------
+
+    def put(self, local: str, name: str) -> str:
+        dest = self._p(name)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copyfile(local, dest)
+        return f"put {name}"
+
+    def get(self, name: str, local: str) -> str:
+        src = self._p(name)
+        if os.path.isdir(src):
+            # a juice dest written as a spark dir: hand back ONE file (E11)
+            parts = sorted(glob(os.path.join(src, "part-*")))
+            if not parts:
+                raise CommandError(f"no output parts under {name}")
+            with open(local, "wb") as out:
+                for p in parts:
+                    with open(p, "rb") as f:
+                        shutil.copyfileobj(f, out)
+        else:
+            shutil.copyfile(src, local)
+        return f"get {name}"
+
+    def get_dir(self, name: str, local_dir: str) -> str:
+        src = self._p(name)
+        shutil.copytree(src, local_dir, dirs_exist_ok=True)
+        n = sum(len(fs) for _, _, fs in os.walk(src))
+        return f"get-dir {name}: {n} files"
+
+    def delete(self, name: str) -> str:
+        p = self._p(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
+        return f"delete {name}"
+
+    def ls(self, name: str) -> str:
+        # reference lists replica machines (src/SDFSServer.java:639-654);
+        # placement is the storage layer's here, so report the file itself.
+        p = self._p(name)
+        if not os.path.exists(p):
+            return f"{name}: not found"
+        size = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(p)
+            for f in fs
+        ) if os.path.isdir(p) else os.path.getsize(p)
+        return f"{name}\t{size} bytes"
+
+    def store(self) -> str:
+        names = sorted(
+            os.path.relpath(os.path.join(d, f), self.root)
+            for d, _, fs in os.walk(self.root)
+            for f in fs
+        )
+        return "\n".join(names) if names else "(empty)"
+
+    # --- job commands (E1/E7; §3.1-3.2 lifecycle) ---------------------------
+
+    def _resolve_exe(self, exe: str) -> list[str]:
+        """An exe ``put`` into the workspace wins (the reference requires
+        that); a plain local path is accepted as a convenience."""
+        ws = os.path.join(self.root, exe)
+        path = ws if os.path.exists(ws) else exe
+        if not os.path.exists(path):
+            raise CommandError(f"exe not found: {exe}")
+        return [sys.executable, path]
+
+    def maple(self, exe: str, num_maples: int, prefix: str, src_dir: str) -> str:
+        kv = maple_exe(self.spark, self._resolve_exe(exe), self._p(src_dir))
+        if num_maples > 0:
+            # the reference's ⌊n/m⌋ chunking caps parallelism at num_maples;
+            # honor it as a write fan-in bound (scan parallelism stays free)
+            kv = kv.coalesce(num_maples)
+        dest = self._p(os.path.join(_INTERMEDIATE, prefix))
+        kv.write.mode("overwrite").parquet(dest)
+        return "Maple job is finished."
+
+    def juice(
+        self, exe: str, num_juices: int, prefix: str, dest: str, delete_input: bool = False
+    ) -> str:
+        inter = self._p(os.path.join(_INTERMEDIATE, prefix))
+        kv = self.spark.read.parquet(inter)
+        if num_juices > 0:
+            kv = kv.repartition(num_juices, "key")
+        out = juice_exe(kv, self._resolve_exe(exe))
+        write_sorted_tsv(out, self._p(dest))
+        if delete_input:
+            shutil.rmtree(inter)
+        return "Juice job is finished."
+
+
+def run_command(ws: Workspace, command: str) -> str:
+    """Execute one monitor command string; returns the console reply."""
+    parts = command.split()
+    if not parts:
+        raise CommandError("empty command")
+    cmd, args = parts[0], parts[1:]
+    try:
+        if cmd == "put" and len(args) == 2:
+            return ws.put(args[0], args[1])
+        if cmd == "get" and len(args) == 2:
+            return ws.get(args[0], args[1])
+        if cmd == "get-dir" and len(args) == 2:
+            return ws.get_dir(args[0], args[1])
+        if cmd == "delete" and len(args) == 1:
+            return ws.delete(args[0])
+        if cmd == "ls" and len(args) == 1:
+            return ws.ls(args[0])
+        if cmd == "store" and not args:
+            return ws.store()
+        if cmd == "maple" and len(args) == 4:
+            return ws.maple(args[0], int(args[1]), args[2], args[3])
+        if cmd == "juice" and len(args) in (4, 5):
+            delete_input = False
+            if len(args) == 5:
+                flag = args[4]
+                if flag not in ("delete_input=0", "delete_input=1"):
+                    raise CommandError(_usage("juice"))
+                delete_input = flag.endswith("1")
+            return ws.juice(args[0], int(args[1]), args[2], args[3], delete_input)
+    except (OSError, ValueError) as ex:
+        if isinstance(ex, CommandError):
+            raise
+        raise CommandError(f"{cmd}: {ex}") from ex
+    if cmd in ("put", "get", "get-dir", "delete", "ls", "store", "maple", "juice"):
+        raise CommandError(_usage(cmd))
+    raise CommandError(f"unknown command: {cmd}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    """``python -m distributed_computing_platform_mapreduce_spark <workspace> [command...]``
+
+    With a command: run it and exit. Without: a REPL over stdin, like
+    the reference's monitor console.
+    """
+    from distributed_computing_platform_mapreduce_spark import get_spark
+
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: <workspace_dir> [command args...]", file=sys.stderr)
+        return 2
+    ws = Workspace(get_spark("maplejuice-cli"), argv[0])
+    if len(argv) > 1:
+        print(run_command(ws, " ".join(argv[1:])))
+        return 0
+    for line in sys.stdin:
+        line = line.strip()
+        if not line or line == "exit":
+            break
+        try:
+            print(run_command(ws, line))
+        except CommandError as ex:
+            print(f"error: {ex}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

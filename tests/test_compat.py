@@ -9,6 +9,7 @@ import glob
 import os
 import stat
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributed_computing_platform_mapreduce_spark.compat.maplejuice import (
@@ -137,3 +138,64 @@ def test_subprocess_exe_contract(spark, sf_dir, tmp_path):
     got = {(r["key"], int(r["value"])) for r in out.collect()}
     declarative = {(r["word"], r["cnt"]) for r in QUERIES["wordcount"](spark, sf_dir).collect()}
     assert got == declarative
+
+
+def test_cli_console_session_end_to_end(spark, sf_dir, tmp_path):
+    """A reference user's full console session — put the exes and data,
+    maple, juice (delete_input=1), get the single TSV result, plus the
+    file commands (store/ls/delete) — against a workspace, producing
+    exactly the declarative wordcount's answer in the reference's
+    ``key\\tvalue`` sorted single-file format."""
+    from distributed_computing_platform_mapreduce_spark.cli import CommandError, Workspace, run_command
+
+    mexe = _write_exe(
+        tmp_path / "wc-maple.py",
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "for line in sys.argv[1:]:\n"
+        "    for w in line.split():\n"
+        "        print(f'{w},1')\n",
+    )
+    jexe = _write_exe(
+        tmp_path / "wc-juice.py",
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "vals = [int(v) for v in sys.stdin.read().split()]\n"
+        "print(f'{sys.argv[1]},{sum(vals)}')\n",
+    )
+    corpus = tmp_path / "corpus.txt"
+    docs = load_table(spark, sf_dir, "documents")
+    corpus.write_text("\n".join(r["text"] for r in docs.select("text").collect()) + "\n")
+
+    ws = Workspace(spark, str(tmp_path / "sdfs"))
+    run_command(ws, f"put {mexe} wc-maple.py")
+    run_command(ws, f"put {jexe} wc-juice.py")
+    run_command(ws, f"put {corpus} input/corpus.txt")
+    assert "input/corpus.txt" in run_command(ws, "store")
+    assert "bytes" in run_command(ws, "ls input/corpus.txt")
+
+    assert run_command(ws, "maple wc-maple.py 4 wc_int input") == "Maple job is finished."
+    assert (
+        run_command(ws, "juice wc-juice.py 4 wc_int wc_out delete_input=1")
+        == "Juice job is finished."
+    )
+    # delete_input=1 removed the intermediate prefix
+    assert "_intermediate/wc_int" not in run_command(ws, "store")
+
+    result = tmp_path / "wc_out.tsv"
+    run_command(ws, f"get wc_out {result}")
+    got = {}
+    for ln in result.read_text().splitlines():
+        k, _, v = ln.partition("\t")
+        got[k] = int(v)
+    keys = [ln.partition("\t")[0] for ln in result.read_text().splitlines()]
+    assert keys == sorted(keys)  # E10: key-sorted single file
+    declarative = {r["word"]: r["cnt"] for r in QUERIES["wordcount"](spark, sf_dir).collect()}
+    assert got == declarative
+
+    run_command(ws, "delete wc_out")
+    assert "not found" in run_command(ws, "ls wc_out")
+    with pytest.raises(CommandError):
+        run_command(ws, "maple onlythreeargs 4 pfx")
+    with pytest.raises(CommandError):
+        run_command(ws, "put ../escape /etc/hosts")

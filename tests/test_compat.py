@@ -199,3 +199,28 @@ def test_cli_console_session_end_to_end(spark, sf_dir, tmp_path):
         run_command(ws, "maple onlythreeargs 4 pfx")
     with pytest.raises(CommandError):
         run_command(ws, "put ../escape /etc/hosts")
+
+
+def test_maple_udtf_sql_forms_equal_declarative(spark, sf_dir):
+    """The SQL-facing Maple (Python UDTF) in both the LATERAL per-row
+    form and the TABLE(...) whole-relation form reproduces the
+    declarative wordcount after a SQL group-sum (the declarative
+    Juice)."""
+    from distributed_computing_platform_mapreduce_spark.compat.udtf import register_maple
+
+    register_maple(spark, "maple_wc", wc_maple)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(F.col("text").alias("value")).createOrReplaceTempView("lines")
+    declarative = {(r["word"], r["cnt"]) for r in QUERIES["wordcount"](spark, sf_dir).collect()}
+
+    lateral = spark.sql(
+        "SELECT f.key AS word, CAST(SUM(CAST(f.value AS BIGINT)) AS BIGINT) AS cnt "
+        "FROM lines, LATERAL maple_wc(value) f GROUP BY f.key"
+    )
+    assert {(r["word"], r["cnt"]) for r in lateral.collect()} == declarative
+
+    table_form = spark.sql(
+        "SELECT key AS word, CAST(SUM(CAST(value AS BIGINT)) AS BIGINT) AS cnt "
+        "FROM maple_wc(TABLE(lines)) GROUP BY key"
+    )
+    assert {(r["word"], r["cnt"]) for r in table_form.collect()} == declarative

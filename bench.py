@@ -68,6 +68,11 @@ def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[st
             .select(
                 (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
             )
+            # replicated text compresses ~30:1 — written naively the whole
+            # corpus lands in ONE parquet file/row-group and the scan gets
+            # one task. Spread across files like the reference's SDFS
+            # directory so scan parallelism matches the cluster.
+            .repartition(32)
             .write.mode("overwrite")
             .parquet(docs_path)
         )
@@ -83,6 +88,7 @@ def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[st
             .select(
                 "user_id", (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id")
             )
+            .repartition(32)  # same single-file trap as the documents corpus
             .write.mode("overwrite")
             .parquet(edges_path)
         )

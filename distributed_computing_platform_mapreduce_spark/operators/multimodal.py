@@ -1,22 +1,29 @@
-"""Multimodal column plumbing: binary payloads + typed metadata.
+"""Multimodal columns: binary payloads + typed metadata, Arrow-batched.
 
-Images/audio/video are opaque ``binary`` columns with a metadata struct;
-decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas iterators via ``mapInPandas``. The decode libraries (PIL/ffmpeg/
-librosa) are NOT in this container, so the actual codec step is stubbed
-(`_decode_image_real` raises NotImplementedError); ``FAKE_DECODE=True``
-routes to a deterministic fake so the Spark-side plumbing — schema,
-batching, partitioning, UDF signature — is real and tested.
+Images/audio/video are opaque ``binary`` columns beside a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas iterators via ``mapInPandas`` — payloads never
+pass through Python row-at-a-time, and the per-batch work is
+vectorized numpy, the exact shape a production decoder plugs into.
 
-Scale shape: mapInPandas streams Arrow batches; binary payloads never
-pass through Python row-at-a-time, and per-batch vectorized numpy work
-is the pattern a real decoder would use.
+Decode support is format-honest:
+
+- **PPM (P6) / PGM (P5)** are decoded FOR REAL — pure numpy, no
+  external libs — into ``(h, w, c)`` uint8 arrays; features and
+  resize operate on true pixels. The synthesized media table carries
+  genuine P6 payloads, so the whole pipeline (encode → scan → decode →
+  feature/resize) is exercised end-to-end in tests.
+- **PNG/JPEG** (magic detected) raise ``NotImplementedError`` — their
+  codecs (PIL/opencv) are not in this container; a deployment would
+  swap ``decode_image`` to the real library, nothing else changes.
+- Unknown payloads fall back to byte statistics (schema-stable).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,8 +36,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-
-FAKE_DECODE = True
 
 MEDIA_SCHEMA = StructType(
     [
@@ -51,53 +56,146 @@ FEATURE_SCHEMA = StructType(
         StructField("byte_mean", DoubleType()),
         StructField("first_byte", IntegerType()),
         StructField("feature_norm", DoubleType()),
+        StructField("decoded", StringType()),  # ppm | pgm | fallback
+        StructField("px_width", IntegerType()),
+        StructField("px_height", IntegerType()),
+        StructField("px_mean", DoubleType()),
     ]
 )
 
 
-def _decode_image_real(payload: bytes) -> object:
-    raise NotImplementedError(
-        "image decode requires PIL/opencv (not installed in this container); "
-        "set FAKE_DECODE=True for the deterministic stand-in"
-    )
+# --- pure-numpy PPM/PGM codec ----------------------------------------------
 
 
-def _fake_features(payload: bytes) -> tuple[int, float, int, float]:
-    """Deterministic fake 'decoder': simple byte statistics standing in for
-    pixel statistics. Same signature/shape a real decoder would fill."""
-    n = len(payload)
-    if n == 0:
-        return 0, 0.0, -1, 0.0
-    total = sum(payload)
-    mean = total / n
-    return n, mean, payload[0], (total % 997) / 997.0
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) or (h, w) uint8 array as binary PPM/PGM."""
+    if pixels.ndim == 3:
+        h, w, _ = pixels.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+    h, w = pixels.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
-def media_from_documents(docs: DataFrame) -> DataFrame:
-    """Synthesize a media table from documents: text bytes stand in for an
-    encoded payload (the container has no real image fixtures)."""
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit(64).cast("int").alias("width"),
-        F.lit(64).cast("int").alias("height"),
-        F.lit(1).cast("int").alias("n_frames"),
-    )
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a binary image payload to an (h, w, c)/(h, w) uint8 array.
+
+    Real decode for P6/P5; explicit NotImplementedError for PNG/JPEG
+    (codec libs absent here — swap this function in deployment);
+    ValueError otherwise.
+    """
+    if payload[:2] in (b"P6", b"P5"):
+        # header: magic, whitespace/comments, width, height, maxval, one ws
+        parts: list[int] = []
+        i = 2
+        while len(parts) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment line
+                i = payload.index(b"\n", i) + 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            parts.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = parts
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        c = 3 if payload[:2] == b"P6" else 1
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=i)
+        return arr.reshape((h, w, 3)) if c == 3 else arr.reshape((h, w))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "PNG/JPEG decode requires PIL/opencv (not in this container); "
+            "swap decode_image to the real codec in deployment"
+        )
+    raise ValueError("unknown image format")
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+def synth_pixels(seed: int, width: int = 16, height: int = 16) -> np.ndarray:
+    """Deterministic RGB pixels from a seed (splitmix64 stream) — real
+    image content for fixtures without bundling binary test assets."""
+    n = width * height * 3
+    offset = ((seed or 1) * 0x9E3779B97F4A7C15) % (1 << 64)  # modular by design
+    with np.errstate(over="ignore"):
+        x = np.arange(n, dtype=np.uint64) + np.uint64(offset)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+    return (x & np.uint64(0xFF)).astype(np.uint8).reshape((height, width, 3))
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index maps (no loops)."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return pixels[rows][:, cols]
+
+
+# --- media table ------------------------------------------------------------
+
+
+def media_from_documents(docs: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Synthesize a media table with REAL P6 payloads, deterministically
+    seeded by doc_id (no binary fixtures in the container). The payload
+    column is genuine encoded-image bytes; everything downstream decodes
+    it for real."""
     from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
 
-    ensure_shipped(media.sparkSession)
+    ensure_shipped(docs.sparkSession)
+    ids = docs.select(F.col("doc_id").alias("media_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_features(p) if FAKE_DECODE else _decode_image_real(p) for p in pdf["payload"]]
-            out = pd.DataFrame(
-                feats, columns=["n_bytes", "byte_mean", "first_byte", "feature_norm"]
+            payloads = [
+                encode_ppm(synth_pixels(int(m), width, height)) for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": "image",
+                    "payload": payloads,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "n_frames": np.int32(1),
+                }
             )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --- operators --------------------------------------------------------------
+
+
+def _features_one(payload: bytes) -> tuple:
+    n = len(payload)
+    if n == 0:
+        return 0, 0.0, -1, 0.0, "fallback", -1, -1, 0.0
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    byte_mean = float(arr.mean())
+    norm = float(int(arr.sum()) % 997) / 997.0
+    try:
+        px = decode_image(payload)
+        fmt = "ppm" if px.ndim == 3 else "pgm"
+        h, w = px.shape[:2]
+        return n, byte_mean, int(payload[0]), norm, fmt, w, h, float(px.mean())
+    except (ValueError, NotImplementedError):
+        return n, byte_mean, int(payload[0]), norm, "fallback", -1, -1, 0.0
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction: REAL pixel stats for decodable
+    payloads (P6/P5), byte stats otherwise — one schema either way."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    cols = [f.name for f in FEATURE_SCHEMA.fields[2:]]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame([_features_one(p) for p in pdf["payload"]], columns=cols)
             out.insert(0, "kind", pdf["kind"].values)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
@@ -105,9 +203,42 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Real nearest-neighbor resize of decodable payloads; re-encoded to
+    the same format. Undecodable payloads pass through unchanged (their
+    metadata keeps the original size)."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def one(payload: bytes) -> tuple[bytes, int, int]:
+        try:
+            px = resize_nearest(decode_image(payload), out_w, out_h)
+            return encode_ppm(px), out_w, out_h
+        except (ValueError, NotImplementedError):
+            return payload, -1, -1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": [r[0] for r in resized],
+                    "width": np.int32([r[1] if r[1] > 0 else w for r, w in zip(resized, pdf["width"])]),
+                    "height": np.int32([r[2] if r[2] > 0 else h for r, h in zip(resized, pdf["height"])]),
+                    "n_frames": pdf["n_frames"].values,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits one row per
-    sampled frame index (decode itself stubbed — payload passed through)."""
+    """Frame-sampling plumbing for video payloads: one row per sampled
+    frame index (JVM-side explode; per-frame decode would slot into a
+    downstream mapInPandas like ``extract_features``)."""
     return media.select(
         "media_id",
         "kind",

@@ -230,10 +230,12 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
-@query("multimodal_features")  # mapInPandas plumbing; schema-stable fake decode
+@query("multimodal_features")  # mapInPandas over binary payloads; no SQL oracle
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via Arrow-batched mapInPandas
-    (decode stubbed — byte stats stand in for pixel stats)."""
+    """Binary-payload feature extraction via Arrow-batched mapInPandas.
+    Payloads are genuine P6 images (synthesized deterministically) and
+    are decoded for real — pixel width/height/mean come from the numpy
+    PPM codec; PNG/JPEG would slot into the same path in deployment."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.media_from_documents(docs))
 

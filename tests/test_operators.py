@@ -315,10 +315,56 @@ def test_multimodal_features_and_frame_sample(spark, sf_dir):
     for r in feats:
         assert r["n_bytes"] > 0 and 0.0 <= r["byte_mean"] <= 255.0
         assert 0.0 <= r["feature_norm"] <= 1.0
+        # payloads are genuine P6 images and decode for real
+        assert r["decoded"] == "ppm" and (r["px_width"], r["px_height"]) == (16, 16)
+        assert 0.0 <= r["px_mean"] <= 255.0
     frames = multimodal.frame_sample(media.withColumn("n_frames", F.lit(4)), every_n=2)
     rows = frames.collect()
     assert len(rows) == 40  # frames 0 and 2 for each of 20 media rows
     assert {r["frame_idx"] for r in rows} == {0, 2}
+
+
+def test_ppm_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    px = mm.synth_pixels(seed=7, width=8, height=6)
+    assert px.shape == (6, 8, 3) and px.dtype == np.uint8
+    assert np.array_equal(mm.decode_image(mm.encode_ppm(px)), px)
+    # grayscale (P5) round-trip
+    gray = px[:, :, 0]
+    assert np.array_equal(mm.decode_image(mm.encode_ppm(gray)), gray)
+    # comment-bearing header still parses
+    with_comment = b"P5\n# a comment\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    assert mm.decode_image(with_comment).tolist() == [[1, 2], [3, 4]]
+    # nearest-neighbor downsample picks the exact source pixels
+    small = mm.resize_nearest(px, 4, 3)
+    assert small.shape == (3, 4, 3)
+    assert np.array_equal(small[0, 0], px[0, 0]) and np.array_equal(small[2, 3], px[4, 6])
+    # PNG/JPEG are honestly not-implemented, junk is rejected
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 16)
+    with pytest.raises(ValueError):
+        mm.decode_image(b"garbage")
+
+
+def test_resize_images_distributed(spark, sf_dir):
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = mm.media_from_documents(docs, width=16, height=16)
+    resized = mm.resize_images(media, 4, 4).collect()
+    assert len(resized) == 10
+    for r in resized:
+        assert (r["width"], r["height"]) == (4, 4)
+        px = mm.decode_image(bytes(r["payload"]))
+        assert px.shape == (4, 4, 3)
+        # resize really resampled the original deterministic image
+        expected = mm.resize_nearest(mm.synth_pixels(int(r["media_id"]), 16, 16), 4, 4)
+        import numpy as np
+
+        assert np.array_equal(px, expected)
 
 
 # --- as-of join -------------------------------------------------------------

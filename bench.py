@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,6 +51,25 @@ BASELINE_SEC = {
 BENCH_CORPUS_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_CORPUS", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_corpus")
 )
+# Median-of-N timing: a single measurement is hostage to GC pauses and OS
+# scheduling noise (r02 showed rwlg_200mb < rwlg_50mb, an impossible
+# ordering in a sound report). N=3 keeps total bench time bounded while
+# the median rejects one outlier run.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _timed_median(fn) -> tuple[float, float, float]:
+    """Run `fn` N_RUNS times; return (median, min, max) wall seconds."""
+    samples = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return (
+        round(statistics.median(samples), 3),
+        round(min(samples), 3),
+        round(max(samples), 3),
+    )
 
 
 def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[str, str]:
@@ -95,45 +115,64 @@ def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[st
     return docs_path, edges_path
 
 
-def _ref_scale_times(spark, sf_dir: str) -> dict[str, float]:
+def _ref_scale_times(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
     """wordcount + rwlg at the BASELINE.md data volumes (same declarative
     plans as the registered queries, reading materialized replica
-    corpora)."""
+    corpora).
+
+    Both pipelines are fully materialized INSIDE the timer via a noop
+    sink write: a count()-only action lets Catalyst prune the
+    collect_list/array_sort/concat_ws aggregates out of the rwlg plan
+    entirely (the r02 bench timed a distinct-key count, not the
+    reverse-web-link build), while a driver collect() of the ~200 MB
+    concat output would time driver ser/de instead of the engine. The
+    noop format consumes every row distributed — the faithful analogue
+    of the reference writing its output file to SDFS.
+    """
     from pyspark.sql import functions as F
 
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for label, nbytes in REF_SCALES.items():
         docs_path, edges_path = _ensure_ref_corpora(spark, sf_dir, label, nbytes)
 
-        t0 = time.perf_counter()
-        docs = spark.read.parquet(docs_path)
-        wc = (
-            docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
-            .filter(F.col("word") != "")
-            .groupBy("word")
-            .agg(F.count("*").alias("cnt"))
-            .orderBy("word")
-        )
-        assert len(wc.collect()) > 0
-        times[f"wordcount_{label}"] = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        edges = spark.read.parquet(edges_path).select(
-            F.col("user_id").cast("string").alias("dst"),
-            F.col("event_id").cast("string").alias("src"),
-        )
-        salted = edges.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(16)))
-        partial = salted.groupBy("dst", "__salt").agg(
-            F.array_sort(F.collect_list("src")).alias("part")
-        )
-        rw = partial.groupBy("dst").agg(
-            F.concat_ws(",", F.array_sort(F.flatten(F.collect_list("part")))).alias(
-                "sources"
+        def run_wc():
+            docs = spark.read.parquet(docs_path)
+            wc = (
+                docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("word")
+                .agg(F.count("*").alias("cnt"))
+                .orderBy("word")
             )
-        )
-        assert rw.count() > 0
-        times[f"rwlg_{label}"] = round(time.perf_counter() - t0, 3)
-    return times
+            wc.write.format("noop").mode("overwrite").save()
+
+        def run_rwlg():
+            edges = spark.read.parquet(edges_path).select(
+                F.col("user_id").cast("string").alias("dst"),
+                F.col("event_id").cast("string").alias("src"),
+            )
+            salted = edges.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(16)))
+            partial = salted.groupBy("dst", "__salt").agg(
+                F.array_sort(F.collect_list("src")).alias("part")
+            )
+            rw = partial.groupBy("dst").agg(
+                F.concat_ws(",", F.array_sort(F.flatten(F.collect_list("part")))).alias(
+                    "sources"
+                )
+            )
+            rw.write.format("noop").mode("overwrite").save()
+
+        run_wc()  # warm the plan shape (codegen/JIT) before timing
+        med, lo, hi = _timed_median(run_wc)
+        times[f"wordcount_{label}"] = med
+        spread[f"wordcount_{label}"] = [lo, hi]
+
+        run_rwlg()
+        med, lo, hi = _timed_median(run_rwlg)
+        times[f"rwlg_{label}"] = med
+        spread[f"rwlg_{label}"] = [lo, hi]
+    return times, spread
 
 
 def main() -> None:
@@ -142,21 +181,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm every benched plan once (Catalyst analysis + janino codegen +
-    # JIT are one-time costs per plan shape); the timed pass then measures
+    # JIT are one-time costs per plan shape); the timed passes then measure
     # steady-state engine throughput — the number that scales to a long
     # running cluster job, where compile time amortizes to zero.
     for name in BENCH_QUERIES:
         QUERIES[name](spark, sf_dir).count()
 
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count() if name not in ("wordcount", "rwlg") else len(df.collect())
-        times[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
 
-    times.update(_ref_scale_times(spark, sf_dir))
+        def run(q=name):
+            df = QUERIES[q](spark, sf_dir)
+            # wordcount/rwlg materialize fully: their output IS the concat/
+            # sort work, which a count()-only action would let Catalyst prune.
+            n = df.count() if q not in ("wordcount", "rwlg") else len(df.collect())
+            assert n >= 0
+
+        med, lo, hi = _timed_median(run)
+        times[name] = med
+        spread[name] = [lo, hi]
+
+    ref_times, ref_spread = _ref_scale_times(spark, sf_dir)
+    times.update(ref_times)
+    spread.update(ref_spread)
 
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -167,6 +215,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread_min_max": spread,
+                "runs_per_query": N_RUNS,
                 "sf": float(sf) if sf else None,
                 "baseline_sec": BASELINE_SEC,
             }

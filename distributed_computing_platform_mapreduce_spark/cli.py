@@ -138,11 +138,20 @@ class Workspace:
 
     def _resolve_exe(self, exe: str) -> list[str]:
         """An exe ``put`` into the workspace wins (the reference requires
-        that); a plain local path is accepted as a convenience."""
+        that); a plain local path is accepted as a convenience.
+
+        The reference console accepts ANY executable (the worker just
+        spawns it — ``src/MapReduceWorker.java:114-115``), so a file with
+        the execute bit and no ``.py`` suffix runs directly; Python
+        scripts (or non-executable files, the common case after ``put``)
+        run through the interpreter.
+        """
         ws = os.path.join(self.root, exe)
         path = ws if os.path.exists(ws) else exe
         if not os.path.exists(path):
             raise CommandError(f"exe not found: {exe}")
+        if not path.endswith(".py") and os.access(path, os.X_OK):
+            return [path]
         return [sys.executable, path]
 
     def maple(self, exe: str, num_maples: int, prefix: str, src_dir: str) -> str:

@@ -42,6 +42,16 @@ def asof_join_backward(
     ``value_col`` with ``right_ts <= left_ts`` for the same ``on`` key
     (NULL when no prior right row exists — LEFT ASOF semantics)."""
     left_cols = list(left.columns)
+    # The rewrite routes right-side data through internal columns merged
+    # into the left schema via unionByName; a collision would silently mix
+    # left data into the value stream.
+    reserved = {"__t", "__v", "__is_right", out_col}
+    clash = reserved.intersection(left_cols)
+    if clash:
+        raise ValueError(
+            f"asof_join_backward: left columns {sorted(clash)} collide with "
+            "internal/output columns — rename them before joining"
+        )
     l2 = (
         left.withColumn("__t", F.col(left_ts))
         .withColumn("__is_right", F.lit(0))

@@ -27,6 +27,10 @@ from pyspark.sql.window import Window
 # 2^31-1 keeps a·(x mod P) < 2^62 — no int64 overflow under ANSI arithmetic.
 _P = (1 << 31) - 1
 
+# Most recent persisted shingle table (see minhash_lsh_pairs): repeated
+# calls in one session would otherwise accumulate storage memory.
+_live_shingle_cache: DataFrame | None = None
+
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
@@ -176,7 +180,14 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     )
     if cache_shingles:
+        # The result is lazy, so this function can't unpersist after
+        # materialization; instead cap accumulation at ONE live shingle
+        # cache per session — each call releases the previous call's.
+        global _live_shingle_cache
+        if _live_shingle_cache is not None:
+            _live_shingle_cache.unpersist(blocking=False)
         sh = sh.persist()
+        _live_shingle_cache = sh
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     rnd = _lcg_params(num_hashes)
     hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
@@ -285,8 +296,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # Falling out of the loop with changes still propagating means labels
+    # are NOT final — silently returning them would let a downstream dedup
+    # keep several docs per component on deep chain graphs.
+    raise RuntimeError(
+        f"connected_components did not converge in max_iter={max_iter} rounds "
+        "(graph diameter exceeds it); raise max_iter"
+    )
 
 
 def dedup_survivors_cc(

@@ -59,7 +59,19 @@ def salted_join(
     skewed side (splitting each hot key into n_salts shuffle keys) and
     explode ``other`` once per salt so every fragment finds its match.
     Shuffle volume of ``other`` grows ×n_salts — use when ``other`` is
-    much smaller than the hot key's row count but too big to broadcast."""
+    much smaller than the hot key's row count but too big to broadcast.
+
+    Supported ``how``: inner / left / left_semi / left_anti — join types
+    where unmatched ``other`` rows are never emitted. Right/full joins
+    would emit each unmatched ``other`` row once per salt (it was
+    replicated n_salts times); rejected rather than silently duplicated.
+    """
+    normalized = how.replace("_", "").replace("outer", "")
+    if normalized not in ("inner", "left", "leftsemi", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins; got how={how!r} "
+            "(right/full would duplicate unmatched rows of `other` once per salt)"
+        )
     s = skewed.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
     o = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))

@@ -21,40 +21,17 @@ from distributed_computing_platform_mapreduce_spark.sources.catalog import load_
 
 
 @query(
-    "fn_string_suite",
-    oracle="""
-    SELECT c_custkey,
-           upper(c_name) AS name_upper,
-           lower(c_mktsegment) AS seg_lower,
-           length(c_name) AS name_len,
-           substr(c_name, 1, 8) AS name_prefix,
-           concat(c_name, ':', c_mktsegment) AS tagged,
-           replace(c_name, 'Customer', 'Cust') AS renamed,
-           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
-           trim('  pad  ') AS trimmed
-    FROM customer
-    WHERE c_custkey <= 500
-    """,
-)
-def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
-    return c.select(
-        "c_custkey",
-        F.upper("c_name").alias("name_upper"),
-        F.lower("c_mktsegment").alias("seg_lower"),
-        F.length("c_name").alias("name_len"),
-        F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat_ws(":", "c_name", "c_mktsegment").alias("tagged"),
-        F.regexp_replace("c_name", "Customer", "Cust").alias("renamed"),
-        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
-        F.trim(F.lit("  pad  ")).alias("trimmed"),
-    )
-
-
-@query(
-    "fn_datetime_math_suite",
+    "fn_scalar_suite",
     oracle="""
     SELECT o.o_orderkey,
+           upper(c.c_name) AS name_upper,
+           lower(c.c_mktsegment) AS seg_lower,
+           length(c.c_name) AS name_len,
+           substr(c.c_name, 1, 8) AS name_prefix,
+           concat(c.c_name, ':', c.c_mktsegment) AS tagged,
+           replace(c.c_name, 'Customer', 'Cust') AS renamed,
+           CASE WHEN c.c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
+           trim('  pad  ') AS trimmed,
            CAST(extract(year FROM o.o_orderdate) AS INT) AS order_year,
            CAST(extract(month FROM o.o_orderdate) AS INT) AS order_month,
            CAST(extract(day FROM o.o_orderdate) AS INT) AS order_day,
@@ -74,38 +51,55 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(p.p_size, 25) AS size_cap25
     FROM orders o
     JOIN part p ON o.o_orderkey = p.p_partkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderkey <= 1000
     """,
 )
-def fn_datetime_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time + math scalar functions in one row stream (orders ⋈ part
-    on the shared contiguous key range, part side broadcast).
+def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date/time + math scalar functions in ONE row stream
+    (orders ⋈ part on the shared contiguous key range ⋈ customer on
+    custkey, both dims broadcast) — folded from the round-2
+    ``fn_string_suite``/``fn_datetime_math_suite`` pair to free a
+    registry slot; identical function coverage.
 
     sqrt/pow are IEEE-correctly-rounded in both engines; ln/log are
     libm-dependent (observed 1-ulp Java-vs-C divergence) so transcendental
     fns beyond sqrt/pow are exercised in unit tests, not the oracle gate."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
-    return o.join(F.broadcast(p), o.o_orderkey == p.p_partkey).select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
-        F.quarter("o_orderdate").alias("order_quarter"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        ).cast("bigint").alias("days_since_epoch_95"),
-        F.abs(F.col("p_retailprice") - 1000.0).alias("dev_from_1k"),
-        F.floor("p_retailprice").alias("price_floor"),
-        F.ceil("p_retailprice").alias("price_ceil"),
-        F.round("p_retailprice", 0).alias("price_round"),
-        (F.col("p_size") % 7).alias("size_mod7"),
-        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
-        F.pow(F.col("p_size").cast("double"), 2.0).alias("size_sq"),
-        F.greatest("p_size", F.lit(25)).alias("size_floor25"),
-        F.least("p_size", F.lit(25)).alias("size_cap25"),
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(p), o.o_orderkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            F.upper("c_name").alias("name_upper"),
+            F.lower("c_mktsegment").alias("seg_lower"),
+            F.length("c_name").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws(":", "c_name", "c_mktsegment").alias("tagged"),
+            F.regexp_replace("c_name", "Customer", "Cust").alias("renamed"),
+            F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+            F.trim(F.lit("  pad  ")).alias("trimmed"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).cast("bigint").alias("days_since_epoch_95"),
+            F.abs(F.col("p_retailprice") - 1000.0).alias("dev_from_1k"),
+            F.floor("p_retailprice").alias("price_floor"),
+            F.ceil("p_retailprice").alias("price_ceil"),
+            F.round("p_retailprice", 0).alias("price_round"),
+            (F.col("p_size") % 7).alias("size_mod7"),
+            F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+            F.pow(F.col("p_size").cast("double"), 2.0).alias("size_sq"),
+            F.greatest("p_size", F.lit(25)).alias("size_floor25"),
+            F.least("p_size", F.lit(25)).alias("size_cap25"),
+        )
     )
 
 

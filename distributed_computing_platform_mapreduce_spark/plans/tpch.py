@@ -183,10 +183,10 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Unregistered showcase (keeps the driver's verified registry ≤50 queries;
-# the plan remains exercised by tests/bench imports). Oracle kept inline
-# for reference.
-_TPCH_Q10_ORACLE = """
+# Re-registered in round 3 (the fn/window suite folds freed the slot).
+@query(
+    "tpch_q10",
+    oracle="""
     SELECT c.c_custkey, c.c_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -199,9 +199,8 @@ _TPCH_Q10_ORACLE = """
     GROUP BY c.c_custkey, c.c_name, n.n_name
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
-    """
-
-
+    """,
+)
 def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting: fact-fact join + broadcast dim + top-20."""
     c = load_table(spark, sf_dir, "customer")

@@ -54,33 +54,11 @@ def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_lag_lead",
+    "window_offset_frames_suite",
     oracle="""
     SELECT user_id, event_id, value,
            lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
-    FROM events
-    WHERE user_id < 50
-    """,
-)
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offset functions over an event-time ordering — the sessionization
-    building block."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "user_id",
-        "event_id",
-        "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-    )
-
-
-@query(
-    "window_frames_suite",
-    oracle="""
-    SELECT user_id, event_id,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
            CAST(SUM(CAST(value AS DECIMAL(18,2)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -96,20 +74,24 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE user_id < 50
     """,
 )
-def window_frames_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (unbounded-preceding) and sliding (2-preceding) ROWS frames
-    over one event-time ordering. Decimal accumulation keeps every prefix
-    sum exact; both frames share one shuffle + sort on user_id."""
+def window_offset_frames_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset functions (lag/lead — the sessionization building block)
+    plus running (unbounded-preceding) and sliding (2-preceding) ROWS
+    frames, all over ONE event-time ordering — folded from the round-2
+    ``window_lag_lead``/``window_frames_suite`` pair to free a registry
+    slot; identical function coverage. Decimal accumulation keeps every
+    prefix sum exact; every window shares one shuffle + sort on
+    user_id (a single Window physical operator)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    running = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sliding = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sliding = ordered.rowsBetween(-2, 0)
     return e.select(
         "user_id",
         "event_id",
+        "value",
+        F.lag("value").over(ordered).alias("prev_value"),
+        F.lead("value").over(ordered).alias("next_value"),
         F.sum(money("value")).over(running).cast("double").alias("running_sum"),
         F.count("*").over(running).alias("event_seq"),
         F.sum(money("value")).over(sliding).cast("double").alias("sum3"),

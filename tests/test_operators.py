@@ -397,3 +397,51 @@ def test_asof_join_backward_semantics(spark):
         ).collect()
     }
     assert out == {1: 1.0, 2: 3.0, 3: None, 4: None}
+
+
+# --- guard rails (round-3 advisor findings) ----------------------------------
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """Right/full joins would emit each unmatched `other` row once per
+    salt (it was replicated) — the operator must refuse, not duplicate."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import salted_join
+
+    big = spark.range(0, 10).selectExpr("id AS row_id", "id % 3 AS k")
+    dim = spark.range(0, 5).selectExpr("id AS k", "concat('n_', id) AS name")
+    for how in ("right", "full", "full_outer", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, dim, "k", n_salts=4, how=how)
+    # supported spellings still work
+    assert salted_join(big, dim, "k", n_salts=4, how="left_outer").count() == 10
+
+
+def test_asof_join_rejects_colliding_columns(spark):
+    t = datetime.datetime
+    right = spark.createDataFrame([(10, t(2024, 1, 1), 1.0)], ["user_id", "ts", "v"])
+    bad_left = spark.createDataFrame(
+        [(1, 10, t(2024, 1, 2), 99)], ["event_id", "user_id", "ts", "__v"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_backward(
+            bad_left, right, on="user_id", left_ts="ts", right_ts="ts",
+            value_col="v", out_col="last",
+        )
+    shadow_left = spark.createDataFrame(
+        [(1, 10, t(2024, 1, 2), "x")], ["event_id", "user_id", "ts", "last"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_backward(
+            shadow_left, right, on="user_id", left_ts="ts", right_ts="ts",
+            value_col="v", out_col="last",
+        )
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain deeper than max_iter must raise, not silently return
+    partial labels (which would keep several docs per component)."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    done = dedup.connected_components(chain, max_iter=20)
+    assert done.select("component").distinct().count() == 1

@@ -140,18 +140,24 @@ class Workspace:
         """An exe ``put`` into the workspace wins (the reference requires
         that); a plain local path is accepted as a convenience.
 
-        The reference console accepts ANY executable (the worker just
-        spawns it — ``src/MapReduceWorker.java:114-115``), so a file with
-        the execute bit and no ``.py`` suffix runs directly; Python
-        scripts (or non-executable files, the common case after ``put``)
-        run through the interpreter.
+        The reference worker always spawns exes THROUGH the Python
+        interpreter — ``src/MapReduceWorker.java:114-115`` hardcodes
+        ``{"python", exe, chunk}`` — so interpreter launch is the
+        compatible default here too. As an intentional superset, a file
+        with the execute bit AND a ``#!`` shebang runs directly (native
+        binaries and shell scripts work, which the reference can't run at
+        all); anything else — ``.py`` or not, executable or not — goes
+        through ``sys.executable`` so shebang-less Python scripts don't
+        die with ENOEXEC.
         """
         ws = os.path.join(self.root, exe)
         path = ws if os.path.exists(ws) else exe
         if not os.path.exists(path):
             raise CommandError(f"exe not found: {exe}")
         if not path.endswith(".py") and os.access(path, os.X_OK):
-            return [path]
+            with open(path, "rb") as fh:
+                if fh.read(2) == b"#!":
+                    return [path]
         return [sys.executable, path]
 
     def maple(self, exe: str, num_maples: int, prefix: str, src_dir: str) -> str:

@@ -183,6 +183,13 @@ def minhash_lsh_pairs(
         # The result is lazy, so this function can't unpersist after
         # materialization; instead cap accumulation at ONE live shingle
         # cache per session — each call releases the previous call's.
+        # SINGLE-PIPELINE ASSUMPTION: the global handle means two
+        # interleaved minhash pipelines in one session evict each other's
+        # cache before materialization (correctness unaffected — Spark
+        # recomputes — only the single-scan optimization is lost), and the
+        # swap is not thread-safe. Callers needing concurrent pipelines
+        # should pass cache_shingles=False and manage persistence
+        # themselves.
         global _live_shingle_cache
         if _live_shingle_cache is not None:
             _live_shingle_cache.unpersist(blocking=False)
@@ -263,40 +270,59 @@ def connected_components(
     join + one aggregate (two shuffles on id). The convergence check is
     a driver-side count per round — the standard pattern for iterative
     graph algorithms (GraphFrames' CC does the same); everything else
-    stays distributed. At 100 TB you'd checkpoint labels every few
-    rounds to cut lineage.
+    stays distributed.
+
+    Lineage control is load-bearing, not optional: the loop references
+    ``labels`` three times per round (neighbor join, new-label select,
+    convergence compare), so without materialization the logical plan
+    tree TRIPLES per round — analysis cost ~3^rounds, unusable beyond
+    diameter ~6. Each round therefore eagerly ``localCheckpoint``s the
+    new labels (one job; blocks on executors, lineage truncated to a
+    scan) and the symmetrized edge table is persisted once so an
+    expensive upstream pair plan (e.g. LSH) runs a single time. On a
+    real cluster you'd point ``spark.sparkContext.setCheckpointDir`` at
+    durable storage and use ``checkpoint`` instead for fault tolerance;
+    superseded checkpoint blocks are released by Spark's ContextCleaner
+    as the old handles go out of scope.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("id2"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.id2, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy(F.col("dst").alias("id2"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.id2, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+    finally:
+        sym.unpersist(blocking=False)
     # Falling out of the loop with changes still propagating means labels
     # are NOT final — silently returning them would let a downstream dedup
     # keep several docs per component on deep chain graphs.

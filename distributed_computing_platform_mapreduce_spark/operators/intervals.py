@@ -60,6 +60,11 @@ def interval_join(
     ``on`` keys (standard join hygiene; alias beforehand).
     """
     on = list(on or [])
+    # Same reserved-name hygiene as asof_join_backward: a user __bkt
+    # column would silently corrupt the manufactured join key.
+    for side, df in (("left", left), ("right", right)):
+        if "__bkt" in df.columns:
+            raise ValueError(f"interval_join reserves column name '__bkt' ({side} side)")
     overlap = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
     if bucket_width is None:
         if not on:

@@ -13,6 +13,10 @@ Decode support is format-honest:
   resize operate on true pixels. The synthesized media table carries
   genuine P6 payloads, so the whole pipeline (encode → scan → decode →
   feature/resize) is exercised end-to-end in tests.
+- **RIFF/WAV PCM-16** is decoded FOR REAL — pure numpy + struct chunk
+  walk — into ``(n_frames, channels)`` int16 arrays; duration / RMS /
+  peak features operate on true samples. Float/compressed WAV raises
+  ``NotImplementedError`` (same honest gate as PNG/JPEG below).
 - **PNG/JPEG** (magic detected) raise ``NotImplementedError`` — their
   codecs (PIL/opencv) are not in this container; a deployment would
   swap ``decode_image`` to the real library, nothing else changes.
@@ -21,6 +25,7 @@ Decode support is format-honest:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -56,10 +61,15 @@ FEATURE_SCHEMA = StructType(
         StructField("byte_mean", DoubleType()),
         StructField("first_byte", IntegerType()),
         StructField("feature_norm", DoubleType()),
-        StructField("decoded", StringType()),  # ppm | pgm | fallback
-        StructField("px_width", IntegerType()),
-        StructField("px_height", IntegerType()),
+        StructField("decoded", StringType()),  # ppm | pgm | wav | fallback
+        StructField("px_width", IntegerType()),  # image: pixels; audio: channels
+        StructField("px_height", IntegerType()),  # image: pixels; audio: -1
         StructField("px_mean", DoubleType()),
+        # audio-only features; 0.0 / -1 for non-audio rows (one schema
+        # for every modality keeps the union/driver output stable)
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
     ]
 )
 
@@ -134,6 +144,82 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return pixels[rows][:, cols]
 
 
+# --- pure-numpy RIFF/WAV PCM-16 codec ---------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples — ``(n,)`` mono or ``(n, channels)`` —
+    as a canonical RIFF/WAVE file (fmt + data chunks)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    _, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block_align = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE PCM-16 to ``((n_frames, channels) int16,
+    sample_rate)``.
+
+    Walks the chunk list generically (word-aligned, unknown chunks like
+    LIST/INFO skipped), so files from real encoders parse too. IEEE-float
+    and compressed formats raise ``NotImplementedError`` — the same
+    honest-codec gate as PNG/JPEG in ``decode_image``; ValueError for
+    non-WAV or truncated payloads.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_info = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_info = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt_info is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _byte_rate, _block_align, bits = fmt_info
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format {audio_format}/{bits}-bit not supported "
+            "(PCM-16 only here; swap decode_wav to a real codec in deployment)"
+        )
+    if ch < 1:
+        raise ValueError("WAV with zero channels")
+    samples = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * ch)) * ch)
+    return samples.reshape(-1, ch), rate
+
+
+def synth_samples(seed: int, n_samples: int = 800, channels: int = 1) -> np.ndarray:
+    """Deterministic int16 PCM from a seed: a seed-pitched sine plus
+    splitmix64 dither — real audio content for fixtures without binary
+    assets (same role as ``synth_pixels``)."""
+    n = n_samples * channels
+    offset = ((seed or 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+    with np.errstate(over="ignore"):
+        x = np.arange(n, dtype=np.uint64) + np.uint64(offset)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+    dither = (x & np.uint64(0x3FF)).astype(np.float64) - 512.0  # ±512
+    t = np.arange(n, dtype=np.float64)
+    freq = 0.01 + (seed % 97) / 970.0  # radians/sample, seed-dependent pitch
+    wave = 12000.0 * np.sin(freq * t)
+    return np.clip(wave + dither, -32768, 32767).astype(np.int16).reshape(n_samples, channels)
+
+
 # --- media table ------------------------------------------------------------
 
 
@@ -166,23 +252,69 @@ def media_from_documents(docs: DataFrame, width: int = 16, height: int = 16) -> 
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def audio_from_documents(
+    docs: DataFrame, n_samples: int = 800, sample_rate: int = 8000, channels: int = 1
+) -> DataFrame:
+    """Synthesize an audio media table with REAL RIFF/WAV PCM-16
+    payloads, deterministically seeded by doc_id — the ``kind='audio'``
+    twin of ``media_from_documents``. width/height are -1 (not pixels);
+    ``n_frames`` carries the sample-frame count."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(synth_samples(int(m), n_samples, channels), sample_rate)
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "width": np.int32(-1),
+                    "height": np.int32(-1),
+                    "n_frames": np.int32(n_samples),
+                }
+            )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 # --- operators --------------------------------------------------------------
 
 
 def _features_one(payload: bytes) -> tuple:
     n = len(payload)
     if n == 0:
-        return 0, 0.0, -1, 0.0, "fallback", -1, -1, 0.0
+        return 0, 0.0, -1, 0.0, "fallback", -1, -1, 0.0, 0.0, 0.0, -1
     arr = np.frombuffer(payload, dtype=np.uint8)
     byte_mean = float(arr.mean())
     norm = float(int(arr.sum()) % 997) / 997.0
+    base = (n, byte_mean, int(payload[0]), norm)
+    if payload[:4] == b"RIFF":
+        try:
+            samples, rate = decode_wav(payload)
+            frames, ch = samples.shape
+            s = samples.astype(np.float64)
+            return base + (
+                "wav", ch, -1, 0.0,
+                frames / rate,
+                float(np.sqrt(np.mean(s * s))),
+                int(np.max(np.abs(s))) if frames else 0,
+            )
+        except (ValueError, NotImplementedError):
+            return base + ("fallback", -1, -1, 0.0, 0.0, 0.0, -1)
     try:
         px = decode_image(payload)
         fmt = "ppm" if px.ndim == 3 else "pgm"
         h, w = px.shape[:2]
-        return n, byte_mean, int(payload[0]), norm, fmt, w, h, float(px.mean())
+        return base + (fmt, w, h, float(px.mean()), 0.0, 0.0, -1)
     except (ValueError, NotImplementedError):
-        return n, byte_mean, int(payload[0]), norm, "fallback", -1, -1, 0.0
+        return base + ("fallback", -1, -1, 0.0, 0.0, 0.0, -1)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -60,9 +60,17 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: list[Column] | None = None,
+) -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio / mean-word-length
-    quality features + a composite score in [0,1]."""
+    quality features + a composite score in [0,1]. ``extra_cols`` are
+    appended to the projection so callers can compute further per-doc
+    expressions (e.g. the fingerprint) in the same single scan instead
+    of a self-join."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tok = token_count_ws(t)
@@ -89,6 +97,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         mean_word_len.alias("mean_word_len"),
         score.alias("quality_score"),
+        *(extra_cols or []),
     )
 
 

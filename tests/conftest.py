@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import os
+import signal
 import sys
 
 import pytest
@@ -11,6 +12,33 @@ from distributed_computing_platform_mapreduce_spark import get_spark  # noqa: E4
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CHECK = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Per-test wall-clock guard (round-3 lesson: one runaway test wedged the
+# whole suite for >25 min). SIGALRM fires in the main thread even while
+# blocked in a py4j call, so a hung Spark action fails fast with a
+# traceback instead of stalling the driver's verify. pytest-timeout isn't
+# in the container; this conftest hook is the dependency-free equivalent.
+_TEST_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_TEST_TIMEOUT_S", "180"))
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    if _TEST_TIMEOUT_S <= 0 or not hasattr(signal, "SIGALRM"):
+        return (yield)
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded {_TEST_TIMEOUT_S}s wall-clock guard "
+            "(SPARK_GRAFT_TEST_TIMEOUT_S to adjust)"
+        )
+
+    prev = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(_TEST_TIMEOUT_S)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
 
 
 @pytest.fixture(scope="session")

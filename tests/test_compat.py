@@ -224,3 +224,22 @@ def test_maple_udtf_sql_forms_equal_declarative(spark, sf_dir):
         "FROM maple_wc(TABLE(lines)) GROUP BY key"
     )
     assert {(r["word"], r["cnt"]) for r in table_form.collect()} == declarative
+
+
+def test_resolve_exe_shebang_sniff(spark, tmp_path):
+    """Interpreter launch is the reference-compatible default
+    (MapReduceWorker.java:114-115 hardcodes {"python", exe, chunk});
+    direct exec is the documented superset ONLY for exec-bit files with a
+    shebang — a shebang-less executable Python script must still go
+    through sys.executable, not die with ENOEXEC."""
+    import sys as _sys
+
+    from distributed_computing_platform_mapreduce_spark.cli import Workspace
+
+    ws = Workspace(spark, str(tmp_path))
+    shebanged = _write_exe(tmp_path / "tool", "#!/bin/sh\necho hi\n")
+    assert ws._resolve_exe(shebanged) == [shebanged]
+    bare = _write_exe(tmp_path / "barescript", "print('hi')\n")  # exec bit, no shebang
+    assert ws._resolve_exe(bare) == [_sys.executable, bare]
+    dotpy = _write_exe(tmp_path / "script.py", "#!/usr/bin/env python3\nprint('hi')\n")
+    assert ws._resolve_exe(dotpy) == [_sys.executable, dotpy]

@@ -51,3 +51,111 @@ def test_word_shingles_match_python(spark, corpus):
     got = {r["doc_id"]: list(r["sh"]) for r in rows}
     want = {i: py_shingles(t) for i, t in enumerate(corpus)}
     assert got == want
+
+
+# Relational properties: tiny keys (0..3) force duplicate keys on both
+# sides (multiset join semantics), missing keys (outer/anti paths), and
+# ties (window determinism); values include negatives.
+_key = st.integers(min_value=0, max_value=3)
+_val = st.integers(min_value=-5, max_value=5)
+_rows = st.lists(st.tuples(_key, _val), min_size=0, max_size=8)
+
+
+def _mk(spark, rows, cols):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField(c, IntegerType()) for c in cols])
+    return spark.createDataFrame(rows, schema)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_rows, _rows)
+def test_inner_join_matches_python(spark, left, right):
+    got = collections.Counter(
+        (r["k"], r["lv"], r["rv"])
+        for r in _mk(spark, left, ["k", "lv"]).join(_mk(spark, right, ["k", "rv"]), "k").collect()
+    )
+    want = collections.Counter(
+        (lk, lv, rv) for lk, lv in left for rk, rv in right if lk == rk
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_rows, _rows)
+def test_left_outer_join_matches_python(spark, left, right):
+    got = collections.Counter(
+        (r["k"], r["lv"], r["rv"])
+        for r in _mk(spark, left, ["k", "lv"])
+        .join(_mk(spark, right, ["k", "rv"]), "k", "left")
+        .collect()
+    )
+    want: collections.Counter = collections.Counter()
+    for lk, lv in left:
+        matches = [rv for rk, rv in right if rk == lk]
+        if matches:
+            want.update((lk, lv, rv) for rv in matches)
+        else:
+            want[(lk, lv, None)] += 1
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_rows, _rows)
+def test_anti_join_matches_python(spark, left, right):
+    got = collections.Counter(
+        (r["k"], r["lv"])
+        for r in _mk(spark, left, ["k", "lv"])
+        .join(_mk(spark, right, ["k", "rv"]), "k", "left_anti")
+        .collect()
+    )
+    rkeys = {rk for rk, _ in right}
+    want = collections.Counter((lk, lv) for lk, lv in left if lk not in rkeys)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_rows)
+def test_groupby_agg_matches_python(spark, rows):
+    got = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in _mk(spark, rows, ["k", "v"])
+        .groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    by_key: dict[int, list[int]] = collections.defaultdict(list)
+    for k, v in rows:
+        by_key[k].append(v)
+    want = {k: (sum(vs), len(vs), min(vs), max(vs)) for k, vs in by_key.items()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(_key, _val, st.integers(0, 100)), min_size=0, max_size=8, unique_by=lambda t: t[2]))
+def test_window_row_number_matches_python(spark, rows):
+    """row_number over (partition k, order v then unique id) — the
+    tie-broken total order makes the rank deterministic, so Spark's
+    window must equal a Python sort exactly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("v", "id")
+    got = {
+        r["id"]: r["rn"]
+        for r in _mk(spark, rows, ["k", "v", "id"])
+        .withColumn("rn", F.row_number().over(w))
+        .collect()
+    }
+    want: dict[int, int] = {}
+    by_key: dict[int, list[tuple[int, int]]] = collections.defaultdict(list)
+    for k, v, i in rows:
+        by_key[k].append((v, i))
+    for vs in by_key.values():
+        for rank, (_, i) in enumerate(sorted(vs), start=1):
+            want[i] = rank
+    assert got == want

@@ -84,9 +84,15 @@ def test_simhash_blocking_is_lossless(spark, sf_dir):
     assert blocked == brute
 
 
-def test_embedding_neardup_subset_of_bruteforce(spark, sf_dir):
-    """Banded hyperplane LSH emits only exact-verified pairs (precision
-    1.0); every emitted pair must appear in the brute-force scan."""
+def test_embedding_neardup_precision_and_recall(spark, sf_dir):
+    """Banded hyperplane LSH: precision 1.0 by construction (every pair
+    is exact-verified, so emitted ⊆ brute-force) AND measured recall at
+    a recall-oriented operating point. With seeded hyperplanes both are
+    deterministic. At θ=0.4 (angle 66.4°, p_plane≈0.63) the analytic
+    candidate rate for 16 bands × 4 planes is 1−(1−0.63⁴)^16 ≈ 0.94;
+    measured on this corpus: 59/66 = 0.894. The demo 4×8 point used by
+    the registered query trades recall (measured 0.076 here) for 16×
+    fewer candidate comparisons — asserted only as a subset."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
     a = v.selectExpr("id as id_a", "v as v_a")
@@ -98,14 +104,23 @@ def test_embedding_neardup_subset_of_bruteforce(spark, sf_dir):
         .filter(F.col("cos") >= 0.4)
         .collect()
     }
-    lsh_pairs = {
+    assert brute, "corpus must contain ≥1 pair above the demo threshold"
+    demo_pairs = {
         (r["id_a"], r["id_b"])
         for r in similarity.embedding_neardup_pairs(
             emb, dim=64, threshold=0.4, bands=4, planes_per_band=8
         ).collect()
     }
-    assert lsh_pairs <= brute
-    assert brute, "corpus must contain ≥1 pair above the demo threshold"
+    assert demo_pairs <= brute
+    recall_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            emb, dim=64, threshold=0.4, bands=16, planes_per_band=4
+        ).collect()
+    }
+    assert recall_pairs <= brute
+    recall = len(recall_pairs & brute) / len(brute)
+    assert recall >= 0.8, f"recall {recall:.3f} below floor at 16 bands x 4 planes"
 
 
 def test_ann_topk_recall_vs_exact(spark, sf_dir):
@@ -349,6 +364,67 @@ def test_ppm_codec_roundtrip_and_resize():
         mm.decode_image(b"garbage")
 
 
+def test_wav_codec_roundtrip_and_gates():
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    s = mm.synth_samples(seed=11, n_samples=400, channels=2)
+    assert s.shape == (400, 2) and s.dtype == np.int16
+    decoded, rate = mm.decode_wav(mm.encode_wav(s, sample_rate=16000))
+    assert rate == 16000 and np.array_equal(decoded, s)
+    # mono (n,) input round-trips as (n, 1)
+    mono = s[:, 0]
+    d2, _ = mm.decode_wav(mm.encode_wav(mono))
+    assert np.array_equal(d2[:, 0], mono)
+    # unknown chunks (LIST) before data are skipped, odd-size word-aligned
+    import struct
+
+    raw = mm.encode_wav(mono)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded odd chunk
+    patched = raw[:12] + extra + raw[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    d3, _ = mm.decode_wav(patched)
+    assert np.array_equal(d3[:, 0], mono)
+    # float-WAV (format 3) is honestly not-implemented; junk rejected
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + float_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(float_wav)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"garbage-not-riff")
+
+
+def test_audio_features_distributed(spark, sf_dir):
+    """kind='audio' rows flow encode → scan → decode → duration/RMS/peak
+    on REAL PCM samples; values match a local numpy reference exactly."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    media = mm.audio_from_documents(docs, n_samples=800, sample_rate=8000)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        assert r["kind"] == "audio" and r["decoded"] == "wav"
+        ref = mm.synth_samples(int(mid), 800, 1).astype(np.float64)
+        assert r["duration_s"] == pytest.approx(0.1)  # 800 / 8000
+        assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(ref * ref))))
+        assert r["peak"] == int(np.max(np.abs(ref)))
+        assert (r["px_width"], r["px_height"]) == (1, -1)  # channels, no pixels
+    # mixed image+audio table keeps one schema and both decode paths
+    mixed = mm.extract_features(
+        mm.media_from_documents(docs).unionAll(mm.audio_from_documents(docs))
+    )
+    kinds = {(r["kind"], r["decoded"]) for r in mixed.collect()}
+    assert kinds == {("image", "ppm"), ("audio", "wav")}
+
+
 def test_resize_images_distributed(spark, sf_dir):
     from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
 
@@ -365,6 +441,105 @@ def test_resize_images_distributed(spark, sf_dir):
         import numpy as np
 
         assert np.array_equal(px, expected)
+
+
+# --- batch interval join ----------------------------------------------------
+
+
+def _brute_overlap(spark, left_rows, right_rows):
+    """Ground truth via tiny crossJoin + filter (test-only)."""
+    l = spark.createDataFrame(left_rows, ["l_id", "l_s", "l_e"])
+    r = spark.createDataFrame(right_rows, ["r_id", "r_s", "r_e"])
+    return {
+        (row["l_id"], row["r_id"])
+        for row in l.crossJoin(r)
+        .filter((F.col("l_s") <= F.col("r_e")) & (F.col("r_s") <= F.col("l_e")))
+        .collect()
+    }
+
+
+def test_interval_join_banded_equals_bruteforce_with_boundaries(spark):
+    """Banded plan must emit each overlapping pair EXACTLY once, including
+    pairs whose overlap starts exactly on a bucket boundary, zero-length
+    intervals, multi-bucket spans, and negative coordinates (floor-based
+    bucketing must not truncate toward zero)."""
+    from distributed_computing_platform_mapreduce_spark.operators.intervals import interval_join
+
+    left = [
+        (1, 0, 10),      # exactly one bucket at width 10
+        (2, 10, 10),     # zero-length, exactly on boundary
+        (3, 5, 35),      # spans 4 buckets
+        (4, -25, -5),    # negative span
+        (5, 95, 105),    # crosses a boundary
+    ]
+    right = [
+        (101, 10, 12),   # overlap with 1 starts exactly at boundary 10
+        (102, 0, 100),   # overlaps almost everything, many shared buckets
+        (103, 35, 40),   # touches 3 only at its endpoint
+        (104, -7, -6),   # inside 4's span
+        (105, 200, 210), # overlaps nothing
+    ]
+    expected = _brute_overlap(spark, left, right)
+    l = spark.createDataFrame(left, ["l_id", "l_s", "l_e"])
+    r = spark.createDataFrame(right, ["r_id", "r_s", "r_e"])
+    for width in (1, 3, 10, 1000):
+        rows = interval_join(l, r, "l_s", "l_e", "r_s", "r_e", bucket_width=width).collect()
+        pairs = [(row["l_id"], row["r_id"]) for row in rows]
+        assert len(pairs) == len(set(pairs)), f"duplicate pairs at width={width}"
+        assert set(pairs) == expected, f"wrong pair set at width={width}"
+
+
+def test_interval_join_with_equality_keys(spark):
+    """With `on` keys both forms (banded and key-driven) must agree and
+    only match within the key."""
+    from distributed_computing_platform_mapreduce_spark.operators.intervals import interval_join
+
+    l = spark.createDataFrame(
+        [(1, "u1", 0, 10), (2, "u2", 0, 10), (3, "u1", 20, 30)],
+        ["l_id", "user", "l_s", "l_e"],
+    )
+    r = spark.createDataFrame(
+        [(101, "u1", 5, 6), (102, "u2", 50, 60), (103, "u1", 29, 40)],
+        ["r_id", "user", "r_s", "r_e"],
+    )
+    expected = {(1, 101), (3, 103)}
+    keyed = interval_join(l, r, "l_s", "l_e", "r_s", "r_e", on=["user"])
+    assert {(x["l_id"], x["r_id"]) for x in keyed.collect()} == expected
+    banded = interval_join(l, r, "l_s", "l_e", "r_s", "r_e", on=["user"], bucket_width=7)
+    got = [(x["l_id"], x["r_id"]) for x in banded.collect()]
+    assert len(got) == len(set(got)) and set(got) == expected
+
+
+def test_interval_join_guards(spark):
+    from distributed_computing_platform_mapreduce_spark.operators.intervals import interval_join
+
+    l = spark.createDataFrame([(1, 0, 10)], ["l_id", "l_s", "l_e"])
+    r = spark.createDataFrame([(2, 5, 6)], ["r_id", "r_s", "r_e"])
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(l, r, "l_s", "l_e", "r_s", "r_e")  # no keys, no width
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(l, r, "l_s", "l_e", "r_s", "r_e", bucket_width=0)
+    bad = l.withColumn("__bkt", F.lit(1))
+    with pytest.raises(ValueError, match="__bkt"):
+        interval_join(bad, r, "l_s", "l_e", "r_s", "r_e", bucket_width=10)
+    with pytest.raises(ValueError, match="__bkt"):
+        interval_join(l, r.withColumn("__bkt", F.lit(1)), "l_s", "l_e", "r_s", "r_e", bucket_width=10)
+
+
+def test_interval_join_plan_is_equi_join_on_bucket(spark):
+    """The banded form's entire point: the physical plan must be a hash/
+    sort-merge equi-join on the manufactured bucket key, never a
+    nested-loop/cartesian."""
+    from distributed_computing_platform_mapreduce_spark.operators.intervals import interval_join
+
+    l = spark.range(100).selectExpr("id AS l_id", "id * 10 AS l_s", "id * 10 + 15 AS l_e")
+    r = spark.range(100).selectExpr("id AS r_id", "id * 7 AS r_s", "id * 7 + 9 AS r_e")
+    plan = (
+        interval_join(l, r, "l_s", "l_e", "r_s", "r_e", bucket_width=20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "__bkt" in plan
 
 
 # --- as-of join -------------------------------------------------------------

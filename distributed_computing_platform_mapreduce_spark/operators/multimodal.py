@@ -17,6 +17,14 @@ Decode support is format-honest:
   walk — into ``(n_frames, channels)`` int16 arrays; duration / RMS /
   peak features operate on true samples. Float/compressed WAV raises
   ``NotImplementedError`` (same honest gate as PNG/JPEG below).
+- **YUV4MPEG2 (y4m) Cmono** video is decoded FOR REAL — plain-text
+  stream header + raw luma planes, pure numpy — into ``(n, h, w)``
+  uint8 frame stacks; duration and per-frame luma features operate on
+  true frames, and ``sample_frames`` re-emits every k-th frame as a
+  genuine PGM image row that flows through the image path (features,
+  resize) unchanged. Chroma-subsampled y4m (C420 etc.) raises
+  ``NotImplementedError`` — honest gate again; a deployment swaps in
+  ffmpeg/pyav and nothing downstream changes.
 - **PNG/JPEG** (magic detected) raise ``NotImplementedError`` — their
   codecs (PIL/opencv) are not in this container; a deployment would
   swap ``decode_image`` to the real library, nothing else changes.
@@ -61,7 +69,7 @@ FEATURE_SCHEMA = StructType(
         StructField("byte_mean", DoubleType()),
         StructField("first_byte", IntegerType()),
         StructField("feature_norm", DoubleType()),
-        StructField("decoded", StringType()),  # ppm | pgm | wav | fallback
+        StructField("decoded", StringType()),  # ppm | pgm | wav | y4m | fallback
         StructField("px_width", IntegerType()),  # image: pixels; audio: channels
         StructField("px_height", IntegerType()),  # image: pixels; audio: -1
         StructField("px_mean", DoubleType()),
@@ -220,6 +228,85 @@ def synth_samples(seed: int, n_samples: int = 800, channels: int = 1) -> np.ndar
     return np.clip(wave + dither, -32768, 32767).astype(np.int16).reshape(n_samples, channels)
 
 
+# --- pure-numpy YUV4MPEG2 (y4m) mono video codec ----------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes:
+    """Encode an ``(n, h, w)`` uint8 luma stack as a YUV4MPEG2 stream
+    (``Cmono`` colorspace: one full-resolution Y plane per frame)."""
+    n, h, w = frames.shape
+    header = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, fps_num, fps_den)
+    plane = frames.astype(np.uint8).reshape(n, h * w)
+    return header + b"".join(b"FRAME\n" + plane[i].tobytes() for i in range(n))
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+    """Decode a YUV4MPEG2 Cmono stream to ``((n, h, w) uint8, fps)``.
+
+    Parses the tagged stream header generically (unknown tags like X
+    metadata skipped; FRAME headers may carry parameters), so files from
+    real encoders parse too. Chroma-subsampled colorspaces (C420 and
+    friends — what ffmpeg emits by default) raise ``NotImplementedError``:
+    the honest-codec gate, same as PNG/JPEG; ValueError for non-y4m or
+    truncated payloads.
+    """
+    if payload[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = 25.0
+    colorspace = b"C420jpeg"  # the y4m default when no C tag is present
+    for tag in payload[9:nl].split():
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"F":
+            num, den = tag[1:].split(b":")
+            fps = int(num) / int(den)
+        elif tag[:1] == b"C":
+            colorspace = tag
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H tags")
+    if colorspace != b"Cmono":
+        raise NotImplementedError(
+            f"y4m colorspace {colorspace.decode()} not supported "
+            "(Cmono only here; swap decode_y4m to ffmpeg/pyav in deployment)"
+        )
+    frame_bytes = w * h
+    frames = []
+    i = nl + 1
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError("y4m stream corrupt: expected FRAME marker")
+        i = payload.index(b"\n", i) + 1  # FRAME line may carry parameters
+        if i + frame_bytes > len(payload):
+            raise ValueError("y4m stream truncated mid-frame")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=frame_bytes, offset=i).reshape(h, w)
+        )
+        i += frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
+
+
+def synth_frames(seed: int, n_frames: int = 8, width: int = 16, height: int = 16) -> np.ndarray:
+    """Deterministic ``(n, h, w)`` uint8 luma from a seed: each frame is
+    an independent splitmix64 stream keyed by (seed, frame) — real video
+    content for fixtures without binary assets (same role as
+    ``synth_pixels`` / ``synth_samples``)."""
+    n = width * height
+    out = np.empty((n_frames, height, width), np.uint8)
+    with np.errstate(over="ignore"):
+        for f in range(n_frames):
+            offset = (((seed or 1) + f * 0xD1B54A32D192ED03) * 0x9E3779B97F4A7C15) % (1 << 64)
+            x = np.arange(n, dtype=np.uint64) + np.uint64(offset)
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            out[f] = (x & np.uint64(0xFF)).astype(np.uint8).reshape(height, width)
+    return out
+
+
 # --- media table ------------------------------------------------------------
 
 
@@ -284,6 +371,42 @@ def audio_from_documents(
     return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def video_from_documents(
+    docs: DataFrame,
+    n_frames: int = 8,
+    width: int = 16,
+    height: int = 16,
+    fps_num: int = 4,
+    fps_den: int = 1,
+) -> DataFrame:
+    """Synthesize a video media table with REAL YUV4MPEG2 Cmono payloads,
+    deterministically seeded by doc_id — the ``kind='video'`` sibling of
+    ``media_from_documents`` / ``audio_from_documents``."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_y4m(synth_frames(int(m), n_frames, width, height), fps_num, fps_den)
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": "video",
+                    "payload": payloads,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "n_frames": np.int32(n_frames),
+                }
+            )
+
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 # --- operators --------------------------------------------------------------
 
 
@@ -295,6 +418,18 @@ def _features_one(payload: bytes) -> tuple:
     byte_mean = float(arr.mean())
     norm = float(int(arr.sum()) % 997) / 997.0
     base = (n, byte_mean, int(payload[0]), norm)
+    if payload[:9] == b"YUV4MPEG2":
+        try:
+            frames, fps = decode_y4m(payload)
+            n_f, h, w = frames.shape
+            return base + (
+                "y4m", w, h,
+                float(frames.mean()) if n_f else 0.0,
+                n_f / fps,
+                0.0, -1,
+            )
+        except (ValueError, NotImplementedError):
+            return base + ("fallback", -1, -1, 0.0, 0.0, 0.0, -1)
     if payload[:4] == b"RIFF":
         try:
             samples, rate = decode_wav(payload)
@@ -368,9 +503,9 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: one row per sampled
-    frame index (JVM-side explode; per-frame decode would slot into a
-    downstream mapInPandas like ``extract_features``)."""
+    """Frame-INDEX sampling plumbing: one row per sampled frame index
+    (JVM-side explode, no decode — cheap fan-out when only indices are
+    needed). ``sample_frames`` below is the decoding form."""
     return media.select(
         "media_id",
         "kind",
@@ -379,3 +514,53 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
         ).alias("frame_idx"),
         F.col("payload"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("payload", BinaryType()),  # PGM-encoded luma frame
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode video payloads, keep every ``every_n``-th
+    frame, and re-emit each as a genuine PGM image row — so sampled
+    frames flow through the existing image operators (``extract_features``,
+    ``resize_images``) with no special casing. Undecodable or non-video
+    payloads are dropped (a training pipeline filters, not crashes, on
+    bad media). Arrow-batched; the per-payload fan-out is bounded by
+    n_frames/every_n, so batch memory stays ~payload size."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads, ws, hs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames, _ = decode_y4m(payload)
+                except (ValueError, NotImplementedError):
+                    continue
+                for fi in range(0, frames.shape[0], every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    payloads.append(encode_ppm(frames[fi]))
+                    hs.append(frames.shape[1])
+                    ws.append(frames.shape[2])
+            yield pd.DataFrame(
+                {
+                    "media_id": np.int64(ids),
+                    "frame_idx": np.int32(idxs),
+                    "payload": payloads,
+                    "width": np.int32(ws),
+                    "height": np.int32(hs),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -229,14 +229,18 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_features")  # mapInPandas over binary payloads; no SQL oracle
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas,
-    over a MIXED media table: genuine P6 images AND genuine RIFF/WAV
-    PCM-16 clips (both synthesized deterministically) decoded for real —
-    pixel width/height/mean from the numpy PPM codec, duration/RMS/peak
-    from the numpy WAV codec — in one schema-stable pass; PNG/JPEG and
-    float-WAV would slot into the same path in deployment."""
+    over a MIXED media table: genuine P6 images, genuine RIFF/WAV PCM-16
+    clips AND genuine YUV4MPEG2 Cmono video (all synthesized
+    deterministically) decoded for real — pixel width/height/mean from
+    the numpy PPM codec, duration/RMS/peak from the numpy WAV codec,
+    duration/mean-luma from the numpy y4m codec — in one schema-stable
+    pass; PNG/JPEG, float-WAV and chroma-subsampled y4m would slot into
+    the same path in deployment."""
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.media_from_documents(docs).unionAll(
-        multimodal.audio_from_documents(docs)
+    media = (
+        multimodal.media_from_documents(docs)
+        .unionAll(multimodal.audio_from_documents(docs))
+        .unionAll(multimodal.video_from_documents(docs))
     )
     return multimodal.extract_features(media)
 

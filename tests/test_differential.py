@@ -159,3 +159,32 @@ def test_window_row_number_matches_python(spark, rows):
         for rank, (_, i) in enumerate(sorted(vs), start=1):
             want[i] = rank
     assert got == want
+
+
+# Intervals with small coordinates (incl. negatives, zero-length, and
+# boundary-straddling spans) exercise the banded join's bucket edges;
+# widths 1/3/7 force single-bucket, partial, and multi-bucket explodes.
+_iv = st.tuples(st.integers(-12, 12), st.integers(0, 10)).map(lambda t: (t[0], t[0] + t[1]))
+_ivs = st.lists(_iv, min_size=0, max_size=6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_ivs, _ivs, st.sampled_from([1, 3, 7]))
+def test_interval_join_matches_python(spark, left, right, width):
+    """Banded interval join == quadratic Python overlap scan: exact pair
+    multiset (each overlapping pair exactly once, no boundary dupes)."""
+    from distributed_computing_platform_mapreduce_spark.operators.intervals import interval_join
+
+    l = _mk(spark, [(i, s, e) for i, (s, e) in enumerate(left)], ["l_id", "l_s", "l_e"])
+    r = _mk(spark, [(i, s, e) for i, (s, e) in enumerate(right)], ["r_id", "r_s", "r_e"])
+    got = collections.Counter(
+        (row["l_id"], row["r_id"])
+        for row in interval_join(l, r, "l_s", "l_e", "r_s", "r_e", bucket_width=width).collect()
+    )
+    want = collections.Counter(
+        (li, ri)
+        for li, (ls, le) in enumerate(left)
+        for ri, (rs, re) in enumerate(right)
+        if ls <= re and rs <= le
+    )
+    assert got == want

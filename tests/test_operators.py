@@ -425,6 +425,67 @@ def test_audio_features_distributed(spark, sf_dir):
     assert kinds == {("image", "ppm"), ("audio", "wav")}
 
 
+def test_y4m_codec_roundtrip_and_gates():
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    frames = mm.synth_frames(seed=7, n_frames=5, width=12, height=6)
+    assert frames.shape == (5, 6, 12) and frames.dtype == np.uint8
+    decoded, fps = mm.decode_y4m(mm.encode_y4m(frames, fps_num=30, fps_den=1))
+    assert fps == 30.0 and np.array_equal(decoded, frames)
+    # FRAME lines may carry parameters; unknown header tags are skipped
+    raw = mm.encode_y4m(frames[:1])
+    tagged = raw.replace(b" Cmono\n", b" Cmono Xcustom=1\n").replace(b"FRAME\n", b"FRAME Ix\n")
+    d2, _ = mm.decode_y4m(tagged)
+    assert np.array_equal(d2, frames[:1])
+    # chroma-subsampled streams are honestly not-implemented
+    with pytest.raises(NotImplementedError):
+        mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\x00" * 24)
+    with pytest.raises(NotImplementedError):  # no C tag -> C420jpeg default
+        mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1\nFRAME\n" + b"\x00" * 24)
+    with pytest.raises(ValueError):
+        mm.decode_y4m(b"garbage-not-y4m")
+    with pytest.raises(ValueError):  # truncated mid-frame
+        mm.decode_y4m(raw[: len(raw) - 3])
+
+
+def test_video_features_and_frame_sampling_distributed(spark, sf_dir):
+    """kind='video' rows decode for real (duration, mean luma vs numpy
+    reference), and sample_frames emits genuine PGM rows that flow
+    through the image feature path unchanged."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = mm.video_from_documents(docs, n_frames=6, width=8, height=8, fps_num=3)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert len(feats) == 10
+    for mid, r in feats.items():
+        ref = mm.synth_frames(int(mid), 6, 8, 8)
+        assert r["kind"] == "video" and r["decoded"] == "y4m"
+        assert (r["px_width"], r["px_height"]) == (8, 8)
+        assert r["px_mean"] == pytest.approx(float(ref.mean()))
+        assert r["duration_s"] == pytest.approx(2.0)  # 6 frames / 3 fps
+    # real frame sampling: every 2nd frame, exact pixel equality
+    sampled = mm.sample_frames(media, every_n=2).collect()
+    assert {r["frame_idx"] for r in sampled} == {0, 2, 4}
+    assert len(sampled) == 30  # 10 videos x 3 sampled frames
+    for r in sampled:
+        ref = mm.synth_frames(int(r["media_id"]), 6, 8, 8)[r["frame_idx"]]
+        assert np.array_equal(mm.decode_image(bytes(r["payload"])), ref)
+    # sampled frames are first-class images for the downstream operators
+    as_media = mm.sample_frames(media, every_n=3).select(
+        "media_id", F.lit("image").alias("kind"), "payload",
+        "width", "height", F.lit(1).alias("n_frames"),
+    )
+    kinds = {r["decoded"] for r in mm.extract_features(as_media).collect()}
+    assert kinds == {"pgm"}
+    # non-video payloads are dropped, not crashed on
+    assert mm.sample_frames(mm.media_from_documents(docs)).count() == 0
+
+
 def test_resize_images_distributed(spark, sf_dir):
     from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
 

@@ -5,7 +5,8 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Headline set: the reference's two benchmark queries (wordcount, rwlg —
 BASELINE.md measures exactly these) plus the canonical analytical shapes
 (scan-agg q1, join-agg q3/q5, filter-agg q6) and the scale-path extension
-ops (minhash dedup, LSH similarity).
+ops (minhash dedup, LSH similarity, banded interval join, and the full
+LSH → connected-components → survivor dedup pipeline).
 """
 
 from __future__ import annotations
@@ -32,6 +33,12 @@ BENCH_QUERIES = [
     "window_session",
     "dedup_minhash_lsh",
     "similarity_topk_lsh",
+    "interval_join",
+    # The end-to-end near-dedup pipeline: LSH pairs -> iterative CC
+    # (jobs run at plan-build time via eager localCheckpoint) -> survivor
+    # anti-join. Timed per full call, so the iterative rounds are inside
+    # the timer — the honest cost of transitive dedup.
+    "dedup_cc_survivors",
 ]
 
 # Reference-scale comparison points: BASELINE.md measures MapleJuice

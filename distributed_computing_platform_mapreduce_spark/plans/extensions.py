@@ -320,9 +320,10 @@ def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cc_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE transitive-closure near-dedup — the composition a real LLM
     data pipeline runs: ``minhash_lsh_pairs`` (banded candidates, exact
-    verify, no all-pairs self-join) → ``connected_components`` (min-label
-    propagation, per-round localCheckpoint) → one min-id survivor per
-    component. In a chain A~B~C the whole cluster collapses to A even
+    verify, no all-pairs self-join) → ``connected_components_twostar``
+    (alternating large/small-star, O(log n) rounds, per-round
+    localCheckpoint; asserted equal to min-label propagation on
+    generated graphs) → one min-id survivor per component. In a chain A~B~C the whole cluster collapses to A even
     though (A,C) was never a pair — exactly where the pair-dominated
     ``dedup_survivors`` policy differs. Oracle: DuckDB ``WITH RECURSIVE``
     transitive closure over the exact-Jaccard graph; equivalent because

@@ -188,3 +188,49 @@ def test_interval_join_matches_python(spark, left, right, width):
         if ls <= re and rs <= le
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_corpus)
+def test_shingle_rows_equal_expression_form(spark, corpus):
+    """The Arrow-batched shingle builder (hot path) must emit exactly the
+    rows of the word_shingles expression form — same distinct n-grams,
+    same multiset."""
+    df = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    fast = collections.Counter(
+        (r["id"], r["shingle"]) for r in dedup.shingle_rows(df, "doc_id", "text", 3).collect()
+    )
+    expr = collections.Counter(
+        (r["doc_id"], r["sh"])
+        for r in df.select(
+            "doc_id", F.explode(dedup.word_shingles(F.col("text"), 3)).alias("sh")
+        ).collect()
+    )
+    assert fast == expr
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=10))
+def test_twostar_cc_equals_label_propagation(spark, edge_list):
+    """Two independent CC algorithms (alternating large/small-star vs
+    min-label propagation) must produce identical (id, component) maps
+    on arbitrary small graphs — self-loops, duplicate and reversed
+    edges, multiple components, chains and cliques all arise from the
+    generator."""
+    pairs = spark.createDataFrame(edge_list or [(0, 0)], ["id_a", "id_b"])
+    if not edge_list:
+        pairs = pairs.limit(0)
+    star = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components_twostar(pairs).collect()
+    }
+    label = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    # label propagation labels self-loop-only nodes too; twostar drops
+    # self-loops up front, so compare on the union contract: every node
+    # in any NON-self pair must agree.
+    nonself = {n for a, b in edge_list if a != b for n in (a, b)}
+    assert {p for p in star if p[0] in nonself} == {p for p in label if p[0] in nonself}
+    assert {p[0] for p in star} == nonself

@@ -673,6 +673,35 @@ def test_asof_join_rejects_colliding_columns(spark):
         )
 
 
+def test_twostar_cc_deep_chain_in_log_rounds(spark):
+    """A depth-64 chain needs 64 label-propagation rounds but must
+    finish in O(log n) star rounds — max_iter=8 forces the log-round
+    claim, and every node must map to component 0."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
+    comps = dedup.connected_components_twostar(chain, max_iter=8).collect()
+    assert len(comps) == 65
+    assert {r["component"] for r in comps} == {0}
+
+
+def test_twostar_cc_raises_on_nonconvergence(spark):
+    chain = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_twostar(chain, max_iter=1)
+
+
+def test_dedup_survivors_cc_algorithms_agree(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    star = {r["doc_id"] for r in dedup.dedup_survivors_cc(docs, pairs, "doc_id").collect()}
+    label = {
+        r["doc_id"]
+        for r in dedup.dedup_survivors_cc(docs, pairs, "doc_id", algorithm="label").collect()
+    }
+    assert star == label
+    with pytest.raises(ValueError, match="algorithm"):
+        dedup.dedup_survivors_cc(docs, pairs, "doc_id", algorithm="bogus")
+
+
 def test_connected_components_raises_on_nonconvergence(spark):
     """A chain deeper than max_iter must raise, not silently return
     partial labels (which would keep several docs per component)."""

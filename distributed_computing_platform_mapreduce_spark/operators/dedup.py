@@ -501,6 +501,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     xxhash64 bit; fingerprint bit = sign of the vote. Same explode →
     groupBy shape as minhash_signatures (partial-agg friendly, no
     per-row expression blowup).
+
+    Tokenize stays a JVM expression deliberately: unlike the 3-gram
+    build in ``shingle_rows`` (interpreted ``transform``+``slice`` per
+    shingle — 5.8× slower than Arrow), plain split+filter+distinct is
+    cheap enough that the Arrow round-trip LOSES — measured 3.8 s
+    (expression) vs 6.3 s (pandas UDF) for the sf0.1 pair query, whose
+    self-join evaluates the tokenize twice. Measure before moving a
+    stage to Python either way.
     """
     toks = F.array_distinct(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
     hashed = df.select(

@@ -234,3 +234,33 @@ def test_twostar_cc_equals_label_propagation(spark, edge_list):
     nonself = {n for a, b in edge_list if a != b for n in (a, b)}
     assert {p for p in star if p[0] in nonself} == {p for p in label if p[0] in nonself}
     assert {p[0] for p in star} == nonself
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=6),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(-5, 5)), min_size=0, max_size=6),
+)
+def test_asof_join_matches_python(spark, left, right):
+    """Backward as-of join == Python scan: per left row, the value of the
+    LATEST right row with right_ts <= left_ts on the same key (ties on
+    right_ts broken identically by taking the max-ts row's value, made
+    unambiguous by deduplicating right on (key, ts))."""
+    from distributed_computing_platform_mapreduce_spark.operators.asof import asof_join_backward
+
+    # one right row per (key, ts) keeps "latest value" well-defined
+    right = list({(k, ts): v for k, ts, v in right}.items())
+    right = [(k, ts, v) for (k, ts), v in right]
+    l = _mk(spark, [(i, k, ts) for i, (k, ts) in enumerate(left)], ["event_id", "k", "ts"])
+    r = _mk(spark, right, ["k", "rts", "v"])
+    got = {
+        r_["event_id"]: r_["last_v"]
+        for r_ in asof_join_backward(
+            l, r, on="k", left_ts="ts", right_ts="rts", value_col="v", out_col="last_v"
+        ).collect()
+    }
+    want = {}
+    for i, (k, ts) in enumerate(left):
+        prior = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        want[i] = max(prior)[1] if prior else None
+    assert got == want

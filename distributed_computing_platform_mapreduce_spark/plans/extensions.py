@@ -61,13 +61,34 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
-@query("dedup_minhash_lsh")  # probabilistic candidate gen → rows-only check
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+    """,
+)
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup pairs, exact-verified at ≥ 0.5.
 
-    With candidate recall 100% on this corpus the output equals
-    ``dedup_ngram_jaccard`` — asserted in tests; oracle omitted because
-    LSH recall is probabilistic by construction.
+    Oracle-backed since r4: every emitted pair is exact-verified
+    (precision 1.0 by construction) and candidate recall is 100% on
+    this corpus (dup groups sit far above the j=0.5 S-curve knee —
+    pinned by ``test_minhash_lsh_equals_exact_jaccard``), so the output
+    EQUALS the exact all-pairs Jaccard twin, jaccard doubles included
+    (count/(a+b-c) is the same IEEE division on both engines). On
+    adversarial corpora with mass exactly at the threshold the
+    equality would be probabilistic — that's a property of the corpus,
+    not the operator; the LSH plan itself stays O(n·bands).
     """
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(

@@ -1,10 +1,23 @@
 from distributed_computing_platform_mapreduce_spark.operators import (
     asof,
     dedup,
+    intervals,
     multimodal,
+    ranking,
+    sampling,
     similarity,
     skew,
     text,
 )
 
-__all__ = ["asof", "dedup", "similarity", "skew", "text", "multimodal"]
+__all__ = [
+    "asof",
+    "dedup",
+    "intervals",
+    "multimodal",
+    "ranking",
+    "sampling",
+    "similarity",
+    "skew",
+    "text",
+]

@@ -1,0 +1,70 @@
+"""Deterministic sampling operators for training-data curation.
+
+Curating a 100 TB corpus means drawing reproducible subsets: fixed
+budgets per stratum (language, source, quality bucket) for eval sets,
+and proportional rates for mixture tuning. Spark's built-in ``sample``/
+``sampleBy`` are per-partition Bernoulli draws — rates are honored only
+in expectation, and the draw changes when partitioning changes. These
+operators are deterministic functions of (row identity, seed): the same
+inputs produce the same sample on any cluster layout, which is what a
+reproducible data recipe needs.
+
+Scale shape: the priority is a pure expression over the id (an LCG over
+a Mersenne-prime field — same family as the MinHash permutations, so
+ANSI-safe: products stay < 2^62); exact-budget sampling is a per-stratum
+top-k (window over the stratum, early-pruned by WindowGroupLimit), and
+rate sampling is a stateless filter with NO shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_P = (1 << 31) - 1
+
+
+def _priority(id_col: str, seed: int) -> F.Column:
+    """Deterministic pseudo-random priority in [0, P) from (id, seed).
+
+    Affine over GF(P) with seed-derived multiplier: full-period over the
+    field, expressible in any SQL dialect (the twin oracle in tests runs
+    the same formula in DuckDB), and ANSI-overflow-safe.
+    """
+    a = (seed * 6364136223846793005 + 1442695040888963407) % _P or 1
+    b = (seed * 2862933555777941757 + 3037000493) % _P
+    return (F.lit(a) * F.pmod(F.col(id_col), F.lit(_P)) + F.lit(b)) % F.lit(_P)
+
+
+def sample_rate(df: DataFrame, id_col: str, rate: float, seed: int = 0) -> DataFrame:
+    """Deterministic ~``rate`` sample: keep rows whose priority falls
+    below ``rate``·P. Stateless filter — no shuffle, prunes at the scan."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_priority(id_col, seed) < F.lit(int(rate * _P)))
+
+
+def stratified_sample_exact(
+    df: DataFrame, strata_cols: list[str], id_col: str, n_per_stratum: int, seed: int = 0
+) -> DataFrame:
+    """EXACTLY ``min(n, |stratum|)`` rows per stratum, deterministically:
+    rank rows within each stratum by (priority, id) — the id tie-break
+    makes the order total, so the sample is unique — and keep the top n.
+
+    One shuffle on the strata columns; rank ≤ n is recognized by Spark's
+    WindowGroupLimit, so each partition keeps only n rows per stratum
+    before the exchange (top-k pushdown, not a full sort).
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    if "__rk" in df.columns:
+        raise ValueError("stratified_sample_exact reserves column name '__rk'")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _priority(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -710,3 +710,145 @@ def test_connected_components_raises_on_nonconvergence(spark):
         dedup.connected_components(chain, max_iter=2)
     done = dedup.connected_components(chain, max_iter=20)
     assert done.select("component").distinct().count() == 1
+
+
+# --- lexical ranking (TF-IDF / BM25) ----------------------------------------
+
+
+def _py_postings(rows):
+    from collections import Counter
+
+    return {i: Counter(t.split()) for i, t in rows}
+
+
+def test_tfidf_matches_python(spark, sf_dir):
+    import math
+
+    from distributed_computing_platform_mapreduce_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    post = _py_postings(rows)
+    n = len(post)
+    dfreq: dict = {}
+    for cnt in post.values():
+        for t in cnt:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    got = {
+        (r["id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in ranking.tfidf(docs, "doc_id", "text").collect()
+    }
+    want_keys = {(i, t) for i, cnt in post.items() for t in cnt}
+    assert set(got) == want_keys
+    for (i, t), (tf, df_, w) in got.items():
+        assert tf == post[i][t]
+        assert df_ == dfreq[t]
+        assert w == pytest.approx(tf * (math.log((n + 1) / (dfreq[t] + 1)) + 1.0), rel=1e-12)
+
+
+def test_bm25_matches_python(spark, sf_dir):
+    import math
+
+    from distributed_computing_platform_mapreduce_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    post = _py_postings(rows)
+    # pick real vocabulary: the two most common tokens + one absent term
+    from collections import Counter
+
+    vocab = Counter()
+    for cnt in post.values():
+        vocab.update(cnt)
+    q = [t for t, _ in vocab.most_common(2)] + ["zzz-not-a-term"]
+    k1, b = 1.2, 0.75
+    n = len(rows)
+    avgdl = sum(sum(c.values()) for c in post.values()) / n
+    dfreq = {t: sum(1 for c in post.values() if t in c) for t in q}
+    want = {}
+    for i, cnt in post.items():
+        s = 0.0
+        for t in q:
+            tf = cnt.get(t, 0)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            dl = sum(cnt.values())
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if s:
+            want[i] = s
+    got = {
+        r["id"]: r["bm25"]
+        for r in ranking.bm25_scores(docs, "doc_id", "text", q, k1=k1, b=b).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], rel=1e-9)
+    with pytest.raises(ValueError, match="at least one"):
+        ranking.bm25_scores(docs, "doc_id", "text", [])
+
+
+# --- deterministic sampling -------------------------------------------------
+
+
+def test_sample_rate_deterministic_and_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    from distributed_computing_platform_mapreduce_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in sampling.sample_rate(docs, "doc_id", 0.3, seed=7).collect()}
+    b = {r["doc_id"] for r in sampling.sample_rate(docs, "doc_id", 0.3, seed=7).collect()}
+    assert a == b and a  # deterministic, non-empty
+    # repartitioning must not change the draw (unlike df.sample)
+    c = {
+        r["doc_id"]
+        for r in sampling.sample_rate(docs.repartition(7), "doc_id", 0.3, seed=7).collect()
+    }
+    assert a == c
+    # different seed -> different draw
+    d = {r["doc_id"] for r in sampling.sample_rate(docs, "doc_id", 0.3, seed=8).collect()}
+    assert a != d
+    # the priority is plain field arithmetic: DuckDB computes the same set
+    P = (1 << 31) - 1
+    am = (7 * 6364136223846793005 + 1442695040888963407) % P or 1
+    bm = (7 * 2862933555777941757 + 3037000493) % P
+    con = duckdb.connect()
+    import os
+
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    want = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM documents WHERE ({am} * (doc_id % {P}) + {bm}) % {P} < {int(0.3 * P)}"
+        ).fetchall()
+    }
+    assert a == want
+    with pytest.raises(ValueError, match="rate"):
+        sampling.sample_rate(docs, "doc_id", 1.5)
+
+
+def test_stratified_sample_exact_budgets(spark, sf_dir):
+    from collections import Counter
+
+    from distributed_computing_platform_mapreduce_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata_sizes = Counter(r["lang"] for r in docs.select("lang").collect())
+    got = sampling.stratified_sample_exact(docs, ["lang"], "doc_id", 10, seed=3).collect()
+    per = Counter(r["lang"] for r in got)
+    for lang, size in strata_sizes.items():
+        assert per[lang] == min(10, size)
+    # deterministic under repartitioning
+    again = sampling.stratified_sample_exact(
+        docs.repartition(5), ["lang"], "doc_id", 10, seed=3
+    ).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+    with pytest.raises(ValueError, match="positive"):
+        sampling.stratified_sample_exact(docs, ["lang"], "doc_id", 0)
+    with pytest.raises(ValueError, match="__rk"):
+        sampling.stratified_sample_exact(
+            docs.withColumn("__rk", F.lit(1)), ["lang"], "doc_id", 5
+        )

@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from distributed_computing_platform_mapreduce_spark.operators import dedup, multimodal, similarity, text
+from distributed_computing_platform_mapreduce_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from distributed_computing_platform_mapreduce_spark.plans.registry import query
 from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
 
@@ -174,6 +180,19 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_stats",
     oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_distinct([lower(x) FOR x IN
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')]) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text,
+             len(list_intersect(toks, ['the','and','of','to','a','in','is','it','for','on'])) AS s_en,
+             len(list_intersect(toks, ['el','la','de','que','y','en','un','los','se','por'])) AS s_es,
+             len(list_intersect(toks, ['le','la','de','et','les','des','en','un','du','que'])) AS s_fr,
+             len(list_intersect(toks, ['der','die','und','das','von','zu','mit','den','ist','im'])) AS s_de
+      FROM t
+    )
     SELECT doc_id,
            length(text) AS n_chars_computed,
            len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
@@ -186,49 +205,7 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS stopword_ratio,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
                [CAST(ascii(text[i]) AS BIGINT) FOR i IN range(1, len(text)+1)]),
-               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-    FROM documents
-    """,
-)
-def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features + token counting + document fingerprinting: char
-    count, whitespace and BPE-ish token counts, punctuation & stopword
-    ratios, and the polynomial rolling-hash fingerprint (exact integer
-    fold, so even the hash is oracle-checked) — all JVM expressions, no
-    per-row Python, one scan. (Fingerprinting was its own registry row
-    through r3; folded here in r4 to free a slot — capability unchanged.)"""
-    docs = load_table(spark, sf_dir, "documents")
-    return text.quality_features(
-        docs, "doc_id", "text",
-        extra_cols=[text.fingerprint(F.col("text")).alias("fp")],
-    ).select(
-        "doc_id",
-        "n_chars_computed",
-        "n_tokens",
-        "n_bpe_tokens",
-        "punct_ratio",
-        "stopword_ratio",
-        "fp",
-    )
-
-
-@query(
-    "text_lang_id",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             list_distinct([lower(x) FOR x IN
-               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')]) AS toks
-      FROM documents
-    ), s AS (
-      SELECT doc_id,
-             len(list_intersect(toks, ['the','and','of','to','a','in','is','it','for','on'])) AS s_en,
-             len(list_intersect(toks, ['el','la','de','que','y','en','un','los','se','por'])) AS s_es,
-             len(list_intersect(toks, ['le','la','de','et','les','des','en','un','du','que'])) AS s_fr,
-             len(list_intersect(toks, ['der','die','und','das','von','zu','mit','den','ist','im'])) AS s_de
-      FROM t
-    )
-    SELECT doc_id,
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
            CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
                 WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
                 WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
@@ -237,14 +214,33 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
 )
-def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language ID heuristic (en/es/fr/de/und).
-
-    Deterministic argmax with first-language-wins tie-break — the oracle
-    replays the identical marker lexicons and tie order, so even this
-    heuristic is hash-checked."""
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + token counting + fingerprinting + language ID:
+    char count, whitespace and BPE-ish token counts, punctuation &
+    stopword ratios, the polynomial rolling-hash fingerprint (exact
+    integer fold), and the stopword-overlap lang-ID argmax
+    (deterministic first-language-wins tie-break, lexicons replayed in
+    the oracle) — all JVM expressions, no per-row Python, ONE scan.
+    (Fingerprinting folded r4; lang-ID folded r4 from its own registry
+    row to free a slot for ``sample_stratified`` — capability unchanged,
+    still hash-checked.)"""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+    return text.quality_features(
+        docs, "doc_id", "text",
+        extra_cols=[
+            text.fingerprint(F.col("text")).alias("fp"),
+            text.lang_id(F.col("text")).alias("lang_pred"),
+        ],
+    ).select(
+        "doc_id",
+        "n_chars_computed",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "fp",
+        "lang_pred",
+    )
 
 
 @query("multimodal_features")  # mapInPandas over binary payloads; no SQL oracle
@@ -359,3 +355,34 @@ def dedup_cc_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_survivors_cc(docs, pairs, "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (15330096 * (doc_id % 2147483647) + 1941083619) % 2147483647,
+                        doc_id
+             ) AS rk
+      FROM documents)
+    WHERE rk <= 10
+    """,
+)
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-budget stratified sample: 10 documents per
+    language, ranked by an affine hash of doc_id over GF(2^31−1) with an
+    id tie-break (seed 11 → multiplier 15330096, offset 1941083619 — the
+    oracle replays the identical arithmetic, so the SAMPLE SET itself is
+    hash-checked, not just its size). Unlike Spark's per-partition
+    Bernoulli ``sample``, the draw is a pure function of (doc_id, seed):
+    the same subset reproduces on any cluster layout — what a training
+    data recipe requires. Plan: one shuffle on the stratum column,
+    WindowGroupLimit prunes to 10 rows/stratum map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample_exact(
+        docs, ["lang"], "doc_id", 10, seed=11
+    ).select("doc_id", "lang", "source")

@@ -852,3 +852,43 @@ def test_stratified_sample_exact_budgets(spark, sf_dir):
         sampling.stratified_sample_exact(
             docs.withColumn("__rk", F.lit(1)), ["lang"], "doc_id", 5
         )
+
+
+# --- end-to-end curation pipeline -------------------------------------------
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir):
+    """The composition a training-data platform actually runs, as one
+    flow over the documents table: LSH near-dedup -> two-star transitive
+    survivors -> quality floor -> exact per-language sampling budget.
+    Asserts the semantic contract of each stage on the real corpus and
+    determinism of the whole pipeline under repartitioning."""
+    from distributed_computing_platform_mapreduce_spark.operators import sampling, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    survivors = dedup.dedup_survivors_cc(docs, pairs, "doc_id")
+    # no surviving near-dup pair: both endpoints of any pair never co-survive
+    surv_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    for r in pairs.collect():
+        assert not (r["id_a"] in surv_ids and r["id_b"] in surv_ids)
+    quality = text.quality_features(survivors, "doc_id", "text").filter(
+        F.col("quality_score") >= 0.5
+    )
+    eligible = quality.join(docs.select("doc_id", "lang"), "doc_id")
+    sampled = sampling.stratified_sample_exact(eligible, ["lang"], "doc_id", 5, seed=11)
+    rows = sampled.collect()
+    assert {r["doc_id"] for r in rows} <= surv_ids
+    from collections import Counter
+
+    budgets = Counter(r["lang"] for r in rows)
+    avail = Counter(r["lang"] for r in eligible.select("lang").collect())
+    for lang, n in avail.items():
+        assert budgets[lang] == min(5, n)
+    for r in rows:
+        assert r["quality_score"] >= 0.5
+    # the whole pipeline is deterministic: rerun on a different layout
+    again = sampling.stratified_sample_exact(
+        eligible.repartition(13), ["lang"], "doc_id", 5, seed=11
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again}

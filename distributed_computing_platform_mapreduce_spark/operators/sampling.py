@@ -30,11 +30,17 @@ def _priority(id_col: str, seed: int) -> F.Column:
 
     Affine over GF(P) with seed-derived multiplier: full-period over the
     field, expressible in any SQL dialect (the twin oracle in tests runs
-    the same formula in DuckDB), and ANSI-overflow-safe.
+    the same formula in DuckDB), and ANSI-overflow-safe — all operands
+    are cast to long EXPLICITLY because with a 32-bit id column the
+    literals also stay int and a·(id % P) overflows int32 under ANSI
+    (caught by the Hypothesis twin; bigint ids masked it).
     """
     a = (seed * 6364136223846793005 + 1442695040888963407) % _P or 1
     b = (seed * 2862933555777941757 + 3037000493) % _P
-    return (F.lit(a) * F.pmod(F.col(id_col), F.lit(_P)) + F.lit(b)) % F.lit(_P)
+    p = F.lit(_P).cast("long")
+    return (
+        F.lit(a).cast("long") * F.pmod(F.col(id_col).cast("long"), p) + F.lit(b).cast("long")
+    ) % p
 
 
 def sample_rate(df: DataFrame, id_col: str, rate: float, seed: int = 0) -> DataFrame:

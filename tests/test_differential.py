@@ -264,3 +264,26 @@ def test_asof_join_matches_python(spark, left, right):
         prior = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
         want[i] = max(prior)[1] if prior else None
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.tuples(st.integers(0, 50), st.integers(0, 2)), min_size=1, max_size=12, unique_by=lambda t: t[0]),
+    st.integers(1, 3),
+    st.integers(0, 5),
+)
+def test_stratified_sample_matches_python(spark, rows, n, seed):
+    """Exact stratified sampling == Python twin running the same affine
+    priority hash: identical SET per stratum, not just identical size."""
+    from distributed_computing_platform_mapreduce_spark.operators import sampling
+
+    df = _mk(spark, rows, ["id", "stratum"])
+    got = {r["id"] for r in sampling.stratified_sample_exact(df, ["stratum"], "id", n, seed=seed).collect()}
+    P = (1 << 31) - 1
+    a = (seed * 6364136223846793005 + 1442695040888963407) % P or 1
+    b = (seed * 2862933555777941757 + 3037000493) % P
+    by_stratum: dict[int, list[tuple[int, int]]] = collections.defaultdict(list)
+    for i, s in rows:
+        by_stratum[s].append(((a * (i % P) + b) % P, i))
+    want = {i for vs in by_stratum.values() for _, i in sorted(vs)[:n]}
+    assert got == want

@@ -112,3 +112,60 @@ def bm25_scores(
         .groupBy("id")
         .agg(F.sum("partial").alias("bm25"))
     )
+
+
+def bm25_scores_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 for a TABLE of queries at once — (query_id, id, bm25), one
+    plan, no per-query driver loop: the batch shape a retrieval-style
+    curation job runs (thousands of probe queries against the corpus).
+
+    ``queries`` is (query_id, term) postings. The corpus-side postings
+    are computed ONCE; the query table (small by definition) broadcasts
+    onto them, so corpus postings still shuffle only on their own keys
+    and adding queries adds no scan. idf is corpus-wide per term —
+    identical to ``bm25_scores``, and the two are asserted equal
+    per-query in tests.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
+    tc = term_counts(df, id_col, text_col)
+    doclen = df.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("dl"),
+    )
+    consts = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    # df(term) over the terms any query mentions — vocabulary-sized
+    dfreq = (
+        tc.join(F.broadcast(q.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (F.lit(k1) + 1)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tc.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(consts))
+        .select("query_id", "id", (idf * tf_norm).alias("partial"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("partial").alias("bm25"))
+    )

@@ -892,3 +892,35 @@ def test_curation_pipeline_end_to_end(spark, sf_dir):
         eligible.repartition(13), ["lang"], "doc_id", 5, seed=11
     ).collect()
     assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again}
+
+
+def test_bm25_multi_query_equals_single(spark, sf_dir):
+    """The batched multi-query BM25 must equal per-query single calls —
+    same idf, same normalization, one plan instead of a driver loop."""
+    from distributed_computing_platform_mapreduce_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    from collections import Counter
+
+    vocab = Counter()
+    for r in docs.select("text").collect():
+        vocab.update(r["text"].split())
+    common = [t for t, _ in vocab.most_common(4)]
+    qdf = spark.createDataFrame(
+        [(1, common[0]), (1, common[1]), (2, common[2]), (2, common[3]), (3, "zzz-none")],
+        ["query_id", "term"],
+    )
+    multi = {
+        (r["query_id"], r["id"]): r["bm25"]
+        for r in ranking.bm25_scores_multi(docs, "doc_id", "text", qdf).collect()
+    }
+    for qid, terms in ((1, common[:2]), (2, common[2:4])):
+        single = {
+            r["id"]: r["bm25"]
+            for r in ranking.bm25_scores(docs, "doc_id", "text", terms).collect()
+        }
+        got = {i: s for (q, i), s in multi.items() if q == qid}
+        assert set(got) == set(single)
+        for i in single:
+            assert got[i] == pytest.approx(single[i], rel=1e-12)
+    assert not any(q == 3 for q, _ in multi)  # unmatched query absent

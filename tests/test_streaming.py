@@ -231,3 +231,31 @@ def test_stateful_running_totals_equals_batch(spark, sf_dir):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert got[uid][1] == pytest.approx(want[uid][1], rel=1e-9)
+
+
+def test_stream_sample_rate_equals_batch(spark, sf_dir):
+    """sample_rate is a stateless priority filter, so it composes with
+    Structured Streaming unchanged — the streamed draw must equal the
+    batch draw EXACTLY (same (id, seed) hash, no per-partition
+    randomness), which is what makes sampled training mixtures
+    reproducible across batch and incremental ingestion."""
+    from distributed_computing_platform_mapreduce_spark.operators import sampling
+
+    ev = stream_events(spark, sf_dir)
+    q = (
+        sampling.sample_rate(ev.select("event_id"), "event_id", 0.25, seed=5)
+        .writeStream.format("memory")
+        .queryName("sampled_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {r["event_id"] for r in spark.table("sampled_mem").collect()}
+    batch = {
+        r["event_id"]
+        for r in sampling.sample_rate(
+            load_table(spark, sf_dir, "events").select("event_id"), "event_id", 0.25, seed=5
+        ).collect()
+    }
+    assert streamed == batch and streamed

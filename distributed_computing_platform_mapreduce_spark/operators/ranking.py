@@ -78,8 +78,10 @@ def bm25_scores(
     absent (score would be 0).
 
     ``query_terms`` is a driver-side literal list (a query is small by
-    definition); it becomes an IN filter pushed into the postings scan,
-    so only matching postings ever shuffle.
+    definition); it becomes an IN filter that Catalyst places directly
+    above the token explode — below every aggregate and exchange
+    (verified in the executed plan) — so only matching postings ever
+    shuffle.
     """
     if not query_terms:
         raise ValueError("bm25_scores needs at least one query term")

@@ -924,3 +924,19 @@ def test_bm25_multi_query_equals_single(spark, sf_dir):
         for i in single:
             assert got[i] == pytest.approx(single[i], rel=1e-12)
     assert not any(q == 3 for q, _ in multi)  # unmatched query absent
+
+
+def test_frame_index_sampling_consistent_with_decoding_form(spark, sf_dir):
+    """The cheap index-only frame_sample and the decoding sample_frames
+    must agree on which (media_id, frame_idx) rows a video yields."""
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    media = mm.video_from_documents(docs, n_frames=7, width=4, height=4)
+    idx_only = {
+        (r["media_id"], r["frame_idx"]) for r in mm.frame_sample(media, every_n=3).collect()
+    }
+    decoded = {
+        (r["media_id"], r["frame_idx"]) for r in mm.sample_frames(media, every_n=3).collect()
+    }
+    assert idx_only == decoded and len(decoded) == 8 * 3  # frames 0,3,6

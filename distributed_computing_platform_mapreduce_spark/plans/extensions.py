@@ -3,13 +3,15 @@ text analysis, multimodal plumbing (north-star additions beyond the
 reference's operator surface — SURVEY.md §2.6 last row).
 
 Oracles: everything with exact, order-defined semantics gets a DuckDB
-oracle (including the rolling-hash fingerprint, exact n-gram Jaccard,
-language-ID argmax, and the near-dedup survivor policy); the
-probabilistic ops (MinHash-LSH, SimHash, LSH-ANN, embedding near-dup)
-are rows-only per the driver contract, and each is pinned instead by a
-pytest ground-truth check: MinHash-LSH == exact Jaccard, SimHash block
-join == brute-force hamming scan, ANN recall measured vs exact top-k,
-embedding near-dup ⊆ brute-force cosine scan (tests/test_operators.py).
+oracle (the rolling-hash fingerprint, exact n-gram Jaccard, language-ID
+argmax, both near-dedup survivor policies, the stratified sample set,
+and — because its pairs are exact-verified with 100% candidate recall
+on this corpus — MinHash-LSH itself); the remaining probabilistic ops
+(SimHash, LSH-ANN, embedding near-dup) plus binary-decoding multimodal
+are rows-only per the driver contract, each pinned instead by a pytest
+ground-truth check: SimHash block join == brute-force hamming scan, ANN
+recall measured vs exact top-k, embedding near-dup precision/recall vs
+the brute-force cosine scan (tests/test_operators.py).
 """
 
 from __future__ import annotations

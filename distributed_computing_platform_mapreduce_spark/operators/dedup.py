@@ -389,8 +389,11 @@ def connected_components_twostar(
 
     At the fixpoint every edge is (node, component-min). Convergence is
     detected by an order-insensitive edge-set checksum (count + hash
-    sum in DECIMAL so ANSI mode can't overflow); a checksum repeat ends
-    the loop. Raises like its sibling if ``max_iter`` is exhausted.
+    sum in DECIMAL so ANSI mode can't overflow) as the per-round fast
+    path; a checksum match is then CONFIRMED by an exact symmetric
+    difference (one extra job, paid only at termination), so a hash
+    collision cannot end the loop on an unconverged edge set. Raises
+    like its sibling if ``max_iter`` is exhausted.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -441,6 +444,7 @@ def connected_components_twostar(
 
     sig = _checksum(edges)
     for _ in range(max_iter):
+        prev = edges
         edges = (
             _small_star(_large_star(edges))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
@@ -449,7 +453,7 @@ def connected_components_twostar(
             .localCheckpoint(eager=True)
         )
         new_sig = _checksum(edges)
-        if new_sig == sig:
+        if new_sig == sig and edges.exceptAll(prev).union(prev.exceptAll(edges)).isEmpty():
             labels = (
                 edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
                 .union(edges.select(F.col("v").alias("id"), F.col("v").alias("component")))

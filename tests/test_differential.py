@@ -287,3 +287,22 @@ def test_stratified_sample_matches_python(spark, rows, n, seed):
         by_stratum[s].append(((a * (i % P) + b) % P, i))
     want = {i for vs in by_stratum.values() for _, i in sorted(vs)[:n]}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_rows, _rows)
+def test_set_ops_match_python(spark, left, right):
+    """UNION ALL / INTERSECT (distinct) / EXCEPT (distinct) multiset and
+    set semantics vs Python on generated row lists."""
+    l = _mk(spark, left, ["k", "v"])
+    r = _mk(spark, right, ["k", "v"])
+    union_all = collections.Counter((x["k"], x["v"]) for x in l.unionAll(r).collect())
+    assert union_all == collections.Counter(left) + collections.Counter(right)
+    intersect = {(x["k"], x["v"]) for x in l.intersect(r).collect()}
+    assert intersect == set(left) & set(right)
+    except_ = {(x["k"], x["v"]) for x in l.exceptAll(r).collect()}
+    want_except = collections.Counter(left) - collections.Counter(right)
+    assert collections.Counter((x["k"], x["v"]) for x in l.exceptAll(r).collect()) == want_except
+    assert except_ == set(want_except)
+    distinct = {(x["k"], x["v"]) for x in l.distinct().collect()}
+    assert distinct == set(left)

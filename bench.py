@@ -128,7 +128,9 @@ def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[st
     return docs_path, edges_path
 
 
-def _ref_scale_times(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+def _ref_scale_times(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
     """wordcount + rwlg at the BASELINE.md data volumes (same declarative
     plans as the registered queries, reading materialized replica
     corpora).
@@ -146,8 +148,13 @@ def _ref_scale_times(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, li
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for label, nbytes in REF_SCALES.items():
-        docs_path, edges_path = _ensure_ref_corpora(spark, sf_dir, label, nbytes)
+        try:
+            docs_path, edges_path = _ensure_ref_corpora(spark, sf_dir, label, nbytes)
+        except Exception as exc:  # noqa: BLE001 — isolate per scale point
+            errors[f"corpus_{label}"] = _error_line(exc)
+            continue
 
         def run_wc():
             docs = spark.read.parquet(docs_path)
@@ -176,16 +183,23 @@ def _ref_scale_times(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, li
             )
             rw.write.format("noop").mode("overwrite").save()
 
-        run_wc()  # warm the plan shape (codegen/JIT) before timing
-        med, lo, hi = _timed_median(run_wc)
-        times[f"wordcount_{label}"] = med
-        spread[f"wordcount_{label}"] = [lo, hi]
+        for key, fn in ((f"wordcount_{label}", run_wc), (f"rwlg_{label}", run_rwlg)):
+            try:
+                fn()  # warm the plan shape (codegen/JIT) before timing
+                med, lo, hi = _timed_median(fn)
+            except Exception as exc:  # noqa: BLE001
+                errors[key] = _error_line(exc)
+                continue
+            times[key] = med
+            spread[key] = [lo, hi]
+    return times, spread, errors
 
-        run_rwlg()
-        med, lo, hi = _timed_median(run_rwlg)
-        times[f"rwlg_{label}"] = med
-        spread[f"rwlg_{label}"] = [lo, hi]
-    return times, spread
+
+def _error_line(exc: BaseException) -> str:
+    """One-line error summary for the JSON report (no newlines — the
+    report must stay a single JSON line)."""
+    msg = f"{type(exc).__name__}: {exc}"
+    return " ".join(msg.split())[:400]
 
 
 def main() -> None:
@@ -193,15 +207,14 @@ def main() -> None:
     spark = get_spark("distributed-computing-platform-mapreduce-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm every benched plan once (Catalyst analysis + janino codegen +
-    # JIT are one-time costs per plan shape); the timed passes then measure
-    # steady-state engine throughput — the number that scales to a long
-    # running cluster job, where compile time amortizes to zero.
-    for name in BENCH_QUERIES:
-        QUERIES[name](spark, sf_dir).count()
-
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+
+    # Per-query fault isolation (round-4 lesson: one query throwing at
+    # plan-analysis time zeroed the ENTIRE round's numbers). Each query
+    # warms and times inside its own try/except; a broken query becomes
+    # an `errors` entry and the rest still report.
     for name in BENCH_QUERIES:
 
         def run(q=name):
@@ -211,13 +224,26 @@ def main() -> None:
             n = df.count() if q not in ("wordcount", "rwlg") else len(df.collect())
             assert n >= 0
 
-        med, lo, hi = _timed_median(run)
+        try:
+            # Warm the plan once (Catalyst analysis + janino codegen + JIT
+            # are one-time costs per plan shape); timed passes then measure
+            # steady-state engine throughput — the number that scales to a
+            # long-running cluster job, where compile time amortizes to zero.
+            run()
+            med, lo, hi = _timed_median(run)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = _error_line(exc)
+            continue
         times[name] = med
         spread[name] = [lo, hi]
 
-    ref_times, ref_spread = _ref_scale_times(spark, sf_dir)
-    times.update(ref_times)
-    spread.update(ref_spread)
+    try:
+        ref_times, ref_spread, ref_errors = _ref_scale_times(spark, sf_dir)
+        times.update(ref_times)
+        spread.update(ref_spread)
+        errors.update(ref_errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["ref_scale"] = _error_line(exc)
 
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -228,6 +254,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "errors": errors,
                 "spread_min_max": spread,
                 "runs_per_query": N_RUNS,
                 "sf": float(sf) if sf else None,

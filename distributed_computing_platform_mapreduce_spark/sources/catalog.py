@@ -44,17 +44,30 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
 
 
 def nanos_to_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Convert a nanos-as-long column to a microsecond timestamp.
+    """Normalize any on-disk ``ts`` encoding to a session-TZ ``timestamp``.
 
-    Integer div — nanos ~1.7e18 exceed double's 53-bit mantissa, so no
-    float path. DuckDB truncates ns→µs identically. No-op if the column
-    is already a timestamp (e.g. future data regenerated at µs).
+    The ingest layer owns timestamp normalization — every downstream
+    operator (watermarks, ``unix_micros``, interval banding) assumes a
+    plain ``TimestampType``. Three encodings seen across testdata
+    generations, all mapped here:
+
+    - ``LongType`` (legacy nanos-as-long via ``nanosAsLong``): integer
+      div — nanos ~1.7e18 exceed double's 53-bit mantissa, so no float
+      path. DuckDB truncates ns→µs identically.
+    - ``TimestampNTZType`` (``timestamp[us]`` with no timezone): cast to
+      ``timestamp``. The session timezone is pinned UTC (``session.py``),
+      so the cast is an exact re-tag — wall-clock values are unchanged
+      and DuckDB (which reads the same NTZ µs values) agrees.
+    - ``TimestampType``: already normalized, no-op.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema[col].dataType, LongType):
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, LongType):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif isinstance(dtype, TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

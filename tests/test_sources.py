@@ -131,3 +131,47 @@ def test_csv_and_json_scans(spark, tmp_path):
     dj = load_json(spark, str(json_path))
     rows = {r["id"]: list(r["tags"]) for r in dj.collect()}
     assert rows == {1: ["x"], 2: []}
+
+
+def test_events_ts_normalized_across_encodings(spark, tmp_path):
+    """Schema contract: ``load_table(events).ts`` is a plain TimestampType
+    no matter how the driver regenerated the parquet — nanos-as-long
+    (TIMESTAMP(NANOS)), µs with no timezone (TIMESTAMP_NTZ), or µs UTC.
+    Round 4 regression: the testdata moved from nanos to µs-NTZ and the
+    ingest layer silently passed NTZ through, breaking watermarks and
+    unix_micros downstream. The ingest layer owns normalization; this
+    pins it for every encoding.
+    """
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    wall = [base + dt.timedelta(minutes=i) for i in range(3)]
+    micros = [int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) for t in wall]
+
+    encodings = {
+        "nanos_long": pa.array([m * 1000 for m in micros], type=pa.timestamp("ns")),
+        "us_ntz": pa.array(micros, type=pa.timestamp("us")),
+        "us_utc": pa.array(micros, type=pa.timestamp("us", tz="UTC")),
+    }
+    for name, arr in encodings.items():
+        sf = tmp_path / name
+        sf.mkdir()
+        tbl = pa.table({"event_id": pa.array([1, 2, 3], type=pa.int64()), "ts": arr})
+        pq.write_table(tbl, str(sf / "events.parquet"))
+
+        df = load_table(spark, str(sf), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), (
+            f"{name}: got {df.schema['ts'].dataType}"
+        )
+        # values are identical wall-clock instants across encodings
+        # (session TZ pinned UTC), and micro-precision survives
+        got = sorted(r["ts"] for r in df.select("ts").collect())
+        assert got == wall, f"{name}: {got}"
+        # watermark assignment — the round-4 failure mode — must analyze
+        df.withWatermark("ts", "1 hour").groupBy("ts").count().schema

@@ -199,13 +199,24 @@ def minhash_lsh_pairs(
        it so the n-gram construction runs once; a 100 TB pipeline would
        materialize this table to storage instead);
     2. signatures (num_hashes mins over universal hashes of the shingle
-       hash), split into ``bands`` bands → band-hash bucket; same-bucket
-       pairs are candidates (one shuffle on (band, bucket); a mega-bucket
-       means true mass duplication → AQE skew split);
-    3. candidates verified with exact Jaccard via the inverted index:
-       common-shingle COUNTS per candidate pair — only ids that survived
-       banding join back, and no full shingle arrays are ever shipped
-       (the round-1 form sent both sides' whole arrays per pair).
+       hash) AND the per-doc shingle count in ONE groupBy — sizes ride
+       the same shuffle as the signature build instead of a second
+       full-corpus aggregation (r5: shaved one of the three sh-wide
+       shuffles);
+       signatures split into ``bands`` bands → band-hash bucket;
+       same-bucket pairs are candidates (one shuffle on (band, bucket);
+       a mega-bucket means true mass duplication → AQE skew split);
+    3. candidates verified with exact Jaccard via the inverted index —
+       over the shingles of CANDIDATE docs only: the candidate id set
+       (≪ corpus at real dup rates) broadcast-semi-joins the shingle
+       table first (a scan-side filter, no sh shuffle), so the two
+       verify joins shuffle O(candidate docs × shingles) instead of the
+       whole corpus twice (r5; before/after in SCALE.md). Common-shingle
+       COUNTS per pair — no full shingle arrays are ever shipped (the
+       round-1 form sent both sides' whole arrays per pair). At extreme
+       dup rates where the candidate id set outgrows a broadcast,
+       Spark's size estimate falls back to a shuffled semi join — same
+       semantics, still pruned.
     """
     r = num_hashes // bands
     sh = shingle_rows(df, id_col, text_col, n)
@@ -225,15 +236,19 @@ def minhash_lsh_pairs(
             _live_shingle_cache.unpersist(blocking=False)
         sh = sh.persist()
         _live_shingle_cache = sh
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     rnd = _lcg_params(num_hashes)
     hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
+    # shingle rows are distinct per doc, so count(*) here IS |shingles|;
+    # folding it into the signature groupBy reuses that shuffle instead
+    # of aggregating sh a second time.
     mins = hashed.groupBy("id").agg(
+        F.count("*").alias("sz"),
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"__sig{i}")
             for i, (a, b) in enumerate(rnd)
-        ]
+        ],
     )
+    sizes = mins.select("id", "sz")
     banded = mins.select(
         "id",
         F.explode(
@@ -261,10 +276,25 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # The pair set feeds two consumers (the broadcast id filter below
+        # and the verify join) — checkpoint it so the LSH pipeline runs
+        # once, not once per consumer. Lazy: materializes inside the
+        # broadcast-build job, reused by the main join. Bounded size
+        # (candidate pairs, not shingles).
+        .localCheckpoint(eager=False)
     )
     # Exact verification of candidates only, via common-shingle counts.
-    expl_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    expl_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # Prune sh to candidate docs FIRST: the id set is tiny next to the
+    # corpus, so the semi join broadcasts and the expensive verify joins
+    # below see only candidate shingles.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    expl_a = sh_cand.select(F.col("id").alias("id_a"), "shingle")
+    expl_b = sh_cand.select(F.col("id").alias("id_b"), "shingle")
     common = (
         candidates.join(expl_a, "id_a")
         .join(expl_b, ["id_b", "shingle"])

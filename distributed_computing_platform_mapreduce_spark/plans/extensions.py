@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from distributed_computing_platform_mapreduce_spark.operators import (
     dedup,
     multimodal,
+    ranking,
     sampling,
     similarity,
     text,
@@ -104,14 +105,28 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # hash-function-specific fingerprints → rows-only
+@query("dedup_simhash")  # PERMANENTLY rows-only — rationale below
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 of 64 bits, block-LSH).
 
     Parameters satisfy the pigeonhole recall guarantee blocks ≥
     max_hamming + 1 (4 ≥ 3+1): any pair within hamming 3 must agree on
     at least one 16-bit block, so candidate recall is 100% — asserted
-    against a brute-force hamming scan in tests."""
+    against a brute-force hamming scan in tests.
+
+    Permanently rows-only, for two measured reasons (r5). (a) The
+    fingerprint is a function of Spark's xxhash64 (XXH64, seed 42) per
+    token; DuckDB has no xxhash64, so no SQL oracle can reproduce the
+    prints or the hamming column. (b) The *pair set* cannot be pinned to
+    a hash-free twin either: simhash hamming encodes angular distance
+    over the hashed-token vote vector, which is NOT threshold-separable
+    from token-set overlap on this corpus — measured at sf0.1, the
+    minimum token-set Jaccard inside the hamming≤3 pair set is 0.46
+    while the maximum OUTSIDE it is 0.97 (89k–8.8M out-of-set pairs sit
+    above j=0.5 across SFs), so no Jaccard threshold reproduces the set.
+    Ground truth lives in pytest instead: the block-LSH pair set equals
+    the brute-force all-pairs hamming scan exactly
+    (``test_simhash_blocking_is_lossless``)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, blocks=4)
 
@@ -426,3 +441,55 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample_exact(
         docs, ["lang"], "doc_id", 10, seed=11
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "ranking_bm25",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    tc AS (
+      SELECT id, term, count(*)::BIGINT AS tf
+      FROM (SELECT id, unnest(ts) AS term FROM toks)
+      WHERE term IN ('join', 'hash', 'window')
+      GROUP BY id, term
+    ),
+    dl AS (SELECT id, len(ts)::BIGINT AS dl FROM toks),
+    consts AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(DISTINCT id)::BIGINT AS df FROM tc GROUP BY term)
+    SELECT tc.id AS doc_id,
+           round(sum(
+             ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1.0))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS bm25_r
+    FROM tc
+    JOIN dfreq USING (term)
+    JOIN dl ON dl.id = tc.id
+    CROSS JOIN consts
+    GROUP BY tc.id
+    """,
+)
+def ranking_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to the query bag
+    ``join hash window`` (three corpus-frequent terms → every SF scores
+    a large fraction of the table; k1=1.2, b=0.75).
+
+    Driver-visible since r5 via the tolerance-banding trick
+    ``approx_ops`` established: Java's and C's ``ln`` differ by ≤1 ulp
+    (~1e-16 relative), and float summation order adds similar jitter, so
+    raw scores can't be hash-compared across engines — but scores
+    ROUNDED to 6 decimals are stable under 1e-15-scale noise (scores
+    are O(1–10); a boundary crossing would need a score within 1e-9 of
+    a half-ulp-of-round boundary). The oracle replays the identical
+    Robertson–Sparck Jones formula in DuckDB and rounds the same. The
+    underlying operator (``operators/ranking.py``) returns full-precision
+    scores; rounding happens only at this driver boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = ranking.bm25_scores(docs, "doc_id", "text", ["join", "hash", "window"])
+    return scores.select(
+        F.col("id").alias("doc_id"), F.round("bm25", 6).alias("bm25_r")
+    )

@@ -104,36 +104,39 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_semi",
+    "join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'semi' AS side, c_custkey, c_name
     FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
-    """,
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi: EXISTS/IN rewrite; never duplicates the probe side."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti' AS side, c_custkey, c_name
     FROM customer
     WHERE c_custkey NOT IN
       (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
     """,
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no high-value order (NOT IN, non-null
-    keys). The filter keeps the result non-empty at every SF — every
-    customer has *some* order in this corpus."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti under one driver row (folded in r5 to free
+    a registry slot for ``ranking_bm25`` — both checks remain intact,
+    tagged by ``side``).
+
+    Semi: EXISTS/IN rewrite; never duplicates the probe side. Anti:
+    customers with no high-value order (NOT IN, non-null keys); its
+    lower 300k threshold keeps the anti side non-empty at every SF —
+    every customer has *some* order in this corpus."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = c.join(
+        load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0),
+        c.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select(F.lit("semi").alias("side"), "c_custkey", "c_name")
+    anti = c.join(
+        load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0),
+        c.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select(F.lit("anti").alias("side"), "c_custkey", "c_name")
+    return semi.unionAll(anti)
 
 
 @query(

@@ -13,10 +13,15 @@ Decode support is format-honest:
   resize operate on true pixels. The synthesized media table carries
   genuine P6 payloads, so the whole pipeline (encode → scan → decode →
   feature/resize) is exercised end-to-end in tests.
+- **PNG** (8-bit non-interlaced gray/RGB/RGBA — the commonest
+  real-corpus case) is decoded FOR REAL since r5: stdlib-zlib inflate
+  + all five row unfilters, CRC-verified chunks; ``encode_png`` exists
+  so tests can round-trip every filter type without binary assets.
+  Palette/16-bit/interlaced PNG raises ``NotImplementedError``.
 - **RIFF/WAV PCM-16** is decoded FOR REAL — pure numpy + struct chunk
   walk — into ``(n_frames, channels)`` int16 arrays; duration / RMS /
   peak features operate on true samples. Float/compressed WAV raises
-  ``NotImplementedError`` (same honest gate as PNG/JPEG below).
+  ``NotImplementedError`` (same honest gate as JPEG below).
 - **YUV4MPEG2 (y4m) Cmono** video is decoded FOR REAL — plain-text
   stream header + raw luma planes, pure numpy — into ``(n, h, w)``
   uint8 frame stacks; duration and per-frame luma features operate on
@@ -25,8 +30,8 @@ Decode support is format-honest:
   resize) unchanged. Chroma-subsampled y4m (C420 etc.) raises
   ``NotImplementedError`` — honest gate again; a deployment swaps in
   ffmpeg/pyav and nothing downstream changes.
-- **PNG/JPEG** (magic detected) raise ``NotImplementedError`` — their
-  codecs (PIL/opencv) are not in this container; a deployment would
+- **JPEG** (magic detected) raises ``NotImplementedError`` — a DCT
+  codec (PIL/opencv) is not in this container; a deployment would
   swap ``decode_image`` to the real library, nothing else changes.
 - Unknown payloads fall back to byte statistics (schema-stable).
 """
@@ -97,10 +102,12 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (h, w, c)/(h, w) uint8 array.
 
-    Real decode for P6/P5; explicit NotImplementedError for PNG/JPEG
-    (codec libs absent here — swap this function in deployment);
-    ValueError otherwise.
+    Real decode for P6/P5 and (via ``decode_png``) 8-bit non-interlaced
+    PNG; explicit NotImplementedError for JPEG (codec libs absent here —
+    swap this function in deployment); ValueError otherwise.
     """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     if payload[:2] in (b"P6", b"P5"):
         # header: magic, whitespace/comments, width, height, maxval, one ws
         parts: list[int] = []
@@ -123,12 +130,166 @@ def decode_image(payload: bytes) -> np.ndarray:
         c = 3 if payload[:2] == b"P6" else 1
         arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=i)
         return arr.reshape((h, w, 3)) if c == 3 else arr.reshape((h, w))
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+    if payload[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "PNG/JPEG decode requires PIL/opencv (not in this container); "
+            "JPEG decode requires PIL/opencv (not in this container); "
             "swap decode_image to the real codec in deployment"
         )
     raise ValueError("unknown image format")
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick left/up/up-left whose
+    value is closest to the linear estimate left + up − up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
+    non-interlaced 8-bit PNG (stdlib zlib only).
+
+    ``filter_type`` selects the per-row filter (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) — mainly so tests can exercise every decoder
+    unfilter path; real encoders pick per-row heuristically, which the
+    decoder handles regardless since the filter byte is per-row.
+    """
+    import zlib
+
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    if pixels.ndim == 2:
+        color_type, ch = 0, 1
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, ch = 2, 3
+    else:
+        raise ValueError("encode_png wants (h, w) grayscale or (h, w, 3) RGB")
+    h, w = pixels.shape[:2]
+    raw = pixels.astype(np.uint8).reshape(h, w * ch).astype(np.int32)
+    left = np.zeros_like(raw)
+    left[:, ch:] = raw[:, :-ch]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, ch:] = raw[:-1, :-ch]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    else:
+        pred = np.vectorize(_paeth_predict, otypes=[np.int32])(left, up, upleft)
+        filt = raw - pred
+    body = b"".join(
+        bytes([filter_type]) + (filt[r] & 0xFF).astype(np.uint8).tobytes() for r in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit grayscale/RGB/RGBA PNG to an
+    (h, w) / (h, w, c) uint8 array — stdlib zlib, no codec libs.
+
+    Covers the commonest real-corpus case (what ``encode_png`` and most
+    tools emit for photos/screenshots without palettes): bit depth 8,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), all five
+    row filters, multiple IDAT chunks, CRC-verified. Palette (type 3),
+    16-bit, and Adam7-interlaced files raise ``NotImplementedError`` —
+    the same honest gate as JPEG; a deployment swaps in PIL/opencv.
+
+    Unfiltering is per-row: Up is vectorized; Sub is a cumulative sum
+    mod 256 along the row; Average/Paeth fall back to a per-byte loop
+    (their left-dependency is nonlinear) — fine for the thumbnail-scale
+    payloads this container tests; the deployment codec path replaces
+    all of it anyway.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    i = 8
+    while i + 12 <= len(payload):
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        (crc,) = struct.unpack(">I", payload[i + 8 + size : i + 12 + size])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {tag!r} chunk CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or interlace != 0 or comp != 0 or filt_method != 0:
+        raise NotImplementedError(
+            f"PNG variant unsupported here (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace}) — 8-bit non-interlaced gray/RGB/RGBA only; "
+            "swap decode_image to PIL/opencv in deployment"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: cumsum mod 256 per channel phase
+            cur = row.reshape(-1, channels).cumsum(axis=0).reshape(-1) & 0xFF
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                pred = (a + b) // 2 if ft == 3 else _paeth_predict(a, b, c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG row filter {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
 
 
 def synth_pixels(seed: int, width: int = 16, height: int = 16) -> np.ndarray:
@@ -445,7 +606,10 @@ def _features_one(payload: bytes) -> tuple:
             return base + ("fallback", -1, -1, 0.0, 0.0, 0.0, -1)
     try:
         px = decode_image(payload)
-        fmt = "ppm" if px.ndim == 3 else "pgm"
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            fmt = "png"
+        else:
+            fmt = "ppm" if px.ndim == 3 else "pgm"
         h, w = px.shape[:2]
         return base + (fmt, w, h, float(px.mean()), 0.0, 0.0, -1)
     except (ValueError, NotImplementedError):

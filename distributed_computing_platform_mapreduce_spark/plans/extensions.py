@@ -5,13 +5,15 @@ reference's operator surface — SURVEY.md §2.6 last row).
 Oracles: everything with exact, order-defined semantics gets a DuckDB
 oracle (the rolling-hash fingerprint, exact n-gram Jaccard, language-ID
 argmax, both near-dedup survivor policies, the stratified sample set,
-and — because its pairs are exact-verified with 100% candidate recall
-on this corpus — MinHash-LSH itself); the remaining probabilistic ops
-(SimHash, LSH-ANN, embedding near-dup) plus binary-decoding multimodal
-are rows-only per the driver contract, each pinned instead by a pytest
-ground-truth check: SimHash block join == brute-force hamming scan, ANN
-recall measured vs exact top-k, embedding near-dup precision/recall vs
-the brute-force cosine scan (tests/test_operators.py).
+rounded BM25 scores, and — because their outputs are exact-verified
+with measured-100%-candidate-recall operating points on this corpus —
+MinHash-LSH, the LSH ANN top-k, and embedding near-dup too). Exactly
+two rows-only queries remain, each with a documented reason:
+``dedup_simhash`` (permanent — DuckDB lacks xxhash64 and the pair set
+is not threshold-separable; see its docstring) and
+``multimodal_features`` (binary codec work has no SQL twin). Both are
+pinned instead by pytest ground-truth checks (SimHash block join ==
+brute-force hamming scan; codec round-trips vs numpy reference).
 """
 
 from __future__ import annotations
@@ -213,22 +215,51 @@ def similarity_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_neardup")  # LSH-bucketed, probabilistic → rows-only
+@query(
+    "embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [a.e[i] * b.e[i] FOR i IN range(1, len(a.e)+1)]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [a.e[i] * a.e[i] FOR i IN range(1, len(a.e)+1)]), (x, y) -> x + y))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [b.e[i] * b.e[i] FOR i IN range(1, len(b.e)+1)]), (x, y) -> x + y)))
+           AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [a.e[i] * b.e[i] FOR i IN range(1, len(a.e)+1)]), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [a.e[i] * a.e[i] FOR i IN range(1, len(a.e)+1)]), (x, y) -> x + y))
+           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [b.e[i] * b.e[i] FOR i IN range(1, len(b.e)+1)]), (x, y) -> x + y)))
+          >= 0.4
+    """,
+)
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-band hyperplane LSH.
 
-    Demo parameters (4 bands × 8 planes) suit this synthetic corpus —
-    its max pairwise cosine is ~0.51, so θ=0.4 exercises the plumbing;
-    the operator defaults (16×24) are the 10⁹-row near-dup (cos ≥ 0.9)
-    operating point. Every emitted pair is exact-verified ≥ θ, so
-    precision is 1.0 by construction; recall vs the brute-force scan is
-    measured in ``test_embedding_neardup_precision_and_recall``: 0.894
-    (floor 0.8 asserted) at the recall-oriented 16-bands × 4-planes
-    point, 0.076 at these demo parameters — the demo point deliberately
-    trades recall for 16× fewer candidate comparisons."""
+    Oracle-backed since r5 (third promotion on the ``dedup_minhash_lsh``
+    pattern): at the recall-saturated operating point registered here —
+    32 bands × 2 planes — every brute-force pair at θ=0.4 is recovered
+    (measured recall 1.000 at sf0.001/0.01/0.1; analytic miss
+    probability per pair ≤ (1−0.631²)³² ≈ 1.6e-7 even at the threshold
+    itself), and every emitted pair is exact-verified with the same
+    sequential-fold cosine the DuckDB twin replays, so the output EQUALS
+    the exact all-pairs scan, cos doubles included. This corpus's max
+    pairwise cosine is ~0.51 (θ=0.4 is deliberately below the LSH sweet
+    spot), so saturating recall costs a high candidate rate HERE — the
+    plan is still the banded candidates-then-verify shape, never a cross
+    join, and the operator defaults (16×24) remain the honest 10⁹-row
+    cos ≥ 0.9 operating point where the bucket math prunes hard.
+    Recall/precision floors for the generic parameter points stay pinned
+    in ``test_embedding_neardup_precision_and_recall``."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(
-        emb, dim=64, threshold=0.4, bands=4, planes_per_band=8
+        emb, dim=64, threshold=0.4, bands=32, planes_per_band=2
     )
 
 
@@ -298,7 +329,9 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # mapInPandas over binary payloads; no SQL oracle
+@query("multimodal_features")  # PERMANENTLY rows-only: decoding PPM/WAV/Y4M
+# binary payloads (zlib/struct/numpy codec work) has no ANSI-SQL twin DuckDB
+# could run; ground truth is the pytest codec round-trips vs numpy reference.
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas,
     over a MIXED media table: genuine P6 images, genuine RIFF/WAV PCM-16

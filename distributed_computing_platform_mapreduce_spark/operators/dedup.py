@@ -370,7 +370,9 @@ def connected_components(
                         F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: the convergence count below materializes the
+                # checkpoint inside its own job — one job/round, not two
+                .localCheckpoint(eager=False)
             )
             changed = (
                 new_labels.alias("n")
@@ -480,7 +482,9 @@ def connected_components_twostar(
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the checksum below materializes the checkpoint inside
+            # its own job — one job per star round instead of two
+            .localCheckpoint(eager=False)
         )
         new_sig = _checksum(edges)
         if new_sig == sig and edges.exceptAll(prev).union(prev.exceptAll(edges)).isEmpty():

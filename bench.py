@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "window_session",
     "dedup_minhash_lsh",
     "similarity_topk_lsh",
+    "ranking_bm25",
     "interval_join",
     # The end-to-end near-dedup pipeline: LSH pairs -> iterative CC
     # (jobs run at plan-build time via eager localCheckpoint) -> survivor

@@ -306,3 +306,26 @@ def test_set_ops_match_python(spark, left, right):
     assert except_ == set(want_except)
     distinct = {(x["k"], x["v"]) for x in l.distinct().collect()}
     assert distinct == set(left)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.booleans(),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_matches_identity(h, w, rgb, filter_type, seed):
+    """encode_png ∘ decode_png == id for arbitrary dims (incl. 1-pixel
+    rows/columns, where the Sub/Up/Paeth left/up neighbors vanish),
+    both color modes, and every row filter. No Spark session — the
+    codec is plain numpy, so the property can afford many examples."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(mm.decode_png(mm.encode_png(px, filter_type=filter_type)), px)

@@ -163,3 +163,49 @@ def fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31) -> Colum
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 1.0
+) -> DataFrame:
+    """Per-document cross-entropy under an add-α bigram LM trained on the
+    corpus itself — the CCNet/Gopher-style quality signal: documents
+    whose token transitions are unlike the corpus (boilerplate, garbled
+    text, wrong language) score low and can be filtered or
+    quality-weighted. Returns ``(id, n_bigrams, avg_logp)`` with
+    ``avg_logp = mean over bigram positions of
+    ln((c(w1,w2)+α)/(c(w1)+α·V))``; docs with <2 tokens have no bigrams
+    and are absent (no transitions to score).
+
+    Scale shape: positions via ``posexplode`` (scan-side), bigrams via a
+    ``lag`` window partitioned by doc — state is one doc's tokens, one
+    shuffle on id. Count tables shuffle on their own keys: c(w1,w2) is
+    corpus-bounded (joined back on the same keys the bigrams already
+    have), c(w1) and the vocab size V are vocabulary-sized — broadcast
+    onto the postings. All JVM expressions; ``ln`` keeps the driver row
+    honest only under rounding (see the registered query).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bi = (
+        toks.select("id", F.lag("tok").over(w).alias("w1"), F.col("tok").alias("w2"))
+        .filter(F.col("w1").isNotNull())
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    logp = F.log(
+        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        bi.join(big, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_bigrams"), F.avg(logp).alias("avg_logp"))
+    )

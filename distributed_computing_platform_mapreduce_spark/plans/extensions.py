@@ -477,6 +477,56 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_ngram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS a
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest([a[i] FOR i IN range(1, len(a))]) AS w1,
+             unnest([a[i + 1] FOR i IN range(1, len(a))]) AS w2
+      FROM toks
+    ),
+    big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY w1, w2),
+    uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT term)::BIGINT AS v
+      FROM (SELECT unnest(a) AS term FROM toks)
+    )
+    SELECT bi.doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(ln((c12 + 1.0) / (c1 + 1.0 * v))), 6) AS avg_logp_r
+    FROM bi
+    JOIN big USING (w1, w2)
+    JOIN uni USING (w1)
+    CROSS JOIN vocab
+    GROUP BY bi.doc_id
+    """,
+)
+def text_ngram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-1 bigram-LM cross-entropy per document — the
+    CCNet-style quality-filtering signal (new r5; see
+    ``operators/text.bigram_lm_scores``).
+
+    Same tolerance-banding contract as ``ranking_bm25``: the per-bigram
+    probabilities are exact integer-derived IEEE divisions on both
+    engines, so only ``ln``'s cross-libm ulp and the mean's summation
+    order jitter (~1e-13 relative) separate Spark from DuckDB — rounding
+    the mean to 6 decimals absorbs both. Docs with fewer than 2 tokens
+    have no transitions and are absent on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = text.bigram_lm_scores(docs, "doc_id", "text", alpha=1.0)
+    return scores.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp_r"),
+    )
+
+
+@query(
     "ranking_bm25",
     oracle="""
     WITH toks AS (

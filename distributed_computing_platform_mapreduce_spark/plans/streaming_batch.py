@@ -19,20 +19,11 @@ from distributed_computing_platform_mapreduce_spark.plans.registry import query
 from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
 
 
-@query(
-    "window_tumbling",
-    oracle="""
-    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
 def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute tumbling windows per event type. ``F.window`` buckets are
-    epoch-aligned — identical to floor(epoch/900)."""
+    epoch-aligned — identical to floor(epoch/900). (Unregistered plain
+    form — the driver row is the folded ``window_tumbling_sliding``; the
+    streaming twin tests compare against this function directly.)"""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
@@ -44,24 +35,9 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_sliding",
-    oracle="""
-    WITH assigned AS (
-      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS window_start, value FROM events
-      UNION ALL
-      SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS window_start, value FROM events
-    )
-    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
-           count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM assigned
-    GROUP BY 1
-    """,
-)
 def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 min — each event lands in exactly 2
-    windows (oracle materializes both assignments explicitly)."""
+    windows. (Unregistered plain form, same note as ``window_tumbling``.)"""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
@@ -71,6 +47,54 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
+
+
+@query(
+    "window_tumbling_sliding",
+    oracle="""
+    SELECT 'tumbling' AS side,
+           CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS side, window_start, NULL AS event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+               AS window_start, value FROM events
+      UNION ALL
+      SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+               AS window_start, value FROM events
+    )
+    GROUP BY 2
+    """,
+)
+def window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (15-min, per event type) + sliding (1-h / 30-min) window
+    aggregations under one driver row, tagged by ``side`` (folded in r5
+    to free a registry slot for ``text_ngram_lm`` — both oracles remain
+    intact; the sliding oracle materializes each event's two window
+    assignments explicitly). The streaming twins still assert equality
+    against the unregistered plain forms above."""
+    t = window_tumbling(spark, sf_dir).select(
+        F.lit("tumbling").alias("side"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    s = window_sliding(spark, sf_dir).select(
+        F.lit("sliding").alias("side"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        "total_value",
+    )
+    return t.unionAll(s)
 
 
 @query(

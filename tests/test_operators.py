@@ -1034,3 +1034,45 @@ def test_frame_index_sampling_consistent_with_decoding_form(spark, sf_dir):
         (r["media_id"], r["frame_idx"]) for r in mm.sample_frames(media, every_n=3).collect()
     }
     assert idx_only == decoded and len(decoded) == 8 * 3  # frames 0,3,6
+
+
+def test_bigram_lm_matches_python(spark, sf_dir):
+    """bigram_lm_scores vs a straight-line Python twin on real corpus
+    docs: identical bigram counts and avg log-prob within float
+    tolerance (ln/order jitter — the reason the driver row rounds)."""
+    import math
+    from collections import Counter
+
+    from distributed_computing_platform_mapreduce_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    toks = {i: (t or "").split() for i, t in rows}
+    bi = Counter()
+    uni = Counter()
+    vocab = set()
+    for ts in toks.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] += 1
+            uni[a] += 1
+    v = len(vocab)
+    want = {}
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        lp = [math.log((bi[p] + 1.0) / (uni[p[0]] + v)) for p in pairs]
+        want[i] = (len(pairs), sum(lp) / len(lp))
+
+    got = {
+        r["id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in T.bigram_lm_scores(docs, "doc_id", "text").collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert got[i][1] == pytest.approx(want[i][1], rel=1e-9), i
+    # short docs (<2 tokens) are absent by contract
+    skipped = {i for i, ts in toks.items() if len(ts) < 2}
+    assert skipped.isdisjoint(got)

@@ -50,6 +50,7 @@ BNLJ_OK = {
     "agg_rollup_having",
     "similarity_topk_exact",
     "ranking_bm25",
+    "text_ngram_lm",  # broadcast 1-row vocab-size aggregate crossJoined on
 }
 
 

@@ -19,6 +19,10 @@ from pyspark.sql.types import (
 )
 
 from distributed_computing_platform_mapreduce_spark.plans import QUERIES
+from distributed_computing_platform_mapreduce_spark.plans.streaming_batch import (
+    window_sliding,
+    window_tumbling,
+)
 from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
 from distributed_computing_platform_mapreduce_spark.streaming.stateful import (
     run_update_to_memory,
@@ -42,12 +46,12 @@ def _rows(df, cols):
     [
         (
             tumbling_counts_stream,
-            "window_tumbling",
+            window_tumbling,
             ["window_start", "event_type", "n_events", "total_value"],
         ),
         (
             sliding_counts_stream,
-            "window_sliding",
+            window_sliding,
             ["window_start", "n_events", "total_value"],
         ),
         (
@@ -58,9 +62,11 @@ def _rows(df, cols):
     ],
 )
 def test_stream_equals_batch(spark, sf_dir, stream_fn, batch_name, cols):
-    name = f"mem_{batch_name}"
+    # batch_name: registry key, or (post-r5 fold) the plain batch callable
+    batch_fn = QUERIES[batch_name] if isinstance(batch_name, str) else batch_name
+    name = f"mem_{getattr(batch_name, '__name__', batch_name)}"
     streamed = run_to_memory(spark, stream_fn(stream_events(spark, sf_dir)), name)
-    batch = QUERIES[batch_name](spark, sf_dir)
+    batch = batch_fn(spark, sf_dir)
     assert _rows(streamed, cols) == _rows(batch, cols)
 
 

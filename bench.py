@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "similarity_topk_lsh",
     "ranking_bm25",
+    "text_ngram_lm",
     "interval_join",
     # The end-to-end near-dedup pipeline: LSH pairs -> iterative CC
     # (jobs run at plan-build time via eager localCheckpoint) -> survivor

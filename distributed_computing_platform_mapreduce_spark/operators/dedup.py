@@ -432,13 +432,19 @@ def connected_components_twostar(
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy like the loop rounds: the initial checksum below is the
+        # materializing action
+        .localCheckpoint(eager=False)
     )
+    # nodes reads the checkpointed initial edge set (the local `edges`
+    # name is reassigned each round; this plan keeps the original) and is
+    # consumed only by the termination integrity check — lazy, so its
+    # materialization rides that final count instead of an upfront job.
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _checksum(e: DataFrame) -> tuple:

@@ -35,12 +35,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make TIMESTAMP(NANOS) parquet readable (as long) on ANY session —
-    including the external driver's plain SparkSession, which doesn't go
-    through ``get_spark()``'s defaults. Idempotent: only touches conf
-    when the flag isn't already on."""
+    """Make timestamp handling deterministic on ANY session — including
+    the external driver's plain SparkSession, which doesn't go through
+    ``get_spark()``'s defaults. Two knobs, both idempotent:
+
+    - ``nanosAsLong`` so TIMESTAMP(NANOS) parquet (the legacy testdata
+      encoding) reads as long instead of throwing;
+    - session timezone pinned UTC so the ``TIMESTAMP_NTZ → timestamp``
+      re-tag in ``nanos_to_ts`` and every window/epoch computation agree
+      with DuckDB regardless of the host JVM's default zone. Timestamp
+      semantics must not depend on where the cluster happens to run.
+    """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def nanos_to_ts(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -175,3 +175,16 @@ def test_events_ts_normalized_across_encodings(spark, tmp_path):
         assert got == wall, f"{name}: {got}"
         # watermark assignment — the round-4 failure mode — must analyze
         df.withWatermark("ts", "1 hour").groupBy("ts").count().schema
+
+    # the ingest layer pins the session timezone: a driver session left on
+    # a non-UTC zone must be corrected by load_table so the NTZ re-tag
+    # (and every epoch/window computation) stays DuckDB-consistent
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        sf = tmp_path / "us_ntz"
+        df = load_table(spark, str(sf), "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = sorted(r["ts"] for r in df.select("ts").collect())
+        assert got == wall
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -329,3 +329,43 @@ def test_png_roundtrip_matches_identity(h, w, rgb, filter_type, seed):
     shape = (h, w, 3) if rgb else (h, w)
     px = rng.integers(0, 256, size=shape, dtype=np.uint8)
     assert np.array_equal(mm.decode_png(mm.encode_png(px, filter_type=filter_type)), px)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_corpus)
+def test_bigram_lm_matches_python_generated(spark, corpus):
+    """bigram_lm_scores vs straight-line Python on generated corpora —
+    the generator supplies the edge cases the real-corpus twin can't:
+    empty docs, single tokens, one repeated token (degenerate vocab),
+    unicode."""
+    import math
+    from collections import Counter
+
+    from distributed_computing_platform_mapreduce_spark.operators import text as T
+
+    toks = {i: line.split() for i, line in enumerate(corpus)}
+    bi = Counter()
+    uni = Counter()
+    vocab = set()
+    for ts in toks.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] += 1
+            uni[a] += 1
+    v = len(vocab)
+    want = {}
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if pairs:
+            lp = [math.log((bi[p] + 1.0) / (uni[p[0]] + v)) for p in pairs]
+            want[i] = (len(pairs), sum(lp) / len(lp))
+
+    df = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in T.bigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) <= 1e-9 * max(1.0, abs(want[i][1]))

@@ -376,3 +376,51 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def embed_texts(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic text embeddings via the feature-hashing trick
+    (Weinberger et al., ICML 2009): each token hashes to one of ``dim``
+    buckets with a ±1 sign bit, bucket sums are L2-normalized — a real
+    (if classical) bag-of-words embedding, not a placeholder, so the
+    output is meaningful input for every ANN/near-dup operator here.
+    A deployment swaps this for a neural encoder behind the identical
+    ``(id, array<double>)`` contract; nothing downstream changes.
+
+    All JVM expressions: explode → one groupBy(id) with ``dim``
+    conditional sums (the MinHash-signature shape — partial-agg
+    friendly, one shuffle on id), then an interpreted-but-O(dim)
+    normalize. No Python in the row path.
+    """
+    toks = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    hashed = toks.select(
+        "id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+        # an independent hash bit decides the sign (hashing-trick variance fix)
+        F.when(F.xxhash64("tok", F.lit("sign")) % 2 == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("sign"),
+    )
+    sums = hashed.groupBy("id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == i, F.col("sign"))), F.lit(0.0)
+            ).alias(f"__b{i}")
+            for i in range(dim)
+        ]
+    )
+    vec = F.array(*[F.col(f"__b{i}") for i in range(dim)])
+    nrm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    unit = F.when(nrm > 0, F.transform(vec, lambda x: x / nrm)).otherwise(vec)
+    return sums.select("id", unit.alias("embedding"))

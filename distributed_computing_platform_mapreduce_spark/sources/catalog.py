@@ -48,7 +48,12 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # No fallback arg here: conf.get(key, fallback) VALIDATES the fallback
+    # for this key and an empty/None sentinel throws INVALID_CONF_VALUE on
+    # a plain session (caught by the driver-sim verify, invisible to the
+    # pytest suite whose get_spark() pre-sets the zone). timeZone always
+    # resolves to a value, so the no-default form is safe everywhere.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

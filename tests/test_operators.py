@@ -1076,3 +1076,75 @@ def test_bigram_lm_matches_python(spark, sf_dir):
     # short docs (<2 tokens) are absent by contract
     skipped = {i for i, ts in toks.items() if len(ts) < 2}
     assert skipped.isdisjoint(got)
+
+
+def test_embed_texts_contract(spark, sf_dir):
+    """Feature-hashing embeddings: unit-norm, deterministic, equal for
+    equal texts, and usable by the ANN operators downstream."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    emb = similarity.embed_texts(docs, "doc_id", "text", dim=32)
+    rows = {r["id"]: list(r["embedding"]) for r in emb.collect()}
+    assert len(rows) == n_docs
+    for v in rows.values():
+        assert len(v) == 32
+        n = math.sqrt(sum(x * x for x in v))
+        assert n == pytest.approx(1.0, abs=1e-9) or n == 0.0
+    # determinism across independent plans
+    again = {r["id"]: list(r["embedding"]) for r in
+             similarity.embed_texts(docs, "doc_id", "text", dim=32).collect()}
+    assert rows == again
+    # identical texts embed identically (constructed dup pair)
+    twin = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    tw = {r["id"]: list(r["embedding"]) for r in
+          similarity.embed_texts(twin, "doc_id", "text", dim=32).collect()}
+    assert tw[1] == tw[2] != tw[3]
+    # flows into the exact top-k operator unchanged
+    queries = emb.filter(F.col("id") < 3).withColumnRenamed("id", "vec_id")
+    corpus = emb.withColumnRenamed("id", "vec_id")
+    topk = similarity.cosine_topk_exact(corpus, queries, id_col="vec_id", k=3)
+    assert topk.count() > 0
+
+
+def test_curation_recipe_end_to_end(spark, sf_dir):
+    """The composed curation pipeline: gates apply, exact and transitive
+    near-dups are gone, and the result is deterministic."""
+    from distributed_computing_platform_mapreduce_spark.operators import curation, dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.curation_recipe(
+        docs, min_tokens=5, max_punct_ratio=0.9, lm_percentile_floor=0.1,
+        near_dup_threshold=0.5,
+    )
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 0 < len(ids) < docs.count()
+    assert len(ids) == len(rows)
+    # exact dedup: curated texts are unique
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))
+    # near-dedup is transitive: no surviving pair at or above threshold
+    leftover = dedup.ngram_jaccard_pairs(out, "doc_id", "text", n=3, threshold=0.5)
+    assert leftover.count() == 0
+    # deterministic end to end
+    again = {
+        r["doc_id"]
+        for r in curation.curation_recipe(
+            docs, min_tokens=5, max_punct_ratio=0.9, lm_percentile_floor=0.1,
+            near_dup_threshold=0.5,
+        ).collect()
+    }
+    assert again == ids
+    # sampling stage bounds per-stratum output and stays reproducible
+    sampled = curation.curation_recipe(
+        docs, min_tokens=5, max_punct_ratio=0.9, lm_percentile_floor=0.0,
+        near_dup_threshold=0.5, sample_per_stratum=5, strata_cols=["lang"],
+    )
+    per_lang = {r["lang"]: r["n"] for r in
+                sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per_lang and all(n <= 5 for n in per_lang.values())

@@ -188,3 +188,40 @@ def test_events_ts_normalized_across_encodings(spark, tmp_path):
         assert got == wall
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_catalog_works_on_bare_session(spark, tmp_path):
+    """The external driver uses a PLAIN SparkSession without our
+    defaults. ``newSession()`` shares the SparkContext but starts a
+    fresh SQLConf — the same bare-conf shape — so this pins that
+    ``ensure_nanos_conf``/``load_table`` self-configure: the r5
+    regression was ``conf.get(key, "")`` VALIDATING the fallback for
+    session.timeZone and throwing on exactly (and only) bare sessions.
+    """
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+    bare = spark.newSession()
+    # newSession() inherits builder-time options, so strip them to get the
+    # true bare-conf shape (unset timeZone is what triggered the bug)
+    bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    bare.conf.unset("spark.sql.session.timeZone")
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    micros = [int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)]
+    sf = tmp_path / "bare"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"event_id": pa.array([1], type=pa.int64()),
+                  "ts": pa.array(micros, type=pa.timestamp("us"))}),
+        str(sf / "events.parquet"),
+    )
+    df = load_table(bare, str(sf), "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert [r["ts"] for r in df.collect()] == [base]

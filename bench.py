@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "window_ranking_suite",
     "window_session",
     "dedup_minhash_lsh",
-    "similarity_topk_lsh",
+    "similarity_topk_suite",
     "ranking_bm25",
     "text_ngram_lm",
     "interval_join",

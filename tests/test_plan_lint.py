@@ -40,15 +40,15 @@ ARROW_PYTHON_OK = {
 # Non-equi joins where the inner side is a broadcast-safe cardinality:
 # join_cross (5-row region × 25-row nation), join_theta_range (band
 # predicate vs broadcast dim), agg_rollup_having (scalar-subquery
-# HAVING → broadcast of a 1-row aggregate), similarity_topk_exact
-# (tiny query set broadcast against the corpus), ranking_bm25 (the
+# HAVING → broadcast of a 1-row aggregate), similarity_topk_suite
+# (tiny query set broadcast against the corpus in its exact leg), ranking_bm25 (the
 # corpus constants N/avgdl — a broadcast 1-row aggregate crossJoined
 # onto the postings).
 BNLJ_OK = {
     "join_cross",
     "join_theta_range",
     "agg_rollup_having",
-    "similarity_topk_exact",
+    "similarity_topk_suite",
     "ranking_bm25",
     "text_ngram_lm",  # broadcast 1-row vocab-size aggregate crossJoined on
 }

@@ -4,8 +4,9 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Headline set: the reference's two benchmark queries (wordcount, rwlg —
 BASELINE.md measures exactly these) plus the canonical analytical shapes
-(scan-agg q1, join-agg q3/q5, filter-agg q6) and the scale-path extension
-ops (minhash dedup, LSH similarity, banded interval join, and the full
+(scan-agg q1, join-agg q3/q5, filter-agg q6, ranking/session windows)
+and the scale-path extension ops (minhash dedup, the exact+LSH top-k
+suite, BM25 and bigram-LM scoring, banded interval join, and the full
 LSH → connected-components → survivor dedup pipeline).
 """
 
@@ -68,9 +69,12 @@ N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 # NOTE on dedup_minhash_lsh timings: since r3 each minhash call evicts the
 # previous call's persisted shingle table (operators/dedup.py), so timed
-# runs pay the full shingle+signature cost — COLD-cache by design. r02's
-# 2.3 s was a cache-warm artifact; ~5.9 s at sf0.1 is the honest number.
-# Do not "fix" that delta as a regression.
+# runs pay the full shingle+signature cost — COLD-cache by design (r02's
+# 2.3 s was a cache-warm artifact; r3's honest cold number was ~5.9 s).
+# The r5 verify restructure (sizes ride the signature shuffle; shingles
+# pruned to candidate docs before the verify joins) brought the honest
+# cold number to ~1.9 s at sf0.1 — that drop is real work removed, not
+# cache warmth returning.
 
 
 def _timed_median(fn) -> tuple[float, float, float]:

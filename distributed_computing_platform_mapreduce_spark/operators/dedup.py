@@ -12,6 +12,9 @@ are the real thing, at 100 TB shapes:
   same-bucket candidates are verified.
 - SimHash: 64-bit fingerprints; near-dup = small hamming distance.
 - embedding near-dup: cosine over the embeddings table (see similarity).
+- paragraph-granularity dedup: drop paragraphs repeated across documents
+  (Dolma/RefinedWeb boilerplate removal) — hash-grouped counts, order-
+  preserving rebuild.
 
 All operators are DataFrame-in/DataFrame-out and never collect to the
 driver.
@@ -622,4 +625,60 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def remove_repeated_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Paragraph-granularity dedup (Dolma / RefinedWeb style): drop every
+    paragraph whose exact trimmed text appears in MORE than ``max_docs``
+    distinct documents — boilerplate (headers, footers, cookie banners,
+    license blocks) repeats across documents while real content doesn't.
+    Documents keep their remaining paragraphs in original order; a doc
+    reduced to nothing keeps an empty string (callers gate on it).
+
+    Scale shape: paragraphs explode scan-side with positions; the
+    cross-document count groups on a 64-bit xxhash of the paragraph (the
+    ``dedup_exact`` trick — shuffle width O(1) per paragraph regardless
+    of paragraph length) with ``countDistinct(id)`` so in-document
+    repetition alone never triggers a drop. The count table joins back
+    on the same hash, and each document rebuilds via one
+    ``sort_array(collect_list(struct(pos, para)))`` — state per group is
+    one document's paragraphs, same bound every per-doc operator here
+    carries. Hash collisions conflate two paragraphs at ~1e-10
+    probability per pair (birthday-bounded like ``dedup_exact``).
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("__h", F.xxhash64(F.trim(F.col("para"))))
+    counts = (
+        paras.filter(F.trim(F.col("para")) != "")
+        .groupBy("__h")
+        .agg(F.countDistinct("id").alias("__ndocs"))
+    )
+    kept = (
+        paras.join(counts, "__h", "left")
+        .filter(F.coalesce(F.col("__ndocs"), F.lit(0)) <= max_docs)
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                    lambda x: x["para"],
+                ),
+            ).alias("__rebuilt")
+        )
+    )
+    return (
+        df.join(kept, F.col(id_col) == F.col("id"), "left")
+        .drop("id")
+        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
+        .drop("__rebuilt")
     )

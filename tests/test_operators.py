@@ -1148,3 +1148,51 @@ def test_curation_recipe_end_to_end(spark, sf_dir):
     per_lang = {r["lang"]: r["n"] for r in
                 sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert per_lang and all(n <= 5 for n in per_lang.values())
+
+
+def test_remove_repeated_paragraphs(spark):
+    """Corpus-wide boilerplate paragraphs vanish, unique content and its
+    order survive, in-document repetition alone never triggers a drop."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one\n{boiler}\nbody one"),
+            (2, f"{boiler}\nbody two\noutro two"),
+            (3, f"body three\n{boiler}"),
+            # in-doc repetition of a paragraph unique to this doc: kept
+            (4, "echo echo\necho echo\ntail four"),
+            # doc that is ONLY boilerplate: reduced to empty text
+            (5, boiler),
+            # whitespace-variant of the boilerplate trims to the same text
+            (6, f"  {boiler}  \nbody six"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.remove_repeated_paragraphs(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == "intro one\nbody one"
+    assert out[2] == "body two\noutro two"
+    assert out[3] == "body three"
+    assert out[4] == "echo echo\necho echo\ntail four"
+    assert out[5] == ""
+    assert out[6] == "body six"
+    # idempotent: a second pass changes nothing
+    once = dedup.remove_repeated_paragraphs(docs, "doc_id", "text")
+    twice = {
+        r["doc_id"]: r["text"]
+        for r in dedup.remove_repeated_paragraphs(once, "doc_id", "text").collect()
+    }
+    assert twice == out
+    # max_docs=2 tolerates pairs: a para shared by exactly 2 docs stays
+    pair = spark.createDataFrame(
+        [(1, "shared\na"), (2, "shared\nb"), (3, "only three")], ["doc_id", "text"]
+    )
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in dedup.remove_repeated_paragraphs(pair, "doc_id", "text", max_docs=2).collect()
+    }
+    assert kept == {1: "shared\na", 2: "shared\nb", 3: "only three"}

@@ -31,6 +31,7 @@ def curation_recipe(
     text_col: str = "text",
     *,
     langs: list[str] | None = None,
+    boilerplate_max_docs: int | None = None,
     min_tokens: int = 5,
     max_punct_ratio: float = 0.5,
     lm_percentile_floor: float = 0.1,
@@ -45,6 +46,11 @@ def curation_recipe(
 
     1. **Language gate** — keep rows whose ``lang_id`` prediction is in
        ``langs`` (None = keep all).
+    1b. **Boilerplate removal** — strip paragraphs repeated in more than
+       ``boilerplate_max_docs`` documents
+       (``dedup.remove_repeated_paragraphs``; None skips). Runs before
+       the token/LM gates so boilerplate doesn't pad a thin doc past
+       them; docs stripped to nothing fall out at the token gate.
     2. **Heuristic quality gate** — ≥ ``min_tokens`` whitespace tokens
        and ≤ ``max_punct_ratio`` punctuation ratio.
     3. **LM quality floor** — drop the bottom ``lm_percentile_floor``
@@ -64,6 +70,10 @@ def curation_recipe(
     out = docs
     if langs:
         out = out.filter(text.lang_id(F.col(text_col)).isin(langs))
+    if boilerplate_max_docs is not None:
+        out = dedup.remove_repeated_paragraphs(
+            out, id_col, text_col, max_docs=boilerplate_max_docs
+        )
     if min_tokens > 0 or max_punct_ratio < 1.0:
         toks = text.token_count_ws(F.col(text_col))
         punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", "")) / F.greatest(

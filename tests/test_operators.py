@@ -1148,6 +1148,23 @@ def test_curation_recipe_end_to_end(spark, sf_dir):
     per_lang = {r["lang"]: r["n"] for r in
                 sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert per_lang and all(n <= 5 for n in per_lang.values())
+    # boilerplate stage composes: shared paragraphs strip before the
+    # token gate, so a boilerplate-padded thin doc no longer sneaks past
+    boiler = "subscribe to our newsletter today please"
+    bdocs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nalpha beta gamma delta epsilon zeta"),
+            (2, f"{boiler}\nreal content words keep this document alive"),
+            (3, f"{boiler}\ntiny"),  # only boilerplate pads it past min_tokens
+        ],
+        ["doc_id", "text"],
+    )
+    kept = curation.curation_recipe(
+        bdocs, boilerplate_max_docs=1, min_tokens=5, max_punct_ratio=0.9,
+        lm_percentile_floor=0.0, near_dup_threshold=1.0,
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+    assert all(boiler not in r["text"] for r in kept.collect())
 
 
 def test_remove_repeated_paragraphs(spark):

@@ -369,3 +369,43 @@ def test_bigram_lm_matches_python_generated(spark, corpus):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) <= 1e-9 * max(1.0, abs(want[i][1]))
+
+
+_para = st.lists(_word, min_size=0, max_size=4).map(" ".join)
+_doc = st.lists(_para, min_size=0, max_size=5).map("\n".join)
+_pdocs = st.lists(_doc, min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_pdocs, st.integers(min_value=1, max_value=2))
+def test_remove_repeated_paragraphs_matches_python(spark, docs, max_docs):
+    """Paragraph dedup vs a straight-line Python twin: same drop
+    decisions (trimmed-text identity, cross-doc distinct counts), same
+    order-preserving rebuild — generated corpora supply empty docs,
+    empty paragraphs, and whitespace-only variants."""
+
+    def py_twin(all_docs: list[str]) -> list[str]:
+        from collections import Counter
+
+        ndocs = Counter()
+        for d in all_docs:
+            for p in {p.strip() for p in d.split("\n") if p.strip()}:
+                ndocs[p] += 1
+        out = []
+        for d in all_docs:
+            kept = [
+                p for p in d.split("\n")
+                if not p.strip() or ndocs[p.strip()] <= max_docs
+            ]
+            out.append("\n".join(kept))
+        return out
+
+    expected = py_twin(docs)
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.remove_repeated_paragraphs(
+            df, "doc_id", "text", max_docs=max_docs
+        ).collect()
+    }
+    assert got == {i: t for i, t in enumerate(expected)}

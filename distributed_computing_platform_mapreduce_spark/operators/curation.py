@@ -85,12 +85,17 @@ def curation_recipe(
         cutoff = scores.agg(
             F.expr(f"approx_percentile(avg_logp, {lm_percentile_floor}, 10000)").alias("c")
         )
-        keep = (
+        # Anti-join on the DROP set, not semi-join on the keep set: docs
+        # with <2 tokens have no bigrams and are absent from `scores` by
+        # contract, so a semi-join would turn the LM floor into a hidden
+        # >=2-token gate even when the caller relaxed min_tokens.
+        # Unscored docs pass through; only measurably-bad docs drop.
+        drop = (
             scores.crossJoin(F.broadcast(cutoff))
-            .filter(F.col("avg_logp") >= F.col("c"))
+            .filter(F.col("avg_logp") < F.col("c"))
             .select(F.col("id").alias(id_col))
         )
-        out = out.join(keep, id_col, "left_semi")
+        out = out.join(drop, id_col, "left_anti")
     out = dedup.dedup_exact(out, [text_col], id_col)
     if near_dup_threshold < 1.0:
         pairs = dedup.minhash_lsh_pairs(

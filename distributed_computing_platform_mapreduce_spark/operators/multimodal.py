@@ -239,10 +239,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         (size,) = struct.unpack(">I", payload[i : i + 4])
         tag = payload[i + 4 : i + 8]
         body = payload[i + 8 : i + 8 + size]
-        (crc,) = struct.unpack(">I", payload[i + 8 + size : i + 12 + size])
+        crc_raw = payload[i + 8 + size : i + 12 + size]
+        # Malformed lengths/bodies must surface as ValueError — the
+        # feature extractors' fallback contract catches exactly that
+        # (a stray struct.error/zlib.error would fail the whole job).
+        if len(body) != size or len(crc_raw) != 4:
+            raise ValueError("PNG chunk truncated")
+        (crc,) = struct.unpack(">I", crc_raw)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG {tag!r} chunk CRC mismatch")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("PNG IHDR body must be 13 bytes")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat += body
@@ -259,7 +267,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"interlace={interlace}) — 8-bit non-interlaced gray/RGB/RGBA only; "
             "swap decode_image to PIL/opencv in deployment"
         )
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # CRC-valid chunk can still carry a malformed deflate stream;
+        # normalize to ValueError so callers' fallback paths engage.
+        raise ValueError(f"PNG IDAT deflate stream invalid: {e}") from e
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")

@@ -179,11 +179,15 @@ def bigram_lm_scores(
 
     Scale shape: positions via ``posexplode`` (scan-side), bigrams via a
     ``lag`` window partitioned by doc — state is one doc's tokens, one
-    shuffle on id. Count tables shuffle on their own keys: c(w1,w2) is
-    corpus-bounded (joined back on the same keys the bigrams already
-    have), c(w1) and the vocab size V are vocabulary-sized — broadcast
-    onto the postings. All JVM expressions; ``ln`` keeps the driver row
-    honest only under rounding (see the registered query).
+    shuffle on id. Count tables shuffle on their own keys: c(w1,w2) and
+    c(w1) join back on the same keys the bigram rows already carry, and
+    the join strategy is left to Spark's size estimates / AQE — on a
+    web-scale corpus the distinct-token set (URLs, typos, numbers) is
+    effectively unbounded, so forcing a broadcast of c(w1) would risk
+    OOM exactly where this module claims to scale; only the ONE-ROW
+    vocab-size scalar rides as an explicit broadcast. All JVM
+    expressions; ``ln`` keeps the driver row honest only under rounding
+    (see the registered query).
     """
     from pyspark.sql.window import Window
 
@@ -204,7 +208,7 @@ def bigram_lm_scores(
     )
     return (
         bi.join(big, ["w1", "w2"])
-        .join(F.broadcast(uni), "w1")
+        .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("id")
         .agg(F.count("*").alias("n_bigrams"), F.avg(logp).alias("avg_logp"))

@@ -1213,3 +1213,117 @@ def test_remove_repeated_paragraphs(spark):
         for r in dedup.remove_repeated_paragraphs(pair, "doc_id", "text", max_docs=2).collect()
     }
     assert kept == {1: "shared\na", 2: "shared\nb", 3: "only three"}
+
+
+def test_malformed_png_falls_back_not_crashes(spark):
+    """A CRC-valid PNG with a garbage deflate stream (or a short IHDR)
+    must surface as ValueError from decode_png so the feature
+    extractors' byte-stats fallback engages — not zlib.error or
+    struct.error failing the whole mapInPandas job (round-6 advice)."""
+    import pandas as pd
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    # chunk CRCs are valid; the deflate stream inside IDAT is not
+    bad_deflate = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", __import__("struct").pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + mm._png_chunk(b"IDAT", b"this is not deflate data")
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="deflate"):
+        mm.decode_png(bad_deflate)
+    # IHDR body of the wrong length: ValueError, not struct.error
+    short_ihdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", b"short")
+        + mm._png_chunk(b"IDAT", b"x")
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        mm.decode_png(short_ihdr)
+    # a truncated chunk (length field larger than the remaining bytes)
+    trunc = bad_deflate[:20]
+    with pytest.raises(ValueError):
+        mm.decode_png(trunc)
+    # end to end: the distributed extractor keeps its schema-stable
+    # fallback contract for exactly these payloads
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "image", bytearray(bad_deflate), 2, 2, 1),
+                (2, "image", bytearray(short_ihdr), 2, 2, 1),
+            ],
+            columns=["media_id", "kind", "payload", "width", "height", "n_frames"],
+        ),
+        schema=mm.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert feats[1]["decoded"] == "fallback" and feats[2]["decoded"] == "fallback"
+    assert feats[1]["n_bytes"] == len(bad_deflate)
+
+
+def test_curation_lm_floor_spares_unscored_docs(spark):
+    """With min_tokens relaxed below 2, the LM floor must not become a
+    hidden >=2-token gate: docs with no bigrams (absent from the score
+    table by contract) pass through; only scored-and-bad docs drop."""
+    from distributed_computing_platform_mapreduce_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat down"),
+            (2, "the cat ran away"),
+            (3, "the cat ate food"),
+            (4, "the cat hid well"),
+            (5, "xq zr pt vv kk"),  # gibberish: lowest LM score
+            (6, "solo"),            # 1 token → no bigrams → unscored
+            (7, ""),                # 0 tokens → unscored
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r["doc_id"]
+        for r in curation.curation_recipe(
+            docs, min_tokens=0, max_punct_ratio=1.0, lm_percentile_floor=0.3,
+            near_dup_threshold=1.0,
+        ).collect()
+    }
+    assert 6 in kept and 7 in kept        # unscored docs survive the floor
+    assert 5 not in kept                  # the scored-and-worst doc drops
+    assert {1, 2, 3, 4} & kept            # the common-bigram docs mostly stay
+
+
+def test_remove_repeated_paragraphs_regex_sep_and_id_collision(spark):
+    """Separators containing regex metacharacters split literally (the
+    split pattern is escaped to match the literal concat_ws rebuild),
+    and a pre-existing column literally named 'id' doesn't make the
+    rebuild join ambiguous (round-6 advice)."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "keep.shared boilerplate.tail"), (2, "shared boilerplate.other")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.remove_repeated_paragraphs(docs, "doc_id", "text", sep=".").collect()
+    }
+    assert out == {1: "keep.tail", 2: "other"}
+    # '|' (alternation if unescaped — would split on every boundary)
+    pipe = spark.createDataFrame(
+        [(1, "a b|shared c"), (2, "shared c|d e")], ["doc_id", "text"]
+    )
+    out_pipe = {
+        r["doc_id"]: r["text"]
+        for r in dedup.remove_repeated_paragraphs(pipe, "doc_id", "text", sep="|").collect()
+    }
+    assert out_pipe == {1: "a b", 2: "d e"}
+    # a caller frame that already carries an 'id' column
+    with_id = spark.createDataFrame(
+        [(1, 77, "x\nshared"), (2, 88, "shared\ny")], ["doc_id", "id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["id"], r["text"])
+        for r in dedup.remove_repeated_paragraphs(with_id, "doc_id", "text").collect()
+    }
+    assert got == {1: (77, "x"), 2: (88, "y")}

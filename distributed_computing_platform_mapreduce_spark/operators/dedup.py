@@ -216,10 +216,14 @@ def minhash_lsh_pairs(
        verify joins shuffle O(candidate docs × shingles) instead of the
        whole corpus twice (r5; before/after in SCALE.md). Common-shingle
        COUNTS per pair — no full shingle arrays are ever shipped (the
-       round-1 form sent both sides' whole arrays per pair). At extreme
-       dup rates where the candidate id set outgrows a broadcast,
-       Spark's size estimate falls back to a shuffled semi join — same
-       semantics, still pruned.
+       round-1 form sent both sides' whole arrays per pair). The
+       ``F.broadcast`` on the candidate id set is an UNCONDITIONAL hint
+       (it bypasses size estimation), so it bounds the operating
+       regime: candidate ids must fit a broadcast (8 GB / driver
+       memory) — true at plausible dup rates where candidates ≪
+       corpus. A corpus that is mostly duplicates breaks that bound;
+       there, drop the hint at this site and Spark shuffles the semi
+       join instead — same semantics, still pruned.
     """
     r = num_hashes // bands
     sh = shingle_rows(df, id_col, text_col, n)
@@ -541,13 +545,43 @@ def dedup_survivors_cc(
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def fnv1a64_codepoints(tokens: "pd.Series") -> "pd.Series":
+    """FNV-1a-style 64-bit fold over UNICODE CODE POINTS (not UTF-8
+    bytes): h ^= codepoint; h = h·0x100000001B3 mod 2⁶⁴, from offset
+    basis 14695981039346656037. The code-point variant exists so the
+    identical integer fold is replayable in ANY engine with big-integer
+    arithmetic (DuckDB HUGEINT mod 2⁶⁴ + 21-bit xor — the
+    ``sample_stratified`` GF(2³¹−1) replay trick, widened to 64 bits);
+    byte-level FNV would need the engine's UTF-8 encoder instead.
+    Returns the value wrapped to signed int64 (Spark LongType two's
+    complement), bit pattern unchanged."""
+    out = []
+    for t in tokens:
+        h = 14695981039346656037
+        for ch in t:
+            h ^= ord(ch)  # code points < 2^21: only low bits XOR
+            h = (h * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        out.append(h - (1 << 64) if h >= (1 << 63) else h)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
     For each bit position, sum +1/−1 votes of each distinct token's
-    xxhash64 bit; fingerprint bit = sign of the vote. Same explode →
+    hash bit; fingerprint bit = sign of the vote. Same explode →
     groupBy shape as minhash_signatures (partial-agg friendly, no
     per-row expression blowup).
+
+    ``hash_fn`` picks the token hash: ``"xxhash64"`` (default — JVM
+    codegen, the fast path) or ``"fnv1a64"`` (Arrow-batched
+    code-point FNV fold — ~same fingerprints statistically, but
+    replayable integer arithmetic, so a DuckDB oracle can reproduce
+    the prints and the hamming pairs exactly; see the registered
+    ``dedup_simhash`` query). The fingerprint SEMANTICS (votes → sign)
+    are identical either way; only the token-hash family differs.
 
     Tokenize stays a JVM expression deliberately: unlike the 3-gram
     build in ``shingle_rows`` (interpreted ``transform``+``slice`` per
@@ -558,9 +592,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     stage to Python either way.
     """
     toks = F.array_distinct(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
-    hashed = df.select(
-        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
-    ).select("id", F.xxhash64("tok").alias("h"))
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    if hash_fn == "xxhash64":
+        hashed = exploded.select("id", F.xxhash64("tok").alias("h"))
+    elif hash_fn == "fnv1a64":
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        # the UDF closure references this module — ship the package to
+        # Python workers (same contract as the multimodal operators)
+        from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
+        fnv = pandas_udf(fnv1a64_codepoints, LongType())
+        hashed = exploded.select("id", fnv("tok").alias("h"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|fnv1a64)")
 
     def mask(i: int) -> Column:
         return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
@@ -581,17 +628,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, blocks: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, block-LSH style.
 
     Pigeonhole: if two 64-bit prints differ in ≤ max_hamming bits and we
     cut into ``blocks`` ≥ max_hamming+1 blocks, at least one 16-bit block
     matches exactly → candidates join on (block_idx, block_value), then
-    verify popcount of XOR. Avoids the O(n²) cross join.
+    verify popcount of XOR. Avoids the O(n²) cross join. ``hash_fn``
+    forwards to ``simhash`` (xxhash64 fast path vs the DuckDB-replayable
+    fnv1a64 fold).
     """
     width = 64 // blocks
-    prints = simhash(df, id_col, text_col)
+    prints = simhash(df, id_col, text_col, hash_fn=hash_fn)
     blocked = prints.select(
         "id",
         "simhash",
@@ -653,19 +707,26 @@ def remove_repeated_paragraphs(
     carries. Hash collisions conflate two paragraphs at ~1e-10
     probability per pair (birthday-bounded like ``dedup_exact``).
     """
+    import re
+
+    # F.split treats its pattern as a Java regex while the rebuild's
+    # concat_ws uses the literal string — escape so separators with
+    # regex metacharacters ('.', '|', '+', …) split and rebuild the
+    # SAME document. re.escape emits backslash-escapes of ASCII
+    # punctuation only, which Java regex reads identically.
     paras = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.col(id_col).alias("__rp_id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "para"),
     ).withColumn("__h", F.xxhash64(F.trim(F.col("para"))))
     counts = (
         paras.filter(F.trim(F.col("para")) != "")
         .groupBy("__h")
-        .agg(F.countDistinct("id").alias("__ndocs"))
+        .agg(F.countDistinct("__rp_id").alias("__ndocs"))
     )
     kept = (
         paras.join(counts, "__h", "left")
         .filter(F.coalesce(F.col("__ndocs"), F.lit(0)) <= max_docs)
-        .groupBy("id")
+        .groupBy("__rp_id")
         .agg(
             F.concat_ws(
                 sep,
@@ -676,9 +737,11 @@ def remove_repeated_paragraphs(
             ).alias("__rebuilt")
         )
     )
+    # The reserved "__rp_id" name keeps this join unambiguous even when
+    # the caller's frame already carries a column literally named "id".
     return (
-        df.join(kept, F.col(id_col) == F.col("id"), "left")
-        .drop("id")
+        df.join(kept, F.col(id_col) == F.col("__rp_id"), "left")
+        .drop("__rp_id")
         .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
         .drop("__rebuilt")
     )

@@ -5,16 +5,13 @@ reference's operator surface — SURVEY.md §2.6 last row).
 Oracles: everything with exact, order-defined semantics gets a DuckDB
 oracle (the rolling-hash fingerprint, exact n-gram Jaccard, language-ID
 argmax, both near-dedup survivor policies, the stratified sample set,
-rounded BM25 scores and bigram-LM scores, and — because their outputs
-are exact-verified with measured-100%-recall operating points on this
-corpus — MinHash-LSH, the LSH and IVF ANN top-k, and embedding
-near-dup too). Exactly
-two rows-only queries remain, each with a documented reason:
-``dedup_simhash`` (permanent — DuckDB lacks xxhash64 and the pair set
-is not threshold-separable; see its docstring) and
-``multimodal_features`` (binary codec work has no SQL twin). Both are
-pinned instead by pytest ground-truth checks (SimHash block join ==
-brute-force hamming scan; codec round-trips vs numpy reference).
+rounded BM25 scores and bigram-LM scores, the fnv1a64-hashed SimHash
+pair set, and — because their outputs are exact-verified with
+measured-100%-recall operating points on this corpus — MinHash-LSH,
+the LSH and IVF ANN top-k, and embedding near-dup too). Exactly one
+rows-only query remains: ``multimodal_features`` (binary codec work
+has no SQL twin), pinned instead by pytest codec round-trips vs the
+numpy reference.
 """
 
 from __future__ import annotations
@@ -108,7 +105,52 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # PERMANENTLY rows-only — rationale below
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')
+             )) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, list_reduce(
+        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+          [CAST(unicode(tok[i]) AS HUGEINT) FOR i IN range(1, len(tok)+1)]),
+        (acc, cp) -> ((acc - acc % 2097152
+                       + CAST(xor(CAST(acc % 2097152 AS BIGINT), CAST(cp AS BIGINT)) AS HUGEINT))
+                      * CAST(1099511628211 AS HUGEINT))
+                     % CAST('18446744073709551616' AS HUGEINT)
+      ) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h // CAST(power(2, i) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, range(64) t(i)
+      GROUP BY doc_id, i
+    ),
+    prints AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN CAST(power(2, i) AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS fp
+      FROM votes GROUP BY doc_id
+    ),
+    signed AS (
+      SELECT doc_id,
+             CAST(fp - CASE WHEN fp >= CAST(power(2, 63) AS HUGEINT)
+                            THEN CAST('18446744073709551616' AS HUGEINT)
+                            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS s
+      FROM prints
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 of 64 bits, block-LSH).
 
@@ -117,21 +159,26 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one 16-bit block, so candidate recall is 100% — asserted
     against a brute-force hamming scan in tests.
 
-    Permanently rows-only, for two measured reasons (r5). (a) The
-    fingerprint is a function of Spark's xxhash64 (XXH64, seed 42) per
-    token; DuckDB has no xxhash64, so no SQL oracle can reproduce the
-    prints or the hamming column. (b) The *pair set* cannot be pinned to
-    a hash-free twin either: simhash hamming encodes angular distance
-    over the hashed-token vote vector, which is NOT threshold-separable
-    from token-set overlap on this corpus — measured at sf0.1, the
-    minimum token-set Jaccard inside the hamming≤3 pair set is 0.46
-    while the maximum OUTSIDE it is 0.97 (89k–8.8M out-of-set pairs sit
-    above j=0.5 across SFs), so no Jaccard threshold reproduces the set.
-    Ground truth lives in pytest instead: the block-LSH pair set equals
-    the brute-force all-pairs hamming scan exactly
-    (``test_simhash_blocking_is_lossless``)."""
+    Oracle-backed since r6 by making the fingerprint
+    CROSS-ENGINE-REPLAYABLE: the registered query hashes tokens with
+    ``hash_fn="fnv1a64"`` — an FNV-1a-style integer fold over code
+    points (``dedup.fnv1a64_codepoints``) that DuckDB replays exactly
+    in HUGEINT arithmetic mod 2⁶⁴ (the ``sample_stratified`` GF(2³¹−1)
+    replay trick widened to 64 bits; XOR touches only the low 21 bits,
+    so it is expressible as subtract-low + BIGINT xor). The oracle
+    rebuilds prints bit by bit (vote sums → sign → power-of-two
+    recompose → two's-complement BIGINT) and emits brute-force
+    all-pairs hamming ≤ 3 — equal to the block-LSH output because
+    blocking is lossless by pigeonhole. Round 5 called this row
+    "permanently rows-only" because DuckDB lacks xxhash64; the token
+    hash was an implementation choice, not physics — the default
+    operator still uses xxhash64 (JVM codegen, fastest), and the
+    block-LSH-vs-brute-force property stays pinned for BOTH hash
+    families in ``test_simhash_blocking_is_lossless``."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, blocks=4)
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, blocks=4, hash_fn="fnv1a64"
+    )
 
 
 @query(

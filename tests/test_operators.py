@@ -63,11 +63,15 @@ def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
     assert lsh == exact
 
 
-def test_simhash_blocking_is_lossless(spark, sf_dir):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "fnv1a64"])
+def test_simhash_blocking_is_lossless(spark, sf_dir, hash_fn):
     """blocks ≥ max_hamming+1 ⇒ the block join is a lossless candidate
-    filter: its verified output must equal a brute-force hamming scan."""
+    filter: its verified output must equal a brute-force hamming scan —
+    a property of the pigeonhole blocking, so it must hold for BOTH
+    token-hash families (JVM xxhash64 and the DuckDB-replayable
+    fnv1a64 fold the registered driver query uses)."""
     docs = load_table(spark, sf_dir, "documents")
-    prints = dedup.simhash(docs, "doc_id", "text")
+    prints = dedup.simhash(docs, "doc_id", "text", hash_fn=hash_fn)
     a = prints.selectExpr("id as id_a", "simhash as h_a")
     b = prints.selectExpr("id as id_b", "simhash as h_b")
     brute = {
@@ -79,9 +83,30 @@ def test_simhash_blocking_is_lossless(spark, sf_dir):
     }
     blocked = {
         (r["id_a"], r["id_b"])
-        for r in dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3, blocks=4).collect()
+        for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3, blocks=4, hash_fn=hash_fn
+        ).collect()
     }
     assert blocked == brute
+
+
+def test_fnv1a64_codepoints_matches_python_twin():
+    """The Arrow-batched FNV fold equals a direct per-string Python
+    reference (and stays within signed int64) — the integer contract
+    the DuckDB simhash oracle replays in HUGEINT arithmetic."""
+    import pandas as pd
+
+    def ref(t: str) -> int:
+        h = 14695981039346656037
+        for ch in t:
+            h ^= ord(ch)
+            h = (h * 1099511628211) % (1 << 64)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    toks = ["", "a", "hello", "Straße", "naïve", "x" * 100, "日本語", ""]
+    got = dedup.fnv1a64_codepoints(pd.Series(toks))
+    assert list(got) == [ref(t) for t in toks]
+    assert str(got.dtype) == "int64"
 
 
 def test_embedding_neardup_precision_and_recall(spark, sf_dir):

@@ -35,6 +35,7 @@ def curation_recipe(
     min_tokens: int = 5,
     max_punct_ratio: float = 0.5,
     lm_percentile_floor: float = 0.1,
+    lm_logp_min: float | None = None,
     near_dup_threshold: float = 0.5,
     sample_per_stratum: int | None = None,
     strata_cols: list[str] | None = None,
@@ -57,6 +58,13 @@ def curation_recipe(
        fraction by corpus-trained bigram cross-entropy
        (``text.bigram_lm_scores``); 0 skips. The cutoff is an
        ``approx_percentile`` broadcast scalar, not a driver collect.
+       ``lm_logp_min`` is the ABSOLUTE-cutoff alternative (None skips):
+       drop docs scoring strictly below the constant. Unlike the
+       percentile form (approx_percentile is engine-specific by
+       design), the absolute form is exactly replayable in another
+       engine, which is what lets the registered ``curation_recipe``
+       driver query carry a full DuckDB oracle. Both floors skip docs
+       with <2 tokens (no bigrams → unscored → pass through).
     4. **Exact dedup** — one survivor (min id) per identical text.
     5. **Near-dedup** — MinHash-LSH pairs at ``near_dup_threshold`` →
        two-star connected components → min-id survivor per component
@@ -94,6 +102,12 @@ def curation_recipe(
             scores.crossJoin(F.broadcast(cutoff))
             .filter(F.col("avg_logp") < F.col("c"))
             .select(F.col("id").alias(id_col))
+        )
+        out = out.join(drop, id_col, "left_anti")
+    if lm_logp_min is not None:
+        scores = text.bigram_lm_scores(out, id_col, text_col)
+        drop = scores.filter(F.col("avg_logp") < F.lit(lm_logp_min)).select(
+            F.col("id").alias(id_col)
         )
         out = out.join(drop, id_col, "left_anti")
     out = dedup.dedup_exact(out, [text_col], id_col)

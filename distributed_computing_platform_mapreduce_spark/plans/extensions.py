@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from distributed_computing_platform_mapreduce_spark.operators import (
+    curation,
     dedup,
     multimodal,
     ranking,
@@ -514,6 +515,139 @@ def dedup_cc_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_survivors_cc(docs, pairs, "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "curation_recipe",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text, lang, source,
+             list_distinct([lower(x) FOR x IN
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')]) AS dtoks,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS ntok,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1)::DOUBLE AS pr
+      FROM documents
+    ),
+    sc AS (
+      SELECT *,
+             len(list_intersect(dtoks, ['the','and','of','to','a','in','is','it','for','on'])) AS s_en,
+             len(list_intersect(dtoks, ['el','la','de','que','y','en','un','los','se','por'])) AS s_es,
+             len(list_intersect(dtoks, ['le','la','de','et','les','des','en','un','du','que'])) AS s_fr,
+             len(list_intersect(dtoks, ['der','die','und','das','von','zu','mit','den','ist','im'])) AS s_de
+      FROM t
+    ),
+    gated AS (
+      SELECT doc_id, text, lang, source FROM sc
+      WHERE (CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  ELSE 'de' END) IN ('en', 'es')
+        AND ntok >= 12 AND pr <= 0.3
+    ),
+    ltoks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS a
+      FROM gated
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest([a[i] FOR i IN range(1, len(a))]) AS w1,
+             unnest([a[i + 1] FOR i IN range(1, len(a))]) AS w2
+      FROM ltoks
+    ),
+    big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi GROUP BY w1, w2),
+    uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT term)::BIGINT AS v
+      FROM (SELECT unnest(a) AS term FROM ltoks)
+    ),
+    lm AS (
+      SELECT bi.doc_id, avg(ln((c12 + 1.0) / (c1 + 1.0 * v))) AS lp
+      FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+      GROUP BY bi.doc_id
+    ),
+    floored AS (
+      SELECT g.* FROM gated g
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM lm WHERE lp < -3.46)
+    ),
+    ded AS (
+      SELECT * FROM floored
+      WHERE doc_id IN (SELECT min(doc_id) FROM floored GROUP BY text)
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk)-1)]) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM ded)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src
+    ),
+    survivors AS (
+      SELECT * FROM ded
+      WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    )
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (15330096 * (doc_id % 2147483647) + 1941083619) % 2147483647,
+                        doc_id
+             ) AS rk
+      FROM survivors)
+    WHERE rk <= 10
+    """,
+)
+def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation chain a real training-data pipeline runs
+    (``operators/curation.curation_recipe``), driver-checked as ONE
+    composition since r6: language gate (stopword argmax ∈ {en, es}) →
+    heuristic gates (≥12 tokens, punct ratio ≤ 0.3) → absolute bigram-LM
+    floor (avg_logp ≥ −3.46; the ``lm_logp_min`` form exists precisely
+    because an absolute cutoff is cross-engine-replayable where
+    approx_percentile is not — margins to the nearest doc score measured
+    ≥ 9e−5 at sf0.001/0.01/0.1 vs ~1e−13 cross-libm jitter) → exact
+    dedup (min-id per text) → MinHash-LSH + two-star CC transitive
+    near-dedup (recall-100% operating point, same subset argument as
+    ``dedup_cc_survivors``: filtered-corpus pairs ⊆ full-corpus pairs
+    and band collisions are pairwise properties) → deterministic
+    GF(2³¹−1) stratified sample (10 per source, seed 11). The boilerplate
+    stage is configured off: this corpus has no paragraph separators
+    (measured zero newlines), so its oracle twin would be vacuous — the
+    stage keeps its own differential pytest
+    (``test_remove_repeated_paragraphs_matches_python``). Oracle: the
+    whole chain in one WITH RECURSIVE pipeline, CC via transitive
+    closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.curation_recipe(
+        docs,
+        langs=["en", "es"],
+        min_tokens=12,
+        max_punct_ratio=0.3,
+        lm_percentile_floor=0.0,
+        lm_logp_min=-3.46,
+        near_dup_threshold=0.5,
+        sample_per_stratum=10,
+        strata_cols=["source"],
+        sample_seed=11,
+    ).select("doc_id", "lang", "source")
 
 
 @query(

@@ -286,33 +286,33 @@ def agg_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- distinct / dedup / set ops / sort / limit ------------------------------
 
 
-@query("distinct_rows", oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
-def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.select("o_orderstatus", "o_orderpriority").distinct()
-
-
 @query(
     "set_ops_suite",
     oracle="""
-    SELECT nationkey, 'union_all' AS op FROM (
+    SELECT CAST(nationkey AS VARCHAR) AS val, 'union_all' AS op FROM (
       SELECT c_nationkey AS nationkey FROM customer
       UNION ALL
       SELECT s_nationkey AS nationkey FROM supplier)
     UNION ALL
-    SELECT nationkey, 'intersect' AS op FROM (
+    SELECT CAST(nationkey AS VARCHAR) AS val, 'intersect' AS op FROM (
       SELECT c_nationkey AS nationkey FROM customer
       INTERSECT
       SELECT s_nationkey AS nationkey FROM supplier)
     UNION ALL
-    SELECT nationkey, 'except' AS op FROM (
+    SELECT CAST(nationkey AS VARCHAR) AS val, 'except' AS op FROM (
       SELECT n_nationkey AS nationkey FROM nation
       EXCEPT
       SELECT s_nationkey AS nationkey FROM supplier WHERE s_nationkey < 10)
+    UNION ALL
+    SELECT o_orderstatus || '|' || o_orderpriority AS val, 'distinct' AS op FROM (
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
     """,
 )
 def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL / INTERSECT / EXCEPT in one tagged result.
+    """UNION ALL / INTERSECT / EXCEPT / multi-column DISTINCT in one
+    tagged result (``distinct_rows`` folded in r6 to free a registry
+    slot for ``curation_recipe`` — the value column is a string so the
+    orders status|priority pairs union with the nationkey legs).
 
     EXCEPT uses ``subtract()`` — true EXCEPT DISTINCT semantics (the
     earlier ``exceptAll().distinct()`` form diverges when a value appears
@@ -321,10 +321,20 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    union_all = c.unionByName(s).withColumn("op", F.lit("union_all"))
-    inter = c.intersect(s).withColumn("op", F.lit("intersect"))
-    exc = n.subtract(s.filter(F.col("nationkey") < 10)).withColumn("op", F.lit("except"))
-    return union_all.unionByName(inter).unionByName(exc)
+    as_val = lambda df: df.select(F.col("nationkey").cast("string").alias("val"))  # noqa: E731
+    union_all = as_val(c.unionByName(s)).withColumn("op", F.lit("union_all"))
+    inter = as_val(c.intersect(s)).withColumn("op", F.lit("intersect"))
+    exc = as_val(n.subtract(s.filter(F.col("nationkey") < 10))).withColumn("op", F.lit("except"))
+    o = load_table(spark, sf_dir, "orders")
+    dist = (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .select(
+            F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("val"),
+            F.lit("distinct").alias("op"),
+        )
+    )
+    return union_all.unionByName(inter).unionByName(exc).unionByName(dist)
 
 
 @query(

@@ -1352,3 +1352,32 @@ def test_remove_repeated_paragraphs_regex_sep_and_id_collision(spark):
         for r in dedup.remove_repeated_paragraphs(with_id, "doc_id", "text").collect()
     }
     assert got == {1: (77, "x"), 2: (88, "y")}
+
+
+def test_twostar_cc_pure_pair_graph_skips_iteration(spark):
+    """A graph of only isolated pairs is fully handled by the r6
+    pre-contraction fast path (residual edge set empty — zero star
+    rounds), and mixed graphs agree with min-label propagation."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (4, 3), (6, 5), (8, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components_twostar(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 3), (5, 5), (6, 5), (7, 7), (8, 7)}
+    # mixed: pairs + a 4-chain + a triangle sharing no nodes
+    mixed = spark.createDataFrame(
+        [(2, 1), (4, 3), (10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    star = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components_twostar(mixed).collect()
+    }
+    label = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(mixed).collect()
+    }
+    assert star == label
+    assert {(10, 10), (11, 10), (12, 10), (13, 10), (20, 20), (21, 20), (22, 20)} <= star

@@ -220,10 +220,10 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "subquery_avg_threshold",
+    "subquery_shapes_suite",
     oracle="""
-    SELECT l.l_partkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_avg_spend
+    SELECT 'q17_avg_threshold' AS tag, l.l_partkey AS key,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS val
     FROM lineitem l
     JOIN (
       SELECT l_partkey,
@@ -232,19 +232,87 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) a ON l.l_partkey = a.l_partkey
     WHERE l.l_quantity < 0.5 * a.avg_qty
     GROUP BY l.l_partkey
+    UNION ALL
+    SELECT 'q18_big_orders' AS tag, o.o_custkey AS key,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+    FROM orders o
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 180
+    )
+    GROUP BY o.o_custkey
+    UNION ALL
+    SELECT 'q2_min_cost' AS tag, l.l_partkey AS key,
+           CAST(min(l.l_suppkey) AS DOUBLE) AS val
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, min(l_extendedprice) AS minp
+      FROM lineitem GROUP BY l_partkey
+    ) m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.minp
+    GROUP BY l.l_partkey
     """,
 )
-def subquery_avg_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H q17 shape: correlated scalar subquery decorrelated into a
-    self-join against a per-key aggregate (exactly what Catalyst does to
-    the SQL form). Both sides shuffle on l_partkey — co-partitioned."""
+def subquery_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three classic correlated-subquery optimizer shapes in one
+    tagged suite (``subquery_avg_threshold`` widened in r6 — same slot,
+    two more decorrelation patterns):
+
+    * ``q17_avg_threshold`` — correlated SCALAR subquery (quantity below
+      half the per-part average) decorrelated into a self-join against a
+      per-key aggregate, exactly what Catalyst does to the SQL form;
+      both sides shuffle on l_partkey, co-partitioned.
+    * ``q18_big_orders`` — semi-join against a grouped-HAVING subquery
+      (orders whose lineitems total > 180 units): the IN-subquery
+      becomes LEFT SEMI after the aggregate, so orders never duplicate.
+    * ``q2_min_cost`` — correlated MIN subquery (which supplier ships a
+      part at its minimum price): per-group min join + equality filter,
+      min(l_suppkey) as the deterministic tie-break — the TPC-H q2
+      pattern re-expressed on the lineitem star (this schema has no
+      partsupp table).
+
+    Exact-money policy throughout: sums in DECIMAL, doubles only at the
+    boundary. HAVING compares a sum of integer-valued doubles — exact
+    and order-independent under IEEE, so cross-engine safe; the q2
+    equality compares raw parquet doubles bit-for-bit on both engines.
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
     avg_q = li.groupBy("l_partkey").agg(
         (F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
     )
-    return (
+    q17 = (
         li.join(avg_q, "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy("l_partkey")
-        .agg(dsum("l_extendedprice", "below_avg_spend"))
+        .agg(dsum("l_extendedprice", "val"))
+        .select(
+            F.lit("q17_avg_threshold").alias("tag"),
+            F.col("l_partkey").alias("key"),
+            "val",
+        )
     )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 180)
+        .select("l_orderkey")
+    )
+    q18 = (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "val"))
+        .select(
+            F.lit("q18_big_orders").alias("tag"), F.col("o_custkey").alias("key"), "val"
+        )
+    )
+    minp = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("minp"))
+    q2 = (
+        li.join(minp, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("minp"))
+        .groupBy("l_partkey")
+        .agg(F.min("l_suppkey").cast("double").alias("val"))
+        .select(
+            F.lit("q2_min_cost").alias("tag"), F.col("l_partkey").alias("key"), "val"
+        )
+    )
+    return q17.unionByName(q18).unionByName(q2)

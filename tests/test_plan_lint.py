@@ -51,6 +51,9 @@ BNLJ_OK = {
     "similarity_topk_suite",
     "ranking_bm25",
     "text_ngram_lm",  # broadcast 1-row vocab-size aggregate crossJoined on
+    # curation_recipe's LM-floor stage reuses bigram_lm_scores — the same
+    # broadcast 1-row vocab scalar as text_ngram_lm, nothing else non-equi
+    "curation_recipe",
 }
 
 

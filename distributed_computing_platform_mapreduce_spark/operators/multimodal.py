@@ -30,9 +30,13 @@ Decode support is format-honest:
   resize) unchanged. Chroma-subsampled y4m (C420 etc.) raises
   ``NotImplementedError`` — honest gate again; a deployment swaps in
   ffmpeg/pyav and nothing downstream changes.
-- **JPEG** (magic detected) raises ``NotImplementedError`` — a DCT
-  codec (PIL/opencv) is not in this container; a deployment would
-  swap ``decode_image`` to the real library, nothing else changes.
+- **JPEG** (baseline sequential DCT, 8-bit, gray/YCbCr, sampling
+  factors ≤ 2, restart markers) is decoded FOR REAL since r6 — pure
+  numpy Huffman + IDCT in ``jpeg.py``, with ``encode_jpeg`` so tests
+  round-trip every MCU geometry (4:4:4 / 4:2:0 / DRI) without binary
+  fixtures. Progressive (SOF2), arithmetic-coded, 12-bit and
+  hierarchical JPEG raise ``NotImplementedError`` — the same honest
+  gate as the rarer PNG variants.
 - Unknown payloads fall back to byte statistics (schema-stable).
 """
 
@@ -74,7 +78,7 @@ FEATURE_SCHEMA = StructType(
         StructField("byte_mean", DoubleType()),
         StructField("first_byte", IntegerType()),
         StructField("feature_norm", DoubleType()),
-        StructField("decoded", StringType()),  # ppm | pgm | wav | y4m | fallback
+        StructField("decoded", StringType()),  # ppm|pgm|png|jpeg|wav|y4m|fallback
         StructField("px_width", IntegerType()),  # image: pixels; audio: channels
         StructField("px_height", IntegerType()),  # image: pixels; audio: -1
         StructField("px_mean", DoubleType()),
@@ -102,9 +106,10 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (h, w, c)/(h, w) uint8 array.
 
-    Real decode for P6/P5 and (via ``decode_png``) 8-bit non-interlaced
-    PNG; explicit NotImplementedError for JPEG (codec libs absent here —
-    swap this function in deployment); ValueError otherwise.
+    Real decode for P6/P5, (via ``decode_png``) 8-bit non-interlaced
+    PNG, and (via ``jpeg.decode_jpeg``) baseline sequential JPEG;
+    NotImplementedError for the gated variants of each format;
+    ValueError otherwise.
     """
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
@@ -131,10 +136,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=i)
         return arr.reshape((h, w, 3)) if c == 3 else arr.reshape((h, w))
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode requires PIL/opencv (not in this container); "
-            "swap decode_image to the real codec in deployment"
-        )
+        from distributed_computing_platform_mapreduce_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("unknown image format")
 
 
@@ -484,21 +488,34 @@ def synth_frames(seed: int, n_frames: int = 8, width: int = 16, height: int = 16
 # --- media table ------------------------------------------------------------
 
 
-def media_from_documents(docs: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
-    """Synthesize a media table with REAL P6 payloads, deterministically
+def media_from_documents(
+    docs: DataFrame, width: int = 16, height: int = 16, codec: str = "ppm"
+) -> DataFrame:
+    """Synthesize a media table with REAL image payloads, deterministically
     seeded by doc_id (no binary fixtures in the container). The payload
-    column is genuine encoded-image bytes; everything downstream decodes
-    it for real."""
+    column is genuine encoded-image bytes — PPM (default), PNG, or
+    baseline JPEG per ``codec`` — and everything downstream decodes it
+    for real. Exactly one output row per input doc, by construction."""
     from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
 
+    if codec not in ("ppm", "png", "jpeg"):
+        raise ValueError(f"codec must be ppm|png|jpeg, got {codec!r}")
     ensure_shipped(docs.sparkSession)
     ids = docs.select(F.col("doc_id").alias("media_id"))
 
+    def encode_one(seed: int) -> bytes:
+        px = synth_pixels(seed, width, height)
+        if codec == "png":
+            return encode_png(px)
+        if codec == "jpeg":
+            from distributed_computing_platform_mapreduce_spark.operators.jpeg import encode_jpeg
+
+            return encode_jpeg(px, quality=95)
+        return encode_ppm(px)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                encode_ppm(synth_pixels(int(m), width, height)) for m in pdf["media_id"]
-            ]
+            payloads = [encode_one(int(m)) for m in pdf["media_id"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -621,6 +638,8 @@ def _features_one(payload: bytes) -> tuple:
         px = decode_image(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             fmt = "png"
+        elif payload[:2] == b"\xff\xd8":
+            fmt = "jpeg"
         else:
             fmt = "ppm" if px.ndim == 3 else "pgm"
         h, w = px.shape[:2]

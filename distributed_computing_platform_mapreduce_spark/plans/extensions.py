@@ -406,16 +406,28 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # could run; ground truth is the pytest codec round-trips vs numpy reference.
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas,
-    over a MIXED media table: genuine P6 images, genuine RIFF/WAV PCM-16
-    clips AND genuine YUV4MPEG2 Cmono video (all synthesized
-    deterministically) decoded for real — pixel width/height/mean from
-    the numpy PPM codec, duration/RMS/peak from the numpy WAV codec,
-    duration/mean-luma from the numpy y4m codec — in one schema-stable
-    pass; PNG/JPEG, float-WAV and chroma-subsampled y4m would slot into
-    the same path in deployment."""
+    over a MIXED media table: genuine P6 images, genuine baseline-JPEG
+    images (r6 — the pure-numpy Huffman+DCT codec in operators/jpeg.py),
+    genuine RIFF/WAV PCM-16 clips AND genuine YUV4MPEG2 Cmono video (all
+    synthesized deterministically) decoded for real — pixel
+    width/height/mean from the numpy image codecs, duration/RMS/peak
+    from the numpy WAV codec, duration/mean-luma from the numpy y4m
+    codec — in one schema-stable pass.
+
+    Exact-count contract (r6, drivers can assert it): the synthesis is
+    deterministic and 1:1 per modality, so the result has EXACTLY
+    4 × count(documents) rows (ppm + jpeg + wav + y4m legs), schema
+    ``multimodal.FEATURE_SCHEMA``, zero ``decoded='fallback'`` rows, and
+    per-row values that are pure functions of ``doc_id`` — pinned
+    end-to-end by ``test_multimodal_features_exact_contract`` (count,
+    per-modality decode tags, and a corpus checksum over every feature
+    column). Rows-only at the driver because the codec work
+    (zlib/struct/Huffman/numpy) has no ANSI-SQL twin; the pytest contract
+    is the ground truth."""
     docs = load_table(spark, sf_dir, "documents")
     media = (
         multimodal.media_from_documents(docs)
+        .unionAll(multimodal.media_from_documents(docs, codec="jpeg"))
         .unionAll(multimodal.audio_from_documents(docs))
         .unionAll(multimodal.video_from_documents(docs))
     )

@@ -52,6 +52,11 @@ BENCH_QUERIES = [
 # declarative pipelines at the baseline's smallest AND largest data
 # volumes — the two points show the scaling slope, not just one ratio.
 REF_SCALES = {"50mb": 50 * 1024 * 1024, "200mb": 200 * 1024 * 1024}
+# One order of magnitude past the baseline's largest published volume:
+# shows the scaling slope HOLDS, not just that the 200 MB point is fast.
+# No baseline number exists at 1 GB (the reference never published one),
+# so this point reports slope only.
+REF_SCALES["1gb"] = 1024 * 1024 * 1024
 BASELINE_SEC = {
     "wordcount_50mb": 77.4,
     "wordcount_200mb": 155.4,
@@ -94,8 +99,11 @@ def _timed_median(fn) -> tuple[float, float, float]:
 def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[str, str]:
     from pyspark.sql import functions as F
 
-    docs_path = os.path.join(BENCH_CORPUS_DIR, f"documents_{label}.parquet")
-    edges_path = os.path.join(BENCH_CORPUS_DIR, f"edges_{label}.parquet")
+    # key the cache by source sf too — a probe run at sf0.01 must not
+    # seed corpora that a later official sf0.1 run would silently reuse
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    docs_path = os.path.join(BENCH_CORPUS_DIR, f"documents_{label}_{sf_tag}.parquet")
+    edges_path = os.path.join(BENCH_CORPUS_DIR, f"edges_{label}_{sf_tag}.parquet")
     if not os.path.exists(docs_path):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
             "doc_id", "text"
@@ -201,6 +209,100 @@ def _ref_scale_times(
     return times, spread, errors
 
 
+def _ensure_skew_corpus(spark) -> str:
+    """Materialize a hot-key edge corpus: ONE destination key owns half
+    of all 4M rows, the rest spread uniformly over 10k cold keys — the
+    pathological shape (a page linked by half the web) where a naive
+    collect-per-key funnels 2M values through a single task while every
+    other task finishes early. Deterministic: keys derive from xxhash64
+    of the row id, no RNG. A mild Zipf tail (hot key ~15%) measurably
+    does NOT need salting (r6 probe: naive beat salted there — the
+    two-phase overhead only pays off past roughly hot-share ≫ 1/cores),
+    so the bench measures the regime the operator exists for."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(BENCH_CORPUS_DIR, "edges_skew.parquet")
+    if not os.path.exists(path):
+        n_rows, n_cold_keys = 4_000_000, 10_000
+        u = F.pmod(F.xxhash64(F.col("id")), F.lit(100))
+        (
+            spark.range(n_rows)
+            .select(
+                F.when(u < 50, F.lit("hot"))
+                .otherwise(
+                    F.format_string(
+                        "k%05d", F.pmod(F.xxhash64(F.col("id") + 7), F.lit(n_cold_keys))
+                    )
+                )
+                .alias("dst"),
+                F.format_string("src-%012d", F.col("id")).alias("src"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def _skew_times(spark) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+    """The rwlg collect-per-key shape on a Zipf-keyed corpus, with and
+    without the two-phase salted collect (operators/skew.py). Both
+    pipelines produce identical output (asserted once per bench run);
+    the timing pair is the empirical evidence that salting wins under
+    skew — SURVEY §7.2's claim, measured rather than plan-linted."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        salted_collect_sorted,
+    )
+
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    try:
+        path = _ensure_skew_corpus(spark)
+    except Exception as exc:  # noqa: BLE001
+        return times, spread, {"corpus_skew": _error_line(exc)}
+
+    def run_naive():
+        edges = spark.read.parquet(path)
+        out = edges.groupBy("dst").agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("src"))).alias("sources")
+        )
+        out.write.format("noop").mode("overwrite").save()
+
+    def run_salted():
+        edges = spark.read.parquet(path)
+        out = salted_collect_sorted(edges, "dst", "src", n_salts=16, out_col="sources")
+        out.write.format("noop").mode("overwrite").save()
+
+    # Same-answer check (cheap: 100 output rows) before timing anything.
+    try:
+        edges = spark.read.parquet(path)
+        naive = edges.groupBy("dst").agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("src"))).alias("sources")
+        )
+        salted = salted_collect_sorted(edges, "dst", "src", n_salts=16, out_col="sources")
+        diff = naive.exceptAll(salted).count() + salted.exceptAll(naive).count()
+        if diff:
+            errors["skew_equivalence"] = f"salted vs naive differ on {diff} rows"
+            return times, spread, errors
+    except Exception as exc:  # noqa: BLE001
+        errors["skew_equivalence"] = _error_line(exc)
+        return times, spread, errors
+
+    for key, fn in (("rwlg_skew_naive", run_naive), ("rwlg_skew_salted", run_salted)):
+        try:
+            fn()  # warm plan shape
+            med, lo, hi = _timed_median(fn)
+        except Exception as exc:  # noqa: BLE001
+            errors[key] = _error_line(exc)
+            continue
+        times[key] = med
+        spread[key] = [lo, hi]
+    return times, spread, errors
+
+
 def _error_line(exc: BaseException) -> str:
     """One-line error summary for the JSON report (no newlines — the
     report must stay a single JSON line)."""
@@ -250,6 +352,14 @@ def main() -> None:
         errors.update(ref_errors)
     except Exception as exc:  # noqa: BLE001
         errors["ref_scale"] = _error_line(exc)
+
+    try:
+        sk_times, sk_spread, sk_errors = _skew_times(spark)
+        times.update(sk_times)
+        spread.update(sk_spread)
+        errors.update(sk_errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["skew"] = _error_line(exc)
 
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -71,6 +71,40 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name", sorted(__import__(
+    "distributed_computing_platform_mapreduce_spark.plans.tpch_shapes",
+    fromlist=["SHAPES"],
+).SHAPES))
+def test_tpch_shape_matches_oracle(spark, sf_dir, name):
+    """The five extra TPC-H optimizer shapes (plans/tpch_shapes.py) ride
+    OUTSIDE the 50-query driver cap but get the identical compare: the
+    same SQL text runs through Spark's SQL front end and DuckDB, pinning
+    EXISTS/NOT-EXISTS decorrelation, scalar subqueries, disjunctive join
+    predicates, and conditional aggregation."""
+    from distributed_computing_platform_mapreduce_spark.plans import tpch_shapes
+
+    sdf = tpch_shapes.run_shape(spark, sf_dir, name)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+    assert spark_rows, f"{name}: degenerate shape — zero rows proves nothing"
+
+    con = _duck(sf_dir)
+    res = con.execute(tpch_shapes.SHAPES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _normalize(spark_rows, spark_cols)
+    b = _normalize(duck_rows, duck_cols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[:3]}"
+
+
 def test_all_oracle_names_have_queries():
     assert set(ORACLES) <= set(QUERIES)
 

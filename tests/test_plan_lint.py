@@ -119,3 +119,27 @@ def test_column_pruning_on_projection(plans):
     plan = plans["filter_project"]
     read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
     assert "o_comment" not in read_schema
+
+
+def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir):
+    """The SQL-front-end shapes (plans/tpch_shapes.py) must decorrelate:
+    correlated EXISTS → LeftSemi hash join, NOT EXISTS → LeftAnti hash
+    join — never a per-row subquery or a nested-loop over the fact side.
+    This is the plan property that makes them 100 TB-safe."""
+    from distributed_computing_platform_mapreduce_spark.plans import tpch_shapes
+
+    def plan_of(name: str) -> str:
+        df = tpch_shapes.run_shape(spark, sf_dir, name)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    q4 = plan_of("q4_exists_semi")
+    assert "LeftSemi" in q4
+    assert "CartesianProduct" not in q4
+    q22 = plan_of("q22_anti_scalar")
+    assert "LeftAnti" in q22
+    assert "CartesianProduct" not in q22
+    # the disjunctive join must still join on the equi-key (hash join,
+    # not a nested loop over the disjunction)
+    q19 = plan_of("q19_disjunctive")
+    assert "HashJoin" in q19 or "SortMergeJoin" in q19
+    assert "NestedLoop" not in q19 and "CartesianProduct" not in q19

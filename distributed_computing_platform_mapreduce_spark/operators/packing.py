@@ -1,0 +1,109 @@
+"""Sequence packing for LLM training data: concat-and-chunk.
+
+Pretraining pipelines concatenate the token stream of an ordered corpus
+and cut it into fixed-size sequences (``max_tokens``); each document
+lands at a deterministic (sequence, offset) and may straddle a cut.
+This operator computes that assignment as metadata — (doc_id, n_tokens,
+seq_id, seq_offset, straddles) — the shuffle-free precursor to actually
+materializing packed token arrays with a tokenizer.
+
+No reference parity to cite: the reference has no notion of token
+streams; this belongs to the training-data-pipeline extension surface
+(SURVEY §6) beside dedup/sampling/quality scoring.
+
+Scale design — the global exclusive prefix sum is the whole problem:
+
+- A single ``Window.orderBy`` with no ``partitionBy`` funnels the corpus
+  through ONE task (Spark even warns) — the classic scale-killer. We
+  run the textbook two-phase distributed scan instead:
+
+  1. ``repartitionByRange(doc_id)`` gives totally ordered partitions;
+     ``spark_partition_id`` tags rows with their rank-order partition.
+  2. Per-partition token totals (one tiny row per partition) get their
+     own exclusive prefix sum — a window over ``n_partitions`` rows,
+     negligible by construction — and broadcast-join back as offsets.
+  3. Within each partition, a ``partitionBy(pid)`` window (parallel)
+     adds the local exclusive cumsum to the partition offset.
+
+- Branch consistency: steps 2 and 3 both consume the range exchange;
+  Spark's ReusedExchange collapses the identical subplans, so both see
+  the SAME partition boundaries in one job. We additionally pin the
+  plan with ``localCheckpoint(eager=False)`` so even multi-action
+  consumers (count + collect, or a retried stage) can't observe two
+  different samplings of the range partitioner.
+- Shuffle ledger: one range exchange of (id, n_tokens) — O(8+4 bytes)
+  per doc, no text — plus a broadcast of n_partitions offset rows.
+  At 100 TB of *text* the shuffled metadata is a few GB; n_partitions
+  rows ride the driver like any scalar aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace token count, identical to text_stats' ``n_tokens``
+    (and to its DuckDB replay — keeping packing oracle-expressible)."""
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document its (seq_id, seq_offset) under concat-and-
+    chunk packing of the ``id_col``-ordered token stream.
+
+    Output: (doc_id, n_tokens bigint, seq_id bigint, seq_offset bigint,
+    straddles boolean). ``straddles`` marks docs cut by a sequence
+    boundary. Deterministic: a pure function of (corpus, max_tokens) —
+    partitioning only changes WHERE rows are computed, never the global
+    prefix sum they receive.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        whitespace_token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    if n_partitions:
+        t = t.repartitionByRange(n_partitions, "doc_id")
+    else:
+        t = t.repartitionByRange("doc_id")
+    ranged = t.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
+
+    # tiny: one row per partition; the no-partitionBy window is over
+    # n_partitions rows by construction, not the corpus
+    ptot = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__psum"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    poff = ptot.select(
+        "__pid", F.coalesce(F.sum("__psum").over(woff), F.lit(0)).alias("__poff")
+    )
+
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.col("__poff") + F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
+    # exact integer floor-div: (cum - cum % m) is a multiple of m, so the
+    # double division is exact (until 2^53 total tokens — ~400 PB of text)
+    seq_id = ((cum - cum % F.lit(max_tokens)) / F.lit(max_tokens)).cast("bigint")
+    return (
+        ranged.join(F.broadcast(poff), "__pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            seq_id.alias("seq_id"),
+            (cum % F.lit(max_tokens)).alias("seq_offset"),
+            ((cum % F.lit(max_tokens)) + F.col("n_tokens") > F.lit(max_tokens)).alias(
+                "straddles"
+            ),
+        )
+    )

@@ -24,6 +24,7 @@ from distributed_computing_platform_mapreduce_spark.operators import (
     curation,
     dedup,
     multimodal,
+    packing,
     ranking,
     sampling,
     similarity,
@@ -691,6 +692,45 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_sample_exact(
         docs, ["lang"], "doc_id", 10, seed=11
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum // 2048 AS BIGINT) AS seq_id,
+           CAST(cum % 2048 AS BIGINT) AS seq_offset,
+           (cum % 2048) + n_tokens > 2048 AS straddles
+    FROM c
+    """,
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM sample packing (concat-and-chunk, r6): every document's
+    deterministic (sequence, offset) position when the doc_id-ordered
+    whitespace-token stream is cut into 2048-token sequences — the
+    metadata pass that precedes materializing packed training batches.
+
+    The oracle replays the global exclusive prefix sum as a single
+    DuckDB window; the Spark plan must NOT do that (a no-partition
+    window is a one-task funnel) — ``operators/packing.py`` runs the
+    two-phase distributed scan instead (range partition → per-partition
+    offsets, a window over n_partitions rows → parallel local cumsum),
+    so the driver compare certifies the distributed scan against the
+    sequential definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, max_tokens=2048)
 
 
 @query(

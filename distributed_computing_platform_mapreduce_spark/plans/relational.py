@@ -85,22 +85,50 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_left_outer",
+    "join_outer_suite",
     oracle="""
-    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    SELECT 'left' AS side, c.c_custkey AS left_key,
+           o.o_orderkey AS right_key, o.o_orderpriority AS right_label
     FROM customer c
     LEFT JOIN orders o
       ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000.0
+    UNION ALL
+    SELECT 'full' AS side, s.s_suppkey AS left_key,
+           t.n_nationkey AS right_key, t.n_name AS right_label
+    FROM supplier s
+    FULL OUTER JOIN (SELECT * FROM nation WHERE n_nationkey < 20) t
+      ON s.s_nationkey = t.n_nationkey
     """,
 )
-def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer with a join-side predicate (kept in ON, not WHERE —
-    semantics differ; we preserve unmatched customers)."""
+def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer + full-outer under one driver row (folded in r6 to
+    free a registry slot for ``sequence_packing`` — both checks remain
+    intact, tagged by ``side``; the pattern ``join_semi_anti`` set).
+
+    Left leg: join-side predicate kept in ON, not WHERE — semantics
+    differ; unmatched customers are preserved with NULL order columns.
+    Full leg: nation filtered below key 20 so BOTH null sides are
+    non-vacuous (suppliers of filtered-out nations, nations with no
+    supplier)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(
+    left = c.join(
         o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000.0), "left"
-    ).select("c_custkey", "o_orderkey", "o_totalprice")
+    ).select(
+        F.lit("left").alias("side"),
+        F.col("c_custkey").alias("left_key"),
+        F.col("o_orderkey").alias("right_key"),
+        F.col("o_orderpriority").alias("right_label"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    full = s.join(n, s.s_nationkey == n.n_nationkey, "full_outer").select(
+        F.lit("full").alias("side"),
+        F.col("s_suppkey").alias("left_key"),
+        F.col("n_nationkey").alias("right_key"),
+        F.col("n_name").alias("right_label"),
+    )
+    return left.unionAll(full)
 
 
 @query(
@@ -137,23 +165,6 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     ).select(F.lit("anti").alias("side"), "c_custkey", "c_name")
     return semi.unionAll(anti)
-
-
-@query(
-    "join_full_outer",
-    oracle="""
-    SELECT s.s_suppkey, s.s_name, t.n_nationkey, t.n_name
-    FROM supplier s
-    FULL OUTER JOIN (SELECT * FROM nation WHERE n_nationkey < 20) t
-      ON s.s_nationkey = t.n_nationkey
-    """,
-)
-def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
-    return s.join(n, s.s_nationkey == n.n_nationkey, "full_outer").select(
-        "s_suppkey", "s_name", "n_nationkey", "n_name"
-    )
 
 
 @query(

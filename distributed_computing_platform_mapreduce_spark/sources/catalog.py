@@ -124,6 +124,15 @@ def load_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
+def load_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan (S10+, r6): the other columnar format large warehouses
+    ship; Spark's native reader gives the same predicate-pushdown and
+    column-pruning behavior the parquet path gets (plan-asserted in
+    ``test_orc_roundtrip_and_pushdown``). Schema travels in the file —
+    no inference caveat."""
+    return spark.read.options(**options).orc(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import collections
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -409,3 +410,44 @@ def test_remove_repeated_paragraphs_matches_python(spark, docs, max_docs):
         ).collect()
     }
     assert got == {i: t for i, t in enumerate(expected)}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=1, max_size=12))
+def test_pagerank_matches_power_iteration(spark, edge_list):
+    """PageRank (operators/graph.py) vs a numpy power-iteration twin on
+    arbitrary small digraphs — self-loops, parallel edges, dangling
+    nodes and cycles all arise from the generator. Also pins the
+    rank-conservation invariant (ranks sum to exactly 1 with dangling
+    redistribution)."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+
+    dedup_edges = sorted(set(edge_list))
+    ids = sorted({x for e in dedup_edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out: dict[int, set] = {}
+    for s, d in dedup_edges:
+        out.setdefault(s, set()).add(d)
+    r = np.full(n, 1.0 / n)
+    damp = 0.85
+    for _ in range(8):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for v in ids:
+            if v in out:
+                for d in out[v]:
+                    nxt[idx[d]] += r[idx[v]] / len(out[v])
+            else:
+                dangling += r[idx[v]]
+        r = (1 - damp) / n + damp * (nxt + dangling / n)
+
+    assert set(got) == set(ids)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in ids:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-9), v

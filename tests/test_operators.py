@@ -45,6 +45,179 @@ def test_shingle_operators_survive_short_docs(spark):
     assert sim.count() >= 1  # the identical pair must collide
 
 
+def test_gopher_quality_flags_rules(spark):
+    """Gopher rule metrics (Rae et al. 2021, Table A1 analogues):
+    hand-checked per-rule failures and a Python twin for the
+    duplicate-line metrics (the only shuffled metric)."""
+    from distributed_computing_platform_mapreduce_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 10),
+            (2, "a b c"),
+            (3, "line one\nline one\nline one\nunique line"),
+            (4, "- item\n- item2\n- item3"),
+            (5, "wait...\nmore…\nok"),
+            (6, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in quality.gopher_quality_flags(docs, min_words=5).collect()}
+    assert out[1]["passes"] and out[1]["n_words"] == 90
+    assert not out[2]["passes"]  # word count below floor
+    assert out[3]["dup_line_frac"] == pytest.approx(0.75)  # 3 of 4 lines dup
+    dup_chars = 3 * len("line one")
+    total = dup_chars + len("unique line")
+    assert out[3]["dup_line_char_frac"] == pytest.approx(dup_chars / total)
+    assert out[4]["bullet_frac"] == pytest.approx(1.0) and not out[4]["passes"]
+    assert out[5]["ellipsis_frac"] == pytest.approx(2 / 3) and not out[5]["passes"]
+    assert out[6]["n_words"] == 0 and not out[6]["passes"]
+
+    # Python twin for the dup-line metrics on messier inputs
+    import collections
+
+    texts = ["x\n\nx\n x \ny", "a\na\na", "only", "\n\n", "b\nc\nb\nc\nb"]
+    tdf = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in quality.gopher_quality_flags(tdf).collect()
+    }
+    for i, text in enumerate(texts):
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        c = collections.Counter(lines)
+        dup_n = sum(v for v in c.values() if v > 1)
+        dup_ch = sum(v * len(k) for k, v in c.items() if v > 1)
+        tot_ch = sum(v * len(k) for k, v in c.items())
+        exp = (
+            dup_n / max(len(lines), 1),
+            dup_ch / max(tot_ch, 1),
+        )
+        assert got[i] == (pytest.approx(exp[0]), pytest.approx(exp[1])), (i, text)
+
+
+def test_decontaminate_against_eval_set(spark):
+    """Eval-set n-gram decontamination: overlap counts match a Python
+    twin, sub-n docs are never flagged, min_overlap is respected."""
+    from distributed_computing_platform_mapreduce_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated words here today friends"),
+            (3, "quick brown fox says hi"),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [("the quick brown fox jumps",), ("lazy dog sleeps",)], ["text"]
+    )
+
+    def py_shingles(t, n=3):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+    eval_sh = py_shingles("the quick brown fox jumps") | py_shingles("lazy dog sleeps")
+    got = {
+        r["id"]: (r["n_shingles"], r["n_overlap"], r["contaminated"])
+        for r in quality.decontaminate(docs, evals, n=3).collect()
+    }
+    for row in [(1, "the quick brown fox jumps over the lazy dog"),
+                (2, "totally unrelated words here today friends"),
+                (3, "quick brown fox says hi"),
+                (4, "too short")]:
+        i, text = row
+        sh = py_shingles(text)
+        assert got[i] == (len(sh), len(sh & eval_sh), len(sh & eval_sh) >= 1), i
+    assert got[4][0] == 0 and not got[4][2]
+
+    # a higher overlap threshold un-flags the partial match
+    strict = {
+        r["id"]: r["contaminated"]
+        for r in quality.decontaminate(docs, evals, n=3, min_overlap=3).collect()
+    }
+    assert strict[1] and not strict[3]
+
+
+def test_redact_pii_patterns(spark):
+    from distributed_computing_platform_mapreduce_spark.operators import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@example.co.uk or 192.168.0.1 now"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "clean text with no identifiers at all"),
+            (4, "two mails: a@b.io c.d@e-f.org and 10.0.0.255"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r for r in quality.redact_pii(docs).collect()}
+    assert got[1]["text_redacted"] == "mail me at [EMAIL] or [IP] now"
+    assert (got[1]["n_emails"], got[1]["n_ips"]) == (1, 1)
+    assert got[2]["text_redacted"] == "call [PHONE] today"
+    assert got[2]["n_phones"] == 1
+    assert got[3]["text_redacted"] == "clean text with no identifiers at all"
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
+    assert got[4]["text_redacted"] == "two mails: [EMAIL] [EMAIL] and [IP]"
+    assert (got[4]["n_emails"], got[4]["n_ips"]) == (2, 1)
+    # counts run on the ORIGINAL text: the IP also matches the
+    # phone-like digit-run pattern (documented non-disjoint classes)
+    assert got[1]["n_phones"] == 1
+
+
+def test_pack_sequences_semantics_and_partition_invariance(spark):
+    """Concat-and-chunk packing: hand-checked positions, straddle
+    detection, zero-token docs, and — the property the operator exists
+    for — the SAME result under any partitioning (the global prefix sum
+    is computed by the two-phase distributed scan, not a one-task
+    window)."""
+    from distributed_computing_platform_mapreduce_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens -> seq 0, offset 0
+            (2, ""),               # 0 tokens -> seq 0, offset 3
+            (3, "d e f g"),        # 4 tokens -> seq 0, offset 3, straddles (3+4>5)
+            (4, "h"),              # cum 7 -> seq 1, offset 2
+            (5, "i j k l m n"),    # cum 8 -> seq 1, offset 3, straddles
+        ],
+        ["doc_id", "text"],
+    )
+    expected = [
+        (1, 3, 0, 0, False),
+        (2, 0, 0, 3, False),
+        (3, 4, 0, 3, True),
+        (4, 1, 1, 2, False),
+        (5, 6, 1, 3, True),
+    ]
+    for nparts in (1, 2, 5):
+        got = sorted(
+            tuple(r)
+            for r in pack_sequences(docs, max_tokens=5, n_partitions=nparts).collect()
+        )
+        assert got == expected, nparts
+
+    # the corpus-scale plan must not contain a no-partition window over
+    # the data: every Window in the executed plan is either partitioned
+    # by the pid or runs over the n_partitions-row offsets table
+    out = pack_sequences(docs, max_tokens=5, n_partitions=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    corpus_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "doc_id" in ln and not re.search(r"__pid#\d+\]", ln.split("ORDER BY")[0] if "ORDER BY" in ln else ln)
+    ]
+    # local cumsum windows must be partitioned by __pid
+    for ln in corpus_windows:
+        assert "__pid" in ln, ln
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, max_tokens=0)
+
+
 def test_shingle_cache_scoped_by_plan(spark):
     """The r6 replacement of the single-global shingle cache: re-running
     the SAME minhash pipeline releases its previous persist (bounded

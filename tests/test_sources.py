@@ -133,6 +133,32 @@ def test_csv_and_json_scans(spark, tmp_path):
     assert rows == {1: ["x"], 2: []}
 
 
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC (S10+, r6): write the orders table to ORC, read it back
+    identical, and confirm the native reader gives the same
+    filter-pushdown + column-pruning the parquet path gets."""
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import (
+        load_orc,
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.orc(path)
+
+    back = load_orc(spark, path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0 and orders.exceptAll(back).count() == 0
+
+    q = back.filter(back.o_totalprice > 400000.0).select("o_orderkey", "o_totalprice")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "o_totalprice" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "o_orderpriority" not in read_schema and "o_custkey" not in read_schema
+
+
 def test_events_ts_normalized_across_encodings(spark, tmp_path):
     """Schema contract: ``load_table(events).ts`` is a plain TimestampType
     no matter how the driver regenerated the parquet — nanos-as-long

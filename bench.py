@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     # anti-join. Timed per full call, so the iterative rounds are inside
     # the timer — the honest cost of transitive dedup.
     "dedup_cc_survivors",
+    # r6: the two-phase distributed prefix scan (range exchange +
+    # per-partition offsets) — the packing metadata pass.
+    "sequence_packing",
 ]
 
 # Reference-scale comparison points: BASELINE.md measures MapleJuice

@@ -28,6 +28,7 @@ from collections import OrderedDict
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 # Mersenne prime modulus for the universal-hash family h(x) = (a·x + b) mod P.
@@ -425,7 +426,11 @@ def connected_components(
 
 
 def connected_components_twostar(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star —
     the two-phase algorithm of Kiveris et al., "Connected Components in
@@ -472,6 +477,15 @@ def connected_components_twostar(
     per-round cost there is job-scheduling-dominated, not data-
     dominated), which is exactly the profile that flips to a win when
     rounds shuffle terabytes instead of kilobytes; see SCALE.md.
+
+    r6, ``local_threshold``: size-adaptive residual solve. When the
+    post-contraction residual edge count (free — it's the checksum's
+    count) is ≤ the bound, the residual is collected (≤ threshold
+    rows, ~MBs at the 200k default) and solved with driver union-find
+    instead of ~10 scheduling-dominated star rounds — the AQE
+    demote-to-broadcast spirit applied to iteration. 0 disables (the
+    differential tests force 0 to keep the star loop covered); the
+    distributed loop remains the path for genuinely large residuals.
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -568,6 +582,52 @@ def connected_components_twostar(
         # every component was an isolated pair — no iterations at all
         return _check_and_return(
             iso_labels.groupBy("id").agg(F.min("component").alias("component"))
+        )
+    if sig[0] <= local_threshold:
+        # Size-adaptive execution (r6, the AQE demote-to-broadcast
+        # spirit): after pair pre-contraction the residual graph is
+        # typically orders smaller than the corpus. When its edge count
+        # (already known from the checksum — no extra job) fits the
+        # explicit bound, ten scheduling-dominated star rounds lose to
+        # one bounded collect + driver union-find: O(E α(E)) on ≤
+        # local_threshold edges (~MBs), the same bounded-driver pattern
+        # as the checksum/IVF-centroid sites. The distributed loop below
+        # is the big-graph path and stays pytest-covered via
+        # local_threshold=0.
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ru, rv = find(r["u"]), find(r["v"])
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        members: dict = {}
+        for r in rows:
+            for x in (r["u"], r["v"]):
+                members.setdefault(find(x), set()).add(x)
+        out = []
+        for root, xs in members.items():
+            m = min(xs)
+            out.extend((x, m) for x in xs)
+        id_type = edges.schema["u"].dataType
+        local_labels = edges.sparkSession.createDataFrame(
+            out,
+            StructType(
+                [StructField("id", id_type), StructField("component", id_type)]
+            ),
+        )
+        return _check_and_return(
+            local_labels.union(iso_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
         )
     for _ in range(max_iter):
         prev = edges

@@ -221,20 +221,27 @@ def test_twostar_cc_equals_label_propagation(spark, edge_list):
     pairs = spark.createDataFrame(edge_list or [(0, 0)], ["id_a", "id_b"])
     if not edge_list:
         pairs = pairs.limit(0)
-    star = {
-        (r["id"], r["component"])
-        for r in dedup.connected_components_twostar(pairs).collect()
-    }
     label = {
         (r["id"], r["component"])
         for r in dedup.connected_components(pairs).collect()
     }
     # label propagation labels self-loop-only nodes too; twostar drops
     # self-loops up front, so compare on the union contract: every node
-    # in any NON-self pair must agree.
+    # in any NON-self pair must agree. Run BOTH residual strategies —
+    # the r6 adaptive driver union-find (default threshold) and the
+    # distributed star loop (threshold 0).
     nonself = {n for a, b in edge_list if a != b for n in (a, b)}
-    assert {p for p in star if p[0] in nonself} == {p for p in label if p[0] in nonself}
-    assert {p[0] for p in star} == nonself
+    for thresh in (200_000, 0):
+        star = {
+            (r["id"], r["component"])
+            for r in dedup.connected_components_twostar(
+                pairs, local_threshold=thresh
+            ).collect()
+        }
+        assert {p for p in star if p[0] in nonself} == {
+            p for p in label if p[0] in nonself
+        }, thresh
+        assert {p[0] for p in star} == nonself, thresh
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])

@@ -1202,15 +1202,22 @@ def test_twostar_cc_deep_chain_in_log_rounds(spark):
     finish in O(log n) star rounds — max_iter=8 forces the log-round
     claim, and every node must map to component 0."""
     chain = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
-    comps = dedup.connected_components_twostar(chain, max_iter=8).collect()
+    # local_threshold=0 forces the distributed star loop (the default
+    # would solve 64 edges on the driver via the r6 adaptive path)
+    comps = dedup.connected_components_twostar(
+        chain, max_iter=8, local_threshold=0
+    ).collect()
     assert len(comps) == 65
     assert {r["component"] for r in comps} == {0}
+    # the adaptive local path must agree exactly
+    local = dedup.connected_components_twostar(chain, max_iter=8).collect()
+    assert sorted(map(tuple, local)) == sorted(map(tuple, comps))
 
 
 def test_twostar_cc_raises_on_nonconvergence(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components_twostar(chain, max_iter=1)
+        dedup.connected_components_twostar(chain, max_iter=1, local_threshold=0)
 
 
 def test_dedup_survivors_cc_algorithms_agree(spark, sf_dir):
@@ -1776,13 +1783,18 @@ def test_twostar_cc_pure_pair_graph_skips_iteration(spark):
         [(2, 1), (4, 3), (10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22)],
         ["id_a", "id_b"],
     )
-    star = {
-        (r["id"], r["component"])
-        for r in dedup.connected_components_twostar(mixed).collect()
-    }
     label = {
         (r["id"], r["component"])
         for r in dedup.connected_components(mixed).collect()
     }
-    assert star == label
-    assert {(10, 10), (11, 10), (12, 10), (13, 10), (20, 20), (21, 20), (22, 20)} <= star
+    # both residual-graph strategies must agree with label propagation:
+    # the r6 adaptive local union-find (default) AND the star loop
+    for thresh in (200_000, 0):
+        star = {
+            (r["id"], r["component"])
+            for r in dedup.connected_components_twostar(
+                mixed, local_threshold=thresh
+            ).collect()
+        }
+        assert star == label, thresh
+        assert {(10, 10), (11, 10), (12, 10), (13, 10), (20, 20), (21, 20), (22, 20)} <= star

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from distributed_computing_platform_mapreduce_spark.operators import dedup, sampling, text
+from distributed_computing_platform_mapreduce_spark.operators import (
+    dedup,
+    quality,
+    sampling,
+    text,
+)
 
 
 def curation_recipe(
@@ -34,6 +39,9 @@ def curation_recipe(
     boilerplate_max_docs: int | None = None,
     min_tokens: int = 5,
     max_punct_ratio: float = 0.5,
+    gopher_rules: bool = False,
+    pii_redact: bool = False,
+    decontaminate_against: DataFrame | None = None,
     lm_percentile_floor: float = 0.1,
     lm_logp_min: float | None = None,
     near_dup_threshold: float = 0.5,
@@ -54,6 +62,19 @@ def curation_recipe(
        them; docs stripped to nothing fall out at the token gate.
     2. **Heuristic quality gate** — ≥ ``min_tokens`` whitespace tokens
        and ≤ ``max_punct_ratio`` punctuation ratio.
+    2b. **Gopher rule gate** (r6, ``gopher_rules=True``) — keep only
+       docs passing the full Rae-et-al rule set
+       (``quality.gopher_quality_flags``: word-count + mean-word-length
+       bounds, symbol/bullet/ellipsis ratios, duplicate-line
+       fractions). Off by default — the registered driver query keeps
+       its exact DuckDB oracle; the combined path is pytest-covered.
+    2c. **PII redaction** (r6, ``pii_redact=True``) — rewrite the text
+       column through ``quality.redact_pii`` (emails/IPv4s/phone runs)
+       BEFORE dedup/LM stages, so identical docs differing only in
+       contact details dedup together and the LM never trains on PII.
+    2d. **Decontamination** (r6, ``decontaminate_against=<eval df>``) —
+       drop docs sharing any 8-gram with the eval corpus
+       (``quality.decontaminate``); None skips.
     3. **LM quality floor** — drop the bottom ``lm_percentile_floor``
        fraction by corpus-trained bigram cross-entropy
        (``text.bigram_lm_scores``); 0 skips. The cutoff is an
@@ -88,6 +109,23 @@ def curation_recipe(
             F.length(F.col(text_col)), F.lit(1)
         )
         out = out.filter((toks >= min_tokens) & (punct <= max_punct_ratio))
+    if gopher_rules:
+        flags = quality.gopher_quality_flags(out, id_col, text_col)
+        keep = flags.filter(F.col("passes")).select(F.col("id").alias(id_col))
+        out = out.join(keep, id_col, "left_semi")
+    if pii_redact:
+        red = quality.redact_pii(out, id_col, text_col).select(
+            F.col("id").alias(id_col), "text_redacted"
+        )
+        out = (
+            out.drop(text_col)
+            .join(red, id_col)
+            .withColumnRenamed("text_redacted", text_col)
+        )
+    if decontaminate_against is not None:
+        flagged = quality.decontaminate(out, decontaminate_against, id_col, text_col)
+        drop = flagged.filter(F.col("contaminated")).select(F.col("id").alias(id_col))
+        out = out.join(drop, id_col, "left_anti")
     if lm_percentile_floor > 0:
         scores = text.bigram_lm_scores(out, id_col, text_col)
         cutoff = scores.agg(

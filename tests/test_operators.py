@@ -1700,6 +1700,65 @@ def test_malformed_png_falls_back_not_crashes(spark):
     assert feats[1]["n_bytes"] == len(bad_deflate)
 
 
+def test_curation_quality_stages_compose(spark):
+    """The r6 optional stages (Gopher gate, PII redaction,
+    decontamination) compose inside the recipe: a rule-failing doc
+    drops, contact details are rewritten before dedup so PII-only
+    variants dedup together, and an eval-overlapping doc drops."""
+    from distributed_computing_platform_mapreduce_spark.operators import curation
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " friendly extra words here make sixteen"),
+            # same text, differs ONLY in an email — must dedup with 1
+            # after redaction (id 1 survives as min id)
+            (2, base + " friendly extra words here make sixteen contact a@b.io"),
+            (3, "- one\n- two\n- three\n- four\n- five"),  # all-bullet: Gopher fails
+            (4, "completely different training text about distributed engines and columnar scans today"),
+            (5, "eval sentence alpha beta gamma delta epsilon zeta eta theta extra"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [("eval sentence alpha beta gamma delta epsilon zeta eta theta",)], ["text"]
+    )
+    out = curation.curation_recipe(
+        docs,
+        min_tokens=3,
+        max_punct_ratio=0.9,
+        gopher_rules=False,  # rule floor of 50 words would drop everything tiny
+        pii_redact=True,
+        decontaminate_against=evals,
+        lm_percentile_floor=0.0,
+        near_dup_threshold=0.5,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 5 not in rows  # decontaminated
+    assert 4 in rows
+    # ids 1 and 2 redact to ~equal text; near-dedup keeps min id only
+    assert 1 in rows and 2 not in rows
+    assert "@" not in " ".join(rows.values())  # emails gone
+
+    # Gopher gate drops the all-bullet doc when enabled (long docs pass)
+    long_ok = ("genuine sentence with plenty of ordinary words " * 8).strip()
+    gd = spark.createDataFrame(
+        [(1, long_ok), (2, "- a\n- b\n- c\n" * 30)], ["doc_id", "text"]
+    )
+    kept = {
+        r["doc_id"]
+        for r in curation.curation_recipe(
+            gd,
+            min_tokens=3,
+            max_punct_ratio=0.9,
+            gopher_rules=True,
+            lm_percentile_floor=0.0,
+            near_dup_threshold=1.0,
+        ).collect()
+    }
+    assert kept == {1}
+
+
 def test_curation_lm_floor_spares_unscored_docs(spark):
     """With min_tokens relaxed below 2, the LM floor must not become a
     hidden >=2-token gate: docs with no bigrams (absent from the score

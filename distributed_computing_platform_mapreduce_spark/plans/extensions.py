@@ -25,6 +25,7 @@ from distributed_computing_platform_mapreduce_spark.operators import (
     dedup,
     multimodal,
     packing,
+    quality,
     ranking,
     sampling,
     similarity,
@@ -342,49 +343,81 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, text,
              list_distinct([lower(x) FOR x IN
-               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')]) AS toks
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')]) AS toks,
+             list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '') AS lines
       FROM documents
     ), s AS (
-      SELECT doc_id, text,
+      SELECT doc_id, text, lines,
              len(list_intersect(toks, ['the','and','of','to','a','in','is','it','for','on'])) AS s_en,
              len(list_intersect(toks, ['el','la','de','que','y','en','un','los','se','por'])) AS s_es,
              len(list_intersect(toks, ['le','la','de','et','les','des','en','un','du','que'])) AS s_fr,
-             len(list_intersect(toks, ['der','die','und','das','von','zu','mit','den','ist','im'])) AS s_de
+             len(list_intersect(toks, ['der','die','und','das','von','zu','mit','den','ist','im'])) AS s_de,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_words,
+             list_filter(lines, ln -> len(list_filter(lines, l2 -> l2 = ln)) > 1) AS dup_lines
       FROM t
+    ), g AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+               / greatest(n_words, 1)::DOUBLE AS mean_word_len,
+             len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE
+               / greatest(n_words, 1)::DOUBLE AS symbol_word_ratio,
+             len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]')))::DOUBLE
+               / greatest(len(lines), 1)::DOUBLE AS bullet_frac,
+             len(list_filter(lines, ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))::DOUBLE
+               / greatest(len(lines), 1)::DOUBLE AS ellipsis_frac,
+             len(dup_lines)::DOUBLE / greatest(len(lines), 1)::DOUBLE AS dup_line_frac,
+             coalesce(list_sum(list_transform(dup_lines, ln -> length(ln))), 0)::DOUBLE
+               / greatest(coalesce(list_sum(list_transform(lines, ln -> length(ln))), 0), 1)::DOUBLE
+               AS dup_line_char_frac,
+             n_words
+      FROM s
     )
-    SELECT doc_id,
-           length(text) AS n_chars_computed,
-           len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
-           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
-             / greatest(length(text), 1)::DOUBLE AS punct_ratio,
-           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+    SELECT s.doc_id,
+           length(s.text) AS n_chars_computed,
+           len(list_filter(regexp_split_to_array(trim(s.text), '\\s+'), t -> t <> '')) AS n_tokens,
+           len(regexp_extract_all(s.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           (length(s.text) - length(regexp_replace(s.text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / greatest(length(s.text), 1)::DOUBLE AS punct_ratio,
+           len(list_filter(regexp_split_to_array(trim(s.text), '\\s+'),
                            t -> list_contains(['the','and','of','to','a','in','is','it','for','on'], lower(t))))::DOUBLE
-             / greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')), 1)::DOUBLE
+             / greatest(len(list_filter(regexp_split_to_array(trim(s.text), '\\s+'), t -> t <> '')), 1)::DOUBLE
              AS stopword_ratio,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
-               [CAST(ascii(text[i]) AS BIGINT) FOR i IN range(1, len(text)+1)]),
+               [CAST(ascii(s.text[i]) AS BIGINT) FOR i IN range(1, len(s.text)+1)]),
                (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
            CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
                 WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
                 WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
                 WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
-                ELSE 'de' END AS lang_pred
-    FROM s
+                ELSE 'de' END AS lang_pred,
+           g.mean_word_len, g.symbol_word_ratio, g.bullet_frac, g.ellipsis_frac,
+           g.dup_line_frac, g.dup_line_char_frac,
+           (g.n_words >= 50 AND g.n_words <= 100000
+            AND g.mean_word_len >= 3.0 AND g.mean_word_len <= 10.0
+            AND g.symbol_word_ratio <= 0.1
+            AND g.bullet_frac <= 0.9 AND g.ellipsis_frac <= 0.3
+            AND g.dup_line_frac <= 0.3 AND g.dup_line_char_frac <= 0.2)
+             AS gopher_passes
+    FROM s JOIN g USING (doc_id)
     """,
 )
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features + token counting + fingerprinting + language ID:
-    char count, whitespace and BPE-ish token counts, punctuation &
-    stopword ratios, the polynomial rolling-hash fingerprint (exact
-    integer fold), and the stopword-overlap lang-ID argmax
-    (deterministic first-language-wins tie-break, lexicons replayed in
-    the oracle) — all JVM expressions, no per-row Python, ONE scan.
-    (Fingerprinting folded r4; lang-ID folded r4 from its own registry
-    row to free a slot for ``sample_stratified`` — capability unchanged,
-    still hash-checked.)"""
+    """Quality features + token counting + fingerprinting + language ID
+    + Gopher rule metrics: char count, whitespace and BPE-ish token
+    counts, punctuation & stopword ratios, the polynomial rolling-hash
+    fingerprint (exact integer fold), the stopword-overlap lang-ID
+    argmax (deterministic first-language-wins tie-break, lexicons
+    replayed in the oracle), and — folded in r6 so the quality.py rule
+    set is oracle-backed without a registry slot — the Gopher metrics
+    (mean word length, symbol/bullet/ellipsis ratios, duplicate-line
+    fractions, combined ``gopher_passes``). The scalar features remain
+    one scan of JVM expressions; the duplicate-line metrics add the
+    operator's single (id, line) grouped shuffle, joined back on
+    doc_id. The DuckDB twin replays the dup-line grouping as per-doc
+    list comprehensions — quadratic per doc is fine at oracle SF.
+    (Fingerprinting folded r4; lang-ID folded r4; Gopher folded r6.)"""
     docs = load_table(spark, sf_dir, "documents")
-    return text.quality_features(
+    base = text.quality_features(
         docs, "doc_id", "text",
         extra_cols=[
             text.fingerprint(F.col("text")).alias("fp"),
@@ -400,6 +433,17 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "lang_pred",
     )
+    flags = quality.gopher_quality_flags(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_frac",
+        "ellipsis_frac",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.col("passes").alias("gopher_passes"),
+    )
+    return base.join(flags, "doc_id")
 
 
 @query("multimodal_features")  # PERMANENTLY rows-only: decoding PPM/WAV/Y4M

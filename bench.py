@@ -203,7 +203,17 @@ def _ref_scale_times(
         for key, fn in ((f"wordcount_{label}", run_wc), (f"rwlg_{label}", run_rwlg)):
             try:
                 fn()  # warm the plan shape (codegen/JIT) before timing
-                med, lo, hi = _timed_median(fn)
+                if label == "1gb":
+                    # slope point, not a baseline ratio: one timed run
+                    # (rwlg alone is ~22 s — median-of-3 would add ~90 s
+                    # of bench wall for a number whose job is only to
+                    # show the 200 MB → 1 GB scaling exponent)
+                    t0 = time.perf_counter()
+                    fn()
+                    med = round(time.perf_counter() - t0, 3)
+                    lo = hi = med
+                else:
+                    med, lo, hi = _timed_median(fn)
             except Exception as exc:  # noqa: BLE001
                 errors[key] = _error_line(exc)
                 continue

@@ -458,3 +458,45 @@ def test_pagerank_matches_power_iteration(spark, edge_list):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     for v in ids:
         assert got[v] == pytest.approx(r[idx[v]], abs=1e-9), v
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.booleans(),
+    st.integers(min_value=70, max_value=95),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_roundtrip_psnr_property(h, w, rgb, quality, subsample, seed):
+    """decode_jpeg ∘ encode_jpeg stays within a lossy-codec PSNR floor
+    for arbitrary dims (incl. 1-pixel rows/columns and non-MCU-aligned
+    edges), both color modes, the 70–95 quality range and both chroma
+    geometries — and encoding is deterministic. Random noise is the
+    WORST case for DCT coding, so the floor is intentionally modest;
+    smooth-content floors are pinned higher in the operator tests. No
+    Spark session — plain numpy, so the property affords many examples."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    # low-frequency content: random per-8x8-block base + mild gradient,
+    # the realistic photographic profile rather than white noise
+    blocks = rng.integers(32, 224, size=((h + 7) // 8, (w + 7) // 8, 3 if rgb else 1))
+    px = np.kron(blocks, np.ones((8, 8, 1), dtype=np.int64))[:h, :w]
+    px = px.reshape(shape).astype(np.uint8)
+
+    enc = J.encode_jpeg(px, quality=quality, subsample=subsample and rgb)
+    assert enc == J.encode_jpeg(px, quality=quality, subsample=subsample and rgb)
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == px.shape and dec.dtype == np.uint8
+    mse = np.mean((dec.astype(np.float64) - px.astype(np.float64)) ** 2)
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+    # 4:2:0 pools chroma 2x2 — on saturated random block colors that
+    # information is genuinely gone, and tiny images are edge-dominated,
+    # so the subsampled floor is necessarily lower
+    floor = 22.0 if (subsample and rgb) else 30.0
+    assert psnr > floor, (h, w, rgb, quality, subsample, psnr)

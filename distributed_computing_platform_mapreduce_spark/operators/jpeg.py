@@ -594,6 +594,17 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
+            # allocation guard: a corrupt/hostile SOF claiming huge dims
+            # would otherwise demand a multi-GB coefficient buffer and
+            # kill the executor instead of falling back (the decoder
+            # buffers whole planes; 64 MP covers any sane payload in a
+            # mapInPandas batch — raise the bound when streaming decode
+            # lands, don't remove it)
+            if height * width > 64_000_000:
+                raise ValueError(
+                    f"JPEG dimensions {width}x{height} exceed the 64 MP "
+                    "whole-plane decode bound"
+                )
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
             for ci in range(nc):

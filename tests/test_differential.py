@@ -500,3 +500,36 @@ def test_jpeg_roundtrip_psnr_property(h, w, rgb, quality, subsample, seed):
     # so the subsampled floor is necessarily lower
     floor = 22.0 if (subsample and rgb) else 30.0
     assert psnr > floor, (h, w, rgb, quality, subsample, psnr)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.lists(
+        st.tuples(st.integers(min_value=2, max_value=10_000), st.integers(0, 255)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_jpeg_decoder_survives_corruption(seed, flips):
+    """Byte-corrupted JPEG streams must either decode to SOME uint8
+    image or raise ValueError/NotImplementedError — never struct/Index/
+    ZeroDivision errors, runaway allocations, or hangs. This is the
+    contract the mapInPandas feature extractors rely on for their
+    schema-stable fallback (a corrupt payload in a 100 TB corpus is a
+    certainty, and one escaping exception fails the whole task)."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    payload = bytearray(J.encode_jpeg(px, quality=85, subsample=bool(seed % 2)))
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    try:
+        out = J.decode_jpeg(bytes(payload))
+    except (ValueError, NotImplementedError):
+        pass
+    else:
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8

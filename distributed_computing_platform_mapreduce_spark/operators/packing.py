@@ -107,3 +107,38 @@ def pack_sequences(
             ),
         )
     )
+
+
+def pack_manifest(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """The per-sequence manifest a trainer's data loader consumes:
+    (seq_id, doc_ids, n_docs, seq_tokens, has_straddle), where
+    ``doc_ids`` lists the documents STARTING in the sequence in stream
+    order and ``seq_tokens`` sums their token counts (a straddling
+    doc's tokens count in its start sequence).
+
+    Zero-token documents are excluded: they occupy no stream position,
+    and — the scale reason — an adversarial run of millions of empty
+    docs would otherwise land in ONE sequence's ``collect_list``. With
+    them gone every doc consumes ≥1 token of its start sequence, so a
+    group is hard-bounded at ``max_tokens`` entries — a bounded
+    collect_list, same argument as the per-key juice contract."""
+    per_doc = pack_sequences(docs, id_col, text_col, max_tokens, n_partitions)
+    nonempty = per_doc.filter(F.col("n_tokens") > 0)
+    return (
+        nonempty.groupBy("seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq_offset", "doc_id"))),
+                lambda s: s["doc_id"],
+            ).alias("doc_ids"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.max(F.col("straddles")).alias("has_straddle"),
+        )
+    )

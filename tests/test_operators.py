@@ -218,6 +218,41 @@ def test_pack_sequences_semantics_and_partition_invariance(spark):
         pack_sequences(docs, max_tokens=0)
 
 
+def test_pack_manifest_groups_and_bounds(spark):
+    """The per-sequence manifest: stream-ordered doc lists, token sums
+    that reconcile with the per-doc assignment, zero-token docs
+    excluded (the unbounded-collect_list guard), and partition
+    invariance inherited from pack_sequences."""
+    from distributed_computing_platform_mapreduce_spark.operators.packing import (
+        pack_manifest,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "d e f g"), (4, "h"), (5, "i j k l m n")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["seq_id"]: (list(r["doc_ids"]), r["n_docs"], r["seq_tokens"], r["has_straddle"])
+        for r in pack_manifest(docs, max_tokens=5).collect()
+    }
+    assert rows == {0: ([1, 3], 2, 7, True), 1: ([4, 5], 2, 7, True)}
+
+    # totals reconcile with the per-doc view (empty docs excluded)
+    per_doc = pack_sequences(docs, max_tokens=5).filter(F.col("n_tokens") > 0)
+    assert sum(t for _, _, t, _ in rows.values()) == sum(
+        r["n_tokens"] for r in per_doc.collect()
+    )
+
+    # partition invariance
+    for nparts in (1, 3):
+        again = {
+            r["seq_id"]: list(r["doc_ids"])
+            for r in pack_manifest(docs, max_tokens=5, n_partitions=nparts).collect()
+        }
+        assert again == {k: v[0] for k, v in rows.items()}
+
+
 def test_shingle_cache_scoped_by_plan(spark):
     """The r6 replacement of the single-global shingle cache: re-running
     the SAME minhash pipeline releases its previous persist (bounded

@@ -384,6 +384,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         )
     if ch < 1:
         raise ValueError("WAV with zero channels")
+    if rate < 1:
+        # a zero rate would make every duration computation divide by
+        # zero downstream — corrupt header, not a playable file
+        raise ValueError("WAV with non-positive sample rate")
     samples = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * ch)) * ch)
     return samples.reshape(-1, ch), rate
 
@@ -441,11 +445,17 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
             h = int(tag[1:])
         elif tag[:1] == b"F":
             num, den = tag[1:].split(b":")
+            if int(den) <= 0 or int(num) <= 0:
+                # corrupt rate tags must surface as ValueError, not a
+                # ZeroDivisionError escaping the extractors' fallback
+                raise ValueError("y4m frame rate tag with non-positive term")
             fps = int(num) / int(den)
         elif tag[:1] == b"C":
             colorspace = tag
     if w is None or h is None:
         raise ValueError("y4m header missing W/H tags")
+    if w <= 0 or h <= 0:
+        raise ValueError("y4m header with non-positive dimensions")
     if colorspace != b"Cmono":
         raise NotImplementedError(
             f"y4m colorspace {colorspace.decode()} not supported "

@@ -533,3 +533,63 @@ def test_jpeg_decoder_survives_corruption(seed, flips):
         pass
     else:
         assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.sampled_from(
+        [b"", b"RIFF", b"RIFFxxxxWAVE", b"YUV4MPEG2 ", b"P6\n", b"P5\n",
+         b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"\xff\xd8\xff\xe0"]
+    ),
+    st.binary(min_size=0, max_size=160),
+)
+def test_feature_extractor_never_raises_on_garbage(prefix, tail):
+    """_features_one is the closure inside the mapInPandas extractors:
+    on a 100 TB corpus it WILL meet arbitrary bytes behind every magic
+    prefix, and one escaping exception (ZeroDivisionError from a
+    zero-rate WAV header, struct errors, negative-dimension headers)
+    fails the whole task. It must return a schema-shaped tuple for any
+    input — decode errors all funnel to the byte-stats fallback."""
+    from distributed_computing_platform_mapreduce_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        _features_one,
+    )
+
+    out = _features_one(prefix + tail)
+    assert len(out) == len(FEATURE_SCHEMA.fields) - 2  # media_id/kind prepended later
+
+
+def test_decoder_corrupt_header_regressions():
+    """Pinned corrupt-header cases that previously escaped the
+    ValueError contract: zero-sample-rate WAV (ZeroDivisionError in the
+    duration feature), zero-denominator y4m frame rate, non-positive
+    y4m dimensions."""
+    import struct
+
+    import pytest as _pytest
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    # WAV with rate=0 in fmt
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with _pytest.raises(ValueError, match="sample rate"):
+        mm.decode_wav(wav)
+
+    with _pytest.raises(ValueError, match="frame rate"):
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F30:0 Cmono\nFRAME\n\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="dimensions"):
+        mm.decode_y4m(b"YUV4MPEG2 W-2 H2 Cmono\nFRAME\n")
+
+    # and the distributed-contract view: all three fall back cleanly
+    for payload in (
+        wav,
+        b"YUV4MPEG2 W2 H2 F30:0 Cmono\nFRAME\n\x00\x00\x00\x00",
+        b"YUV4MPEG2 W-2 H2 Cmono\nFRAME\n",
+    ):
+        out = mm._features_one(payload)
+        assert out[4] == "fallback"

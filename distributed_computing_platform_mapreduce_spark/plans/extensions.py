@@ -371,6 +371,20 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS dup_line_char_frac,
              n_words
       FROM s
+    ), sh8 AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(tk[i:i+7], ' ') FOR i IN range(1, len(tk)-6)]) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+            FROM documents)
+    ), ev AS (
+      SELECT list_distinct(flatten(list(sh))) AS esh FROM sh8 WHERE doc_id % 97 = 0
+    ), dec AS (
+      SELECT sh8.doc_id,
+             len(sh8.sh) AS n_shingles_8,
+             len(list_intersect(sh8.sh, ev.esh)) AS eval_overlap_8,
+             len(list_intersect(sh8.sh, ev.esh)) >= 1 AS contaminated
+      FROM sh8, ev
     )
     SELECT s.doc_id,
            length(s.text) AS n_chars_computed,
@@ -397,8 +411,9 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND g.symbol_word_ratio <= 0.1
             AND g.bullet_frac <= 0.9 AND g.ellipsis_frac <= 0.3
             AND g.dup_line_frac <= 0.3 AND g.dup_line_char_frac <= 0.2)
-             AS gopher_passes
-    FROM s JOIN g USING (doc_id)
+             AS gopher_passes,
+           dec.n_shingles_8, dec.eval_overlap_8, dec.contaminated
+    FROM s JOIN g USING (doc_id) JOIN dec USING (doc_id)
     """,
 )
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,15 +422,20 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, punctuation & stopword ratios, the polynomial rolling-hash
     fingerprint (exact integer fold), the stopword-overlap lang-ID
     argmax (deterministic first-language-wins tie-break, lexicons
-    replayed in the oracle), and — folded in r6 so the quality.py rule
-    set is oracle-backed without a registry slot — the Gopher metrics
-    (mean word length, symbol/bullet/ellipsis ratios, duplicate-line
-    fractions, combined ``gopher_passes``). The scalar features remain
+    replayed in the oracle), and — folded in r6 so the quality.py
+    surface is oracle-backed without registry slots — the Gopher
+    metrics (mean word length, symbol/bullet/ellipsis ratios,
+    duplicate-line fractions, combined ``gopher_passes``) plus the
+    decontamination leg (8-gram overlap against the deterministic
+    doc_id % 97 pseudo-eval subset: ``n_shingles_8``,
+    ``eval_overlap_8``, ``contaminated``). The scalar features remain
     one scan of JVM expressions; the duplicate-line metrics add the
-    operator's single (id, line) grouped shuffle, joined back on
-    doc_id. The DuckDB twin replays the dup-line grouping as per-doc
-    list comprehensions — quadratic per doc is fine at oracle SF.
-    (Fingerprinting folded r4; lang-ID folded r4; Gopher folded r6.)"""
+    operator's single (id, line) grouped shuffle and the
+    decontamination leg its shingle join, each joined back on doc_id.
+    The DuckDB twin replays the dup-line grouping and the shingle
+    intersection as per-doc list comprehensions — quadratic per doc is
+    fine at oracle SF. (Fingerprinting folded r4; lang-ID folded r4;
+    Gopher + decontamination folded r6.)"""
     docs = load_table(spark, sf_dir, "documents")
     base = text.quality_features(
         docs, "doc_id", "text",
@@ -443,7 +463,18 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_line_char_frac",
         F.col("passes").alias("gopher_passes"),
     )
-    return base.join(flags, "doc_id")
+    # decontamination leg (r6): the eval corpus is a deterministic
+    # pseudo-subset of the same table (doc_id % 97 == 0) so the
+    # shingle-overlap counting core is driver-hash-checked; eval member
+    # docs trivially flag themselves — deterministic, fine
+    evals = docs.filter(F.col("doc_id") % 97 == 0)
+    dec = quality.decontaminate(docs, evals, "doc_id", "text", n=8).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_shingles").alias("n_shingles_8"),
+        F.col("n_overlap").alias("eval_overlap_8"),
+        "contaminated",
+    )
+    return base.join(flags, "doc_id").join(dec, "doc_id")
 
 
 @query("multimodal_features")  # PERMANENTLY rows-only: decoding PPM/WAV/Y4M

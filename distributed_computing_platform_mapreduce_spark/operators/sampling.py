@@ -74,3 +74,35 @@ def stratified_sample_exact(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic data-mixture sampling (r6): keep each stratum at
+    its own rate — the Pile/Dolma-style "mixture weights" pass that
+    up/down-weights sources before training.
+
+    ``weights`` maps stratum value → keep-rate in [0, 1]; strata not
+    listed keep ``default_rate`` (0 drops them — the usual "only these
+    sources" recipe). The draw reuses the GF(2³¹−1) priority, so it is
+    a pure function of (id, seed): the same mixture reproduces on any
+    cluster layout, and a row kept at rate r stays kept at any rate
+    ≥ r (nested samples — raising a source's weight only ADDS docs,
+    the property mixture tuning loops rely on). Plan shape: a single
+    stateless CASE filter fused into the scan — no shuffle, no joins.
+    """
+    for k, r in weights.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    cut = F.lit(int(default_rate * _P))
+    for k, r in sorted(weights.items()):
+        cut = F.when(F.col(stratum_col) == k, F.lit(int(r * _P))).otherwise(cut)
+    return df.filter(_priority(id_col, seed) < cut)

@@ -218,6 +218,54 @@ def test_pack_sequences_semantics_and_partition_invariance(spark):
         pack_sequences(docs, max_tokens=0)
 
 
+def test_mixture_sample_rates_and_nesting(spark):
+    """Deterministic mixture sampling: the kept set is the exact
+    replay of the GF(2^31-1) priority against per-stratum cutoffs (a
+    Python twin computes the same arithmetic), unlisted strata follow
+    default_rate, and samples NEST — raising a weight only adds docs,
+    the property mixture-tuning loops rely on."""
+    from distributed_computing_platform_mapreduce_spark.operators.sampling import (
+        _P,
+        mixture_sample,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    weights = {"s0": 1.0, "s1": 0.3}
+    seed = 7
+
+    def py_priority(i):
+        a = (seed * 6364136223846793005 + 1442695040888963407) % _P or 1
+        b = (seed * 2862933555777941757 + 3037000493) % _P
+        return (a * (i % _P) + b) % _P
+
+    def py_keep(i, src, w, default):
+        rate = w.get(src, default)
+        return py_priority(i) < int(rate * _P)
+
+    got = {
+        r["doc_id"]
+        for r in mixture_sample(docs, "source", weights, "doc_id", seed, 0.1).collect()
+    }
+    want = {i for i, src in rows if py_keep(i, src, weights, 0.1)}
+    assert got == want
+    # s0 fully kept, s2 at the default rate
+    assert {i for i in got if i % 3 == 0} == {i for i in range(300) if i % 3 == 0}
+
+    small = {
+        r["doc_id"]
+        for r in mixture_sample(docs, "source", {"s1": 0.2}, "doc_id", seed).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in mixture_sample(docs, "source", {"s1": 0.9}, "doc_id", seed).collect()
+    }
+    assert small <= big and len(small) < len(big)
+
+    with pytest.raises(ValueError, match="rate"):
+        mixture_sample(docs, "source", {"s0": 1.5}, "doc_id")
+
+
 def test_pack_manifest_groups_and_bounds(spark):
     """The per-sequence manifest: stream-ordered doc lists, token sums
     that reconcile with the per-doc assignment, zero-token docs

@@ -289,7 +289,11 @@ def _skew_times(spark) -> tuple[dict[str, float], dict[str, list[float]], dict[s
         out = salted_collect_sorted(edges, "dst", "src", n_salts=16, out_col="sources")
         out.write.format("noop").mode("overwrite").save()
 
-    # Same-answer check (cheap: 100 output rows) before timing anything.
+    # Same-answer check before timing anything. NOT cheap: exceptAll
+    # both ways runs each pipeline once over all ~10k output rows
+    # including the hot key's ~2M-value concat (~one extra untimed pass
+    # of each side) — the price of asserting the A/B times the SAME
+    # computation, paid once per bench run.
     try:
         edges = spark.read.parquet(path)
         naive = edges.groupBy("dst").agg(

@@ -85,7 +85,10 @@ def curation_recipe(
        design), the absolute form is exactly replayable in another
        engine, which is what lets the registered ``curation_recipe``
        driver query carry a full DuckDB oracle. Both floors skip docs
-       with <2 tokens (no bigrams → unscored → pass through).
+       with <2 tokens (no bigrams → unscored → pass through), and when
+       BOTH are set they read one shared corpus-trained model (r6: a
+       doc drops if it fails either; previously the absolute floor
+       silently retrained on the percentile-filtered corpus).
     4. **Exact dedup** — one survivor (min id) per identical text.
     5. **Near-dedup** — MinHash-LSH pairs at ``near_dup_threshold`` →
        two-star connected components → min-id survivor per component
@@ -126,27 +129,31 @@ def curation_recipe(
         flagged = quality.decontaminate(out, decontaminate_against, id_col, text_col)
         drop = flagged.filter(F.col("contaminated")).select(F.col("id").alias(id_col))
         out = out.join(drop, id_col, "left_anti")
-    if lm_percentile_floor > 0:
+    if lm_percentile_floor > 0 or lm_logp_min is not None:
+        # ONE LM pipeline serves both floors (r6 review finding: the
+        # previous sequential form built two full bigram/unigram count
+        # pipelines when both were set, and silently retrained the
+        # second on the percentile-filtered corpus). Both predicates now
+        # read the SAME corpus-trained scores; a doc drops if it fails
+        # either. Anti-join on the DROP set, not semi-join on the keep
+        # set: docs with <2 tokens have no bigrams and are absent from
+        # `scores` by contract, so a semi-join would turn the LM floor
+        # into a hidden >=2-token gate even when the caller relaxed
+        # min_tokens. Unscored docs pass through; only measurably-bad
+        # docs drop.
         scores = text.bigram_lm_scores(out, id_col, text_col)
-        cutoff = scores.agg(
-            F.expr(f"approx_percentile(avg_logp, {lm_percentile_floor}, 10000)").alias("c")
-        )
-        # Anti-join on the DROP set, not semi-join on the keep set: docs
-        # with <2 tokens have no bigrams and are absent from `scores` by
-        # contract, so a semi-join would turn the LM floor into a hidden
-        # >=2-token gate even when the caller relaxed min_tokens.
-        # Unscored docs pass through; only measurably-bad docs drop.
-        drop = (
-            scores.crossJoin(F.broadcast(cutoff))
-            .filter(F.col("avg_logp") < F.col("c"))
-            .select(F.col("id").alias(id_col))
-        )
-        out = out.join(drop, id_col, "left_anti")
-    if lm_logp_min is not None:
-        scores = text.bigram_lm_scores(out, id_col, text_col)
-        drop = scores.filter(F.col("avg_logp") < F.lit(lm_logp_min)).select(
-            F.col("id").alias(id_col)
-        )
+        bad = F.lit(False)
+        if lm_percentile_floor > 0:
+            cutoff = scores.agg(
+                F.expr(
+                    f"approx_percentile(avg_logp, {lm_percentile_floor}, 10000)"
+                ).alias("c")
+            )
+            scores = scores.crossJoin(F.broadcast(cutoff))
+            bad = bad | (F.col("avg_logp") < F.col("c"))
+        if lm_logp_min is not None:
+            bad = bad | (F.col("avg_logp") < F.lit(lm_logp_min))
+        drop = scores.filter(bad).select(F.col("id").alias(id_col))
         out = out.join(drop, id_col, "left_anti")
     out = dedup.dedup_exact(out, [text_col], id_col)
     if near_dup_threshold < 1.0:

@@ -61,6 +61,12 @@ def pagerank(
     # is a single expression on the joined row
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=False)
+    # dangling-ness is loop-invariant: pin the no-out-edge node set once
+    # so the per-round mass aggregate doesn't re-run the edge distinct +
+    # degree shuffle every iteration (r6 review finding)
+    dangling_ids = nodes.join(deg, nodes.id == deg.src, "left_anti").localCheckpoint(
+        eager=False
+    )
 
     n = nodes.count()
     if n == 0:
@@ -77,7 +83,7 @@ def pagerank(
         # dangling mass: rank parked on nodes with no out-edges; one
         # bounded one-row aggregate per round (the CC-checksum pattern)
         dangling = (
-            ranks.join(deg, ranks.id == deg.src, "left_anti")
+            ranks.join(dangling_ids, "id", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
         )

@@ -516,6 +516,12 @@ def _decode_block(
         raise ValueError("invalid Huffman code in JPEG stream")
 
     size = read_symbol(dc_tab)
+    if size > 15:
+        # DHT value bytes are attacker/corruption-controlled; the spec
+        # caps DC categories at 11 for 8-bit baseline. Oversized symbols
+        # would shift past int64 (OverflowError — escapes the fallback
+        # contract) and let a hostile stream demand huge bit reads.
+        raise ValueError(f"invalid DC category {size} in JPEG stream")
     diff = _extend(br.read_bits(size), size) if size else 0
     dc = pred + diff
     zz[0] = dc
@@ -545,7 +551,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     engages — same contract as ``decode_png``."""
     try:
         return _decode_jpeg(payload)
-    except (struct.error, IndexError) as exc:
+    except (struct.error, IndexError, OverflowError) as exc:
         raise ValueError(f"corrupt JPEG stream: {exc}") from exc
 
 

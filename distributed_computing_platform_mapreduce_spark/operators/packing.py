@@ -43,11 +43,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from distributed_computing_platform_mapreduce_spark.operators.text import token_count_ws
+
 
 def whitespace_token_count(text: Column) -> Column:
-    """Whitespace token count, identical to text_stats' ``n_tokens``
-    (and to its DuckDB replay — keeping packing oracle-expressible)."""
-    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+    """Whitespace token count — DELEGATES to ``text.token_count_ws`` so
+    there is exactly one definition of the tokenization that both
+    ``text_stats`` and ``sequence_packing`` oracles replay (a silent
+    divergence between copies would break oracle parity; r6 review)."""
+    return token_count_ws(text)
 
 
 def pack_sequences(

@@ -39,14 +39,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from distributed_computing_platform_mapreduce_spark.operators.dedup import word_shingles
+from distributed_computing_platform_mapreduce_spark.operators.text import tokens as _tokens
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PHONE_RE = r"\+?[0-9][0-9()\-\s.]{6,}[0-9]"
-
-
-def _tokens(text: Column) -> Column:
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def gopher_quality_flags(

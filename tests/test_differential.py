@@ -593,3 +593,43 @@ def test_decoder_corrupt_header_regressions():
     ):
         out = mm._features_one(payload)
         assert out[4] == "fallback"
+
+
+def test_jpeg_hostile_dht_category_falls_back():
+    """A DHT-supplied DC category symbol above the spec cap (11; 15 is
+    the hard int64-safety line) must raise ValueError, not overflow the
+    int64 block buffer — the r6 code-review repro where an OverflowError
+    escaped both the decode wrapper and the feature-extractor fallback."""
+    import numpy as np
+    import pytest as _pytest
+
+    from distributed_computing_platform_mapreduce_spark.operators import jpeg as J
+    from distributed_computing_platform_mapreduce_spark.operators.multimodal import (
+        _features_one,
+    )
+
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    stream = bytearray(J.encode_jpeg(px, quality=85))
+    # DC luma DHT: FF C4, len(2), class/id byte 0x00, 16 bits counts,
+    # then the value bytes — patch the first value symbol to 100
+    i = stream.find(b"\xff\xc4")
+    vals_at = i + 4 + 1 + 16
+    # patch one nonzero-category slot at a time (vals are 0..11 in
+    # order). A patched slot whose code never appears in the stream
+    # decodes unchanged — fine; the slot the DC diff actually uses must
+    # hit the category guard as ValueError (previously: OverflowError
+    # crashing the extractor), and no variant may raise anything else.
+    assert list(stream[vals_at : vals_at + 12]) == list(range(12))
+    category_guard_hit = False
+    for off in range(1, 12):
+        patched = bytes(
+            stream[: vals_at + off] + bytes([100]) + stream[vals_at + off + 1 :]
+        )
+        try:
+            out = J.decode_jpeg(patched)
+            assert out.dtype == np.uint8
+        except ValueError as exc:
+            if "DC category" in str(exc):
+                category_guard_hit = True
+            assert _features_one(patched)[4] == "fallback"
+    assert category_guard_hit

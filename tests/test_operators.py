@@ -913,11 +913,17 @@ def test_multimodal_features_exact_contract(spark):
     this test pins what the DRIVER sees, so a regression in any feature
     column is caught even though no SQL oracle exists."""
     import hashlib
+    import os
 
     from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
     from distributed_computing_platform_mapreduce_spark.plans import QUERIES
 
+    # the corpus checksum below is a function of THIS corpus — pinned to
+    # sf0.001 by construction, not an oversight; gate explicitly rather
+    # than silently following the suite's sf_dir fixture
     sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf + "/documents.parquet"):
+        pytest.skip("sf0.001 corpus absent — the pinned checksum is sf0.001-specific")
     docs_n = spark.read.parquet(sf + "/documents.parquet").count()
     df = QUERIES["multimodal_features"](spark, sf)
     assert [f.name for f in df.schema.fields] == [f.name for f in mm.FEATURE_SCHEMA.fields]

@@ -106,3 +106,44 @@ def mixture_sample(
     for k, r in sorted(weights.items()):
         cut = F.when(F.col(stratum_col) == k, F.lit(int(r * _P))).otherwise(cut)
     return df.filter(_priority(id_col, seed) < cut)
+
+
+def weighted_sample_stratified(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    n_per_stratum: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weight-proportional sample: EXACTLY
+    ``min(n, |stratum|)`` rows per stratum, where a row's inclusion
+    probability scales with ``weight_col`` (quality scores, dedup
+    cluster sizes, …) — the A-ES scheme of Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir" (IPL 2006): rank by
+    ``-ln(u)/w`` ascending with u the GF(2³¹−1) priority mapped into
+    (0, 1]. Same determinism contract as the rest of this module: the
+    draw is a pure function of (id, seed, weight), identical on any
+    layout — a reproducible quality-weighted eval set.
+
+    Zero/negative weights rank strictly after every positive weight
+    (key = +∞), so they are drawn only when a stratum has fewer than n
+    positively-weighted rows. Plan shape identical to
+    ``stratified_sample_exact``: one shuffle on the strata columns,
+    WindowGroupLimit prunes to n rows per stratum map-side.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    if "__wk" in df.columns:
+        raise ValueError("weighted_sample_stratified reserves column name '__wk'")
+    u = (_priority(id_col, seed) + F.lit(1)).cast("double") / F.lit(float(_P))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    win = Window.partitionBy(*strata_cols).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__wk", F.row_number().over(win))
+        .filter(F.col("__wk") <= n_per_stratum)
+        .drop("__wk")
+    )

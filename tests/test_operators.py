@@ -218,6 +218,69 @@ def test_pack_sequences_semantics_and_partition_invariance(spark):
         pack_sequences(docs, max_tokens=0)
 
 
+def test_weighted_sample_stratified_matches_es_twin(spark):
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES): the
+    kept set equals a Python replay of -ln(u)/w ranking (fixture chosen
+    with healthy rank-boundary margins, ~1e-2, vs ~1e-16 float jitter),
+    exact per-stratum budgets, zero-weight rows drawn only as filler,
+    and layout invariance."""
+    import collections
+    import math
+
+    from distributed_computing_platform_mapreduce_spark.operators.sampling import (
+        _P,
+        weighted_sample_stratified,
+    )
+
+    seed, n = 9, 5
+    rows = [(i, f"s{i % 2}", float((i * 7) % 13) if i % 5 else 0.0) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "w"])
+    got = sorted(
+        (r["src"], r["doc_id"])
+        for r in weighted_sample_stratified(df, ["src"], "doc_id", "w", n, seed).collect()
+    )
+
+    a = (seed * 6364136223846793005 + 1442695040888963407) % _P or 1
+    b = (seed * 2862933555777941757 + 3037000493) % _P
+
+    def key(i, w):
+        u = ((a * (i % _P) + b) % _P + 1) / float(_P)
+        return (-math.log(u) / w) if w > 0 else float("inf")
+
+    by = collections.defaultdict(list)
+    for i, s, w in rows:
+        by[s].append((key(i, w), i))
+    want = sorted((s, i) for s, ks in by.items() for _, i in sorted(ks)[:n])
+    assert got == want
+    # exact budget per stratum; zero-weight rows (i % 5 == 0) excluded
+    # here because both strata have >= n positive-weight rows
+    counts = collections.Counter(s for s, _ in got)
+    assert counts == {"s0": n, "s1": n}
+    assert all(i % 5 != 0 for _, i in got)
+
+    # layout invariance
+    again = sorted(
+        (r["src"], r["doc_id"])
+        for r in weighted_sample_stratified(
+            df.repartition(7), ["src"], "doc_id", "w", n, seed
+        ).collect()
+    )
+    assert again == got
+
+    # zero-weight rows DO fill in when a stratum runs out of weighted rows
+    tiny = spark.createDataFrame(
+        [(1, "t", 2.0), (2, "t", 0.0), (3, "t", 0.0)], ["doc_id", "src", "w"]
+    )
+    filled = {
+        r["doc_id"]
+        for r in weighted_sample_stratified(tiny, ["src"], "doc_id", "w", 2, seed).collect()
+    }
+    assert 1 in filled and len(filled) == 2
+
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        weighted_sample_stratified(df, ["src"], "doc_id", "w", 0)
+
+
 def test_mixture_sample_rates_and_nesting(spark):
     """Deterministic mixture sampling: the kept set is the exact
     replay of the GF(2^31-1) priority against per-stratum cutoffs (a

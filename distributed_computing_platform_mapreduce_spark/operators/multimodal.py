@@ -13,15 +13,20 @@ Decode support is format-honest:
   resize operate on true pixels. The synthesized media table carries
   genuine P6 payloads, so the whole pipeline (encode → scan → decode →
   feature/resize) is exercised end-to-end in tests.
-- **PNG** (8-bit non-interlaced gray/RGB/RGBA — the commonest
-  real-corpus case) is decoded FOR REAL since r5: stdlib-zlib inflate
-  + all five row unfilters, CRC-verified chunks; ``encode_png`` exists
-  so tests can round-trip every filter type without binary assets.
-  Palette/16-bit/interlaced PNG raises ``NotImplementedError``.
-- **RIFF/WAV PCM-16** is decoded FOR REAL — pure numpy + struct chunk
-  walk — into ``(n_frames, channels)`` int16 arrays; duration / RMS /
-  peak features operate on true samples. Float/compressed WAV raises
-  ``NotImplementedError`` (same honest gate as JPEG below).
+- **PNG** is decoded FOR REAL since r5: stdlib-zlib inflate + all five
+  row unfilters, CRC-verified chunks; ``encode_png`` exists so tests
+  can round-trip every filter type without binary assets. r6 widened
+  coverage to palette (PLTE + optional tRNS alpha, depths 1/2/4/8),
+  sub-byte grayscale, and 16-bit samples (high-byte downscale keeps
+  the uint8 contract) — only Adam7 interlace still raises
+  ``NotImplementedError``.
+- **RIFF/WAV** is decoded FOR REAL — pure numpy + struct chunk walk —
+  into ``(n_frames, channels)`` int16 arrays; duration / RMS / peak
+  features operate on true samples. PCM-16 and (since r6) IEEE
+  float32/float64 (format code 3, mapped [-1,1] → int16 full scale so
+  the sample contract is format-independent). Compressed formats and
+  other bit widths raise ``NotImplementedError`` (same honest gate as
+  JPEG below).
 - **YUV4MPEG2 (y4m) Cmono** video is decoded FOR REAL — plain-text
   stream header + raw luma planes, pure numpy — into ``(n, h, w)``
   uint8 frame stacks; duration and per-frame luma features operate on
@@ -216,21 +221,28 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit grayscale/RGB/RGBA PNG to an
-    (h, w) / (h, w, c) uint8 array — stdlib zlib, no codec libs.
+    """Decode a non-interlaced PNG to an (h, w) / (h, w, c) uint8
+    array — stdlib zlib, no codec libs.
 
-    Covers the commonest real-corpus case (what ``encode_png`` and most
-    tools emit for photos/screenshots without palettes): bit depth 8,
-    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), all five
-    row filters, multiple IDAT chunks, CRC-verified. Palette (type 3),
-    16-bit, and Adam7-interlaced files raise ``NotImplementedError`` —
-    the same honest gate as JPEG; a deployment swaps in PIL/opencv.
+    Coverage (r6 widened): color types 0 (gray, depths 1/2/4/8/16),
+    2 (RGB, 8/16), 3 (palette, depths 1/2/4/8, with optional tRNS
+    alpha), 4 (gray+alpha, 8/16), 6 (RGBA, 8/16); all five row
+    filters, multiple IDAT chunks, CRC-verified. 16-bit samples are
+    downscaled to the high byte so the uint8 output contract every
+    downstream consumer (resize, features) relies on is preserved.
+    Only Adam7-interlaced files still raise ``NotImplementedError`` —
+    the same honest gate as progressive JPEG; a deployment swaps in
+    PIL/opencv.
 
-    Unfiltering is per-row: Up is vectorized; Sub is a cumulative sum
-    mod 256 along the row; Average/Paeth fall back to a per-byte loop
-    (their left-dependency is nonlinear) — fine for the thumbnail-scale
-    payloads this container tests; the deployment codec path replaces
-    all of it anyway.
+    Unfiltering is per-row over raw FILTER BYTES (offset ``bpp`` =
+    ceil(depth×channels/8), min 1 — the spec's definition, which is
+    what makes sub-byte palette rows filter correctly): Up is
+    vectorized; Sub is a cumulative sum mod 256 per byte phase;
+    Average/Paeth fall back to a per-byte loop (their left-dependency
+    is nonlinear) — fine for the thumbnail-scale payloads this
+    container tests; the deployment codec path replaces all of it
+    anyway. Sub-byte rows are then bit-unpacked MSB-first; palette
+    indices gather from PLTE (out-of-range indices are a ValueError).
     """
     import zlib
 
@@ -238,6 +250,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     ihdr = None
     idat = bytearray()
+    plte = None
+    trns = None
     i = 8
     while i + 12 <= len(payload):
         (size,) = struct.unpack(">I", payload[i : i + 4])
@@ -258,28 +272,50 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat += body
+        elif tag == b"PLTE":
+            if len(body) % 3 != 0 or not body:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IEND":
             break
         i += 12 + size
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if depth != 8 or channels is None or interlace != 0 or comp != 0 or filt_method != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    depth_ok = (
+        depth in (8, 16)
+        if color_type in (2, 4, 6)
+        else depth in (1, 2, 4, 8, 16)
+        if color_type == 0
+        else depth in (1, 2, 4, 8)  # palette
+    )
+    if channels is None or not depth_ok or comp != 0 or filt_method != 0:
+        raise ValueError(
+            f"PNG header invalid (depth={depth}, color_type={color_type})"
+        )
+    if interlace != 0:
         raise NotImplementedError(
-            f"PNG variant unsupported here (depth={depth}, color_type={color_type}, "
-            f"interlace={interlace}) — 8-bit non-interlaced gray/RGB/RGBA only; "
+            "Adam7-interlaced PNG unsupported here — "
             "swap decode_image to PIL/opencv in deployment"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         # CRC-valid chunk can still carry a malformed deflate stream;
         # normalize to ValueError so callers' fallback paths engage.
         raise ValueError(f"PNG IDAT deflate stream invalid: {e}") from e
-    stride = w * channels
+    bits_px = depth * channels
+    stride = (w * bits_px + 7) // 8  # filter bytes per row
+    bpp = max(1, bits_px // 8)  # spec: left-neighbor byte offset
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
+    if stride % bpp != 0:
+        raise ValueError("PNG stride/bpp inconsistency")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for r in range(h):
@@ -289,24 +325,49 @@ def decode_png(payload: bytes) -> np.ndarray:
         ).astype(np.int32)
         if ft == 0:
             cur = row
-        elif ft == 1:  # Sub: cumsum mod 256 per channel phase
-            cur = row.reshape(-1, channels).cumsum(axis=0).reshape(-1) & 0xFF
+        elif ft == 1:  # Sub: cumsum mod 256 per byte phase
+            cur = row.reshape(-1, bpp).cumsum(axis=0).reshape(-1) & 0xFF
         elif ft == 2:  # Up
             cur = (row + prev) & 0xFF
         elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = cur[x - channels] if x >= channels else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 pred = (a + b) // 2 if ft == 3 else _paeth_predict(a, b, c)
                 cur[x] = (row[x] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG row filter {ft}")
         out[r] = cur.astype(np.uint8)
         prev = cur
-    arr = out.reshape(h, w, channels)
-    return arr[:, :, 0] if channels == 1 else arr
+    if depth == 16:
+        # big-endian sample pairs → keep the high byte (uint8 contract)
+        arr = out.reshape(h, w, channels, 2)[:, :, :, 0]
+        return arr[:, :, 0] if channels == 1 else arr
+    if depth < 8:
+        # MSB-first bit-packed samples; trailing pad bits discarded
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        vals = (bits.reshape(h, w, depth).astype(np.uint16) * weights).sum(axis=2)
+        if color_type == 0:
+            # exact expansion: 255/(2^d − 1) is an integer for d=1,2,4
+            return (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        idx = vals
+    elif color_type == 3:
+        idx = out.reshape(h, w).astype(np.uint16)
+    else:
+        arr = out.reshape(h, w, channels)
+        return arr[:, :, 0] if channels == 1 else arr
+    # palette gather (+ optional tRNS alpha, default fully opaque)
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("PNG palette index out of range")
+    rgb = plte[idx]
+    if trns is not None:
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+        return np.dstack([rgb, alpha[idx]])
+    return rgb
 
 
 def synth_pixels(seed: int, width: int = 16, height: int = 16) -> np.ndarray:
@@ -355,10 +416,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     sample_rate)``.
 
     Walks the chunk list generically (word-aligned, unknown chunks like
-    LIST/INFO skipped), so files from real encoders parse too. IEEE-float
-    and compressed formats raise ``NotImplementedError`` — the same
-    honest-codec gate as PNG/JPEG in ``decode_image``; ValueError for
-    non-WAV or truncated payloads.
+    LIST/INFO skipped), so files from real encoders parse too. IEEE
+    float32/float64 (format code 3, r6) decodes by mapping [-1, 1] to
+    int16 full scale (clipped), so downstream duration/RMS/peak
+    features are format-independent. Compressed formats and other bit
+    widths raise ``NotImplementedError`` — the same honest-codec gate
+    as PNG/JPEG in ``decode_image``; ValueError for non-WAV or
+    truncated payloads.
     """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -377,10 +441,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt_info is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, ch, rate, _byte_rate, _block_align, bits = fmt_info
-    if audio_format != 1 or bits != 16:
+    if not (
+        (audio_format == 1 and bits == 16)
+        or (audio_format == 3 and bits in (32, 64))
+    ):
         raise NotImplementedError(
             f"WAV format {audio_format}/{bits}-bit not supported "
-            "(PCM-16 only here; swap decode_wav to a real codec in deployment)"
+            "(PCM-16 and IEEE float32/64 only here; "
+            "swap decode_wav to a real codec in deployment)"
         )
     if ch < 1:
         raise ValueError("WAV with zero channels")
@@ -388,7 +456,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         # a zero rate would make every duration computation divide by
         # zero downstream — corrupt header, not a playable file
         raise ValueError("WAV with non-positive sample rate")
-    samples = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * ch)) * ch)
+    width = bits // 8
+    n = (len(data) // (width * ch)) * ch
+    if audio_format == 3:
+        fl = np.frombuffer(data, dtype=f"<f{width}", count=n).astype(np.float64)
+        samples = np.clip(np.rint(fl * 32767.0), -32768, 32767).astype(np.int16)
+    else:
+        samples = np.frombuffer(data, dtype="<i2", count=n)
     return samples.reshape(-1, ch), rate
 
 

@@ -273,25 +273,64 @@ def agg_rollup_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_cube_grouping_sets",
     oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS value,
+           'gsets' AS tag
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value,
+           'pivot_roundtrip' AS tag
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
     """,
 )
 def agg_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE + GROUPING SETS in one query: the Spark side enumerates the
-    cube as explicit GROUPING SETS ((f,s),(f),(s),()) while the oracle
-    uses CUBE — their equality is exactly the algebraic identity the two
-    operators share. Physical plan is a single Expand + one shuffle."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
-    return spark.sql(
+    """CUBE + GROUPING SETS + PIVOT/UNPIVOT in one tagged query.
+
+    Leg ``gsets``: the Spark side enumerates the cube as explicit
+    GROUPING SETS ((f,s),(f),(s),()) while the oracle uses CUBE — their
+    equality is exactly the algebraic identity the two operators share.
+    Physical plan is a single Expand + one shuffle.
+
+    Leg ``pivot_roundtrip`` (r6): ``groupBy(l_returnflag).pivot(
+    l_linestatus, [explicit values]).sum(l_quantity)`` — the real Pivot
+    logical operator, with the value list pinned so the planner never
+    runs the hidden distinct-collect job (the 100 TB rule for pivot) —
+    then ``unpivot`` (melt) back to long form. The roundtrip is
+    algebraically a plain GROUP BY on both keys, which is what the
+    oracle states, so a pivot that mislabels columns or an unpivot that
+    drops/duplicates cells cannot hash-match. Null cells (absent
+    combinations) are filtered after the melt, matching the GROUP BY's
+    absence of those rows. Money sums stay DECIMAL until the final
+    DOUBLE cast on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    gsets = spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS value,
+               'gsets' AS tag
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), (l_linestatus), ())
         """
     )
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(money("l_quantity")))
+    )
+    pivot_rt = (
+        wide.unpivot("l_returnflag", ["F", "O"], "l_linestatus", "__q")
+        .filter(F.col("__q").isNotNull())
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("__q").cast("double").alias("value"),
+            F.lit("pivot_roundtrip").alias("tag"),
+        )
+    )
+    return gsets.unionByName(pivot_rt)
 
 
 # --- distinct / dedup / set ops / sort / limit ------------------------------
@@ -317,18 +356,36 @@ def agg_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT o_orderstatus || '|' || o_orderpriority AS val, 'distinct' AS op FROM (
       SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+    UNION ALL
+    SELECT CAST(nationkey AS VARCHAR) AS val, 'except_all' AS op FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT CAST(nationkey AS VARCHAR) AS val, 'intersect_all' AS op FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
     """,
 )
 def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL / INTERSECT / EXCEPT / multi-column DISTINCT in one
-    tagged result (``distinct_rows`` folded in r6 to free a registry
-    slot for ``curation_recipe`` — the value column is a string so the
-    orders status|priority pairs union with the nationkey legs).
+    """UNION ALL / INTERSECT / EXCEPT / EXCEPT ALL / INTERSECT ALL /
+    multi-column DISTINCT in one tagged result (``distinct_rows`` folded
+    in r6 to free a registry slot for ``curation_recipe`` — the value
+    column is a string so the orders status|priority pairs union with
+    the nationkey legs).
 
     EXCEPT uses ``subtract()`` — true EXCEPT DISTINCT semantics (the
     earlier ``exceptAll().distinct()`` form diverges when a value appears
     on both sides with higher left multiplicity). The supplier filter
-    keeps the EXCEPT branch non-empty at every SF."""
+    keeps the EXCEPT branch non-empty at every SF.
+
+    The bag-semantic legs (r6) are non-trivial at every SF because
+    customer carries far higher per-nationkey multiplicity than
+    supplier: EXCEPT ALL keeps ``max(m_left - m_right, 0)`` copies and
+    INTERSECT ALL ``min(m_left, m_right)`` copies per value — both
+    diverge from their DISTINCT twins on this data, so a wrong
+    implementation cannot hash-match."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
@@ -345,7 +402,15 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("distinct").alias("op"),
         )
     )
-    return union_all.unionByName(inter).unionByName(exc).unionByName(dist)
+    exc_all = as_val(c.exceptAll(s)).withColumn("op", F.lit("except_all"))
+    inter_all = as_val(c.intersectAll(s)).withColumn("op", F.lit("intersect_all"))
+    return (
+        union_all.unionByName(inter)
+        .unionByName(exc)
+        .unionByName(dist)
+        .unionByName(exc_all)
+        .unionByName(inter_all)
+    )
 
 
 @query(

@@ -778,26 +778,88 @@ def test_png_codec_roundtrip_all_filters_and_gates():
     good[40] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         mm.decode_png(bytes(good))
-    # unsupported variants gate honestly: palette (color type 3)...
+    # palette (color type 3) decodes FOR REAL since r6: 2×2, depth 8,
+    # 3-entry palette, second row Sub-filtered (bpp=1 left offset)
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 128]], dtype=np.uint8)
+    pal_body = b"\x00" + bytes([0, 1]) + b"\x01" + bytes([2, (1 - 2) & 0xFF])
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     palette_png = (
         b"\x89PNG\r\n\x1a\n"
         + mm._png_chunk(b"IHDR", ihdr)
-        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + mm._png_chunk(b"PLTE", plte.tobytes())
+        + mm._png_chunk(b"IDAT", zlib.compress(pal_body))
         + mm._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        mm.decode_png(palette_png)
-    # ...and 16-bit depth
+    expect_pal = plte[np.array([[0, 1], [2, 1]])]
+    assert np.array_equal(mm.decode_png(palette_png), expect_pal)
+    # palette + tRNS → RGBA with per-index alpha (missing entries opaque)
+    palette_trns = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"PLTE", plte.tobytes())
+        + mm._png_chunk(b"tRNS", bytes([10, 200]))
+        + mm._png_chunk(b"IDAT", zlib.compress(pal_body))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    out_rgba = mm.decode_png(palette_trns)
+    assert out_rgba.shape == (2, 2, 4)
+    assert np.array_equal(out_rgba[:, :, :3], expect_pal)
+    assert np.array_equal(out_rgba[:, :, 3], np.array([[10, 200], [255, 200]]))
+    # palette index past PLTE is corrupt data, not silent black
+    bad_idx = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"PLTE", plte.tobytes())
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\x07\x00\x00\x00\x00"))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_png(bad_idx)
+    # 2-bit palette: 4 pixels/byte, MSB-first (indices 0,1,2,1 → 0x19)
+    ihdr2 = struct.pack(">IIBBBBB", 4, 1, 2, 3, 0, 0, 0)
+    pal2_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr2)
+        + mm._png_chunk(b"PLTE", plte.tobytes())
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\x19"))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(pal2_png), plte[np.array([[0, 1, 2, 1]])])
+    # 1-bit grayscale expands exactly to {0, 255}
+    ihdr1 = struct.pack(">IIBBBBB", 8, 1, 1, 0, 0, 0, 0)
+    g1_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr1)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\xa5"))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        mm.decode_png(g1_png),
+        np.array([[255, 0, 255, 0, 0, 255, 0, 255]], dtype=np.uint8),
+    )
+    # 16-bit grayscale decodes to the high byte (uint8 output contract)
+    samples16 = np.array([[0x1234, 0xFF00], [0x0080, 0xABCD]], dtype=">u2")
+    body16 = b"".join(b"\x00" + samples16[r].tobytes() for r in range(2))
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     deep_png = (
         b"\x89PNG\r\n\x1a\n"
         + mm._png_chunk(b"IHDR", ihdr16)
-        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + mm._png_chunk(b"IDAT", zlib.compress(body16))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        mm.decode_png(deep_png), np.array([[0x12, 0xFF], [0x00, 0xAB]], dtype=np.uint8)
+    )
+    # only Adam7 interlace still gates honestly
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    interlaced_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr_i)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + mm._png_chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
-        mm.decode_png(deep_png)
+        mm.decode_png(interlaced_png)
     # RGBA decodes (alpha preserved)
     rgba = np.dstack([rgb, gray])
     # hand-build: encode_png is 1/3-channel only, so write RGBA rows raw
@@ -1062,15 +1124,32 @@ def test_wav_codec_roundtrip_and_gates():
     patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
     d3, _ = mm.decode_wav(patched)
     assert np.array_equal(d3[:, 0], mono)
-    # float-WAV (format 3) is honestly not-implemented; junk rejected
-    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-    float_wav = (
+    # float-WAV (format 3, r6) decodes: [-1, 1] maps to int16 full scale
+    def _float_wav(values, dtype, bits):
+        payload = np.asarray(values, dtype=dtype).tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    vals = [0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0]  # incl. out-of-range clip
+    # symmetric ×32767 scaling: −1.0 → −32767; only out-of-range input
+    # reaches the −32768 clip rail
+    expect = np.array([0, 16384, -16384, 32767, -32767, 32767, -32768], dtype=np.int16)
+    for dtype, bits in (("<f4", 32), ("<f8", 64)):
+        df, fr = mm.decode_wav(_float_wav(vals, dtype, bits))
+        assert fr == 8000 and np.array_equal(df[:, 0], expect), dtype
+    # compressed formats still gate honestly
+    alaw_fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    alaw_wav = (
         b"RIFF" + struct.pack("<I", 4 + 24 + 8) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + float_fmt
+        + b"fmt " + struct.pack("<I", 16) + alaw_fmt
         + b"data" + struct.pack("<I", 0)
     )
     with pytest.raises(NotImplementedError):
-        mm.decode_wav(float_wav)
+        mm.decode_wav(alaw_wav)
     with pytest.raises(ValueError):
         mm.decode_wav(b"garbage-not-riff")
 

@@ -633,3 +633,26 @@ def test_jpeg_hostile_dht_category_falls_back():
                 category_guard_hit = True
             assert _features_one(patched)[4] == "fallback"
     assert category_guard_hit
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_corpus)
+def test_bpe_train_and_encode_match_python(spark, corpus):
+    """Distributed BPE (train on the word-count table, Arrow-batched
+    merge rewrite, greedy encode) vs the straight-line Python trainer
+    on generated corpora — unicode chars, repeated words, empty lines."""
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+    from tests.test_operators import _twin_bpe_train
+
+    counts = collections.Counter(w for line in corpus for w in line.split())
+    df = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(corpus)], "doc_id int, text string"
+    )
+    got = bpe.bpe_train(df, n_merges=5, min_pair_count=1)
+    want = _twin_bpe_train(counts, 5, min_pair_count=1)
+    assert got == want
+    ranks = {p: r for r, p in enumerate(want)}
+    cache: dict = {}
+    enc = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df, want).collect()}
+    for i, line in enumerate(corpus):
+        assert enc[i] == [s for w in line.split() for s in bpe._encode_word(w, ranks, cache)]

@@ -2088,3 +2088,116 @@ def test_twostar_cc_pure_pair_graph_skips_iteration(spark):
         }
         assert star == label, thresh
         assert {(10, 10), (11, 10), (12, 10), (13, 10), (20, 20), (21, 20), (22, 20)} <= star
+
+
+# --- BPE tokenizer (operators/bpe.py) ---------------------------------------
+
+
+def _twin_bpe_train(word_count, n_merges, min_pair_count=2):
+    """Straight-line Python BPE trainer (Sennrich 2016) — the ground
+    truth the distributed trainer must reproduce exactly."""
+    from distributed_computing_platform_mapreduce_spark.operators.bpe import EOW, _merge_once
+
+    words = {w: list(w) + [EOW] for w in word_count}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for w, syms in words.items():
+            c = word_count[w]
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                pc[pair] = pc.get(pair, 0) + c
+        if not pc:
+            break
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair_count:
+            break
+        merges.append((left, right))
+        for w in words:
+            words[w] = _merge_once(words[w], left, right, left + right)
+    return merges
+
+
+_BPE_CORPUS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "a catalog of the low lower lowest forms",
+    "lower lowest newest newest widest widest widest",
+    "the newest catalog lists the lowest cost",
+    "cost costs costing the most mostly",
+]
+
+
+def test_bpe_train_matches_python_twin(spark):
+    from collections import Counter
+
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_BPE_CORPUS)], ["doc_id", "text"])
+    got = bpe.bpe_train(df, n_merges=30)
+    want = _twin_bpe_train(
+        Counter(w for t in _BPE_CORPUS for w in t.split()), n_merges=30
+    )
+    assert got == want and len(got) > 10
+    # pure function of the corpus: partitioning must not matter
+    assert bpe.bpe_train(df.repartition(13), n_merges=8) == want[:8]
+    # min_pair_count high enough stops before n_merges
+    short = bpe.bpe_train(df, n_merges=30, min_pair_count=8)
+    assert short == [m for m in want[: len(short)]] and len(short) < 30
+
+
+def test_bpe_encode_matches_twin_and_roundtrips(spark):
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_BPE_CORPUS)], ["doc_id", "text"])
+    merges = bpe.bpe_train(df, n_merges=25)
+    out = {r["doc_id"]: r for r in bpe.bpe_encode(df, merges).collect()}
+    ranks = {p: r for r, p in enumerate(merges)}
+    cache = {}
+    for i, text in enumerate(_BPE_CORPUS):
+        want = [s for w in text.split() for s in bpe._encode_word(w, ranks, cache)]
+        assert list(out[i]["bpe_tokens"]) == want, i
+        assert out[i]["n_bpe_tokens"] == len(want)
+        # lossless: stripping the EOW sentinels reconstructs the text
+        rebuilt = "".join(out[i]["bpe_tokens"]).replace(bpe.EOW, " ").strip()
+        assert rebuilt == " ".join(text.split()), i
+    # empty text encodes to zero tokens, not a crash
+    edf = spark.createDataFrame([(0, ""), (1, None)], "doc_id int, text string")
+    for r in bpe.bpe_encode(edf, merges).collect():
+        assert r["n_bpe_tokens"] == 0 and list(r["bpe_tokens"]) == []
+
+
+def test_bpe_greedy_encode_equals_sequential_merge_application():
+    """The GPT-2 min-rank loop must equal applying the merge list in
+    training order — the identity the encoder's docstring claims."""
+    from collections import Counter
+
+    from distributed_computing_platform_mapreduce_spark.operators.bpe import (
+        EOW,
+        _encode_word,
+        _merge_once,
+    )
+
+    words = ["lowest", "newest", "widest", "cost", "catalog", "a", "xyzzy", "mats"]
+    merges = _twin_bpe_train(Counter(words * 3 + ["the", "low", "new"]), 40, 1)
+    ranks = {p: r for r, p in enumerate(merges)}
+    for w in words + ["unseen", "zq"]:
+        seq = list(w) + [EOW]
+        for left, right in merges:
+            seq = _merge_once(seq, left, right, left + right)
+        assert _encode_word(w, ranks, {}) == seq, w
+
+
+def test_bpe_max_words_cap_and_vocab(spark):
+    from collections import Counter
+
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_BPE_CORPUS)], ["doc_id", "text"])
+    # cap to the 5 most frequent words; twin on the same capped table
+    counts = Counter(w for t in _BPE_CORPUS for w in t.split())
+    top5 = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    got = bpe.bpe_train(df, n_merges=10, max_words=5)
+    assert got == _twin_bpe_train(top5, 10)
+    vocab = bpe.bpe_vocab(got)
+    assert vocab == [l + r for l, r in got]

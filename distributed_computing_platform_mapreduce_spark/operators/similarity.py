@@ -424,3 +424,117 @@ def embed_texts(
     nrm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     unit = F.when(nrm > 0, F.transform(vec, lambda x: x / nrm)).otherwise(vec)
     return sums.select("id", unit.alias("embedding"))
+
+
+# --- int8 quantization (memory-bandwidth lever for corpus-scan ANN) ---------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``q = round(x/scale) ∈ [-127, 127]`` (tinyint array + one double).
+
+    4× smaller than float32 (16× vs the array<double> working form) —
+    at 100 TB the corpus scan of a brute-force or IVF probe is memory-
+    bandwidth-bound, so this is a direct ~4× scan-throughput lever, and
+    the int8 corpus often fits a cache tier the float one cannot.
+    Cosine is SCALE-INVARIANT, so per-vector scales cancel and
+    quantized cosine needs no dequantization at all (the identity
+    :func:`cosine_topk_int8` exploits; error ≤ ~1/127 per coordinate,
+    recall measured in tests). All JVM expressions — no Python, no
+    shuffle; zero vectors quantize to zeros with scale 1 (guard, not a
+    divide-by-zero).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.withColumn(scale_col, scale).withColumn(
+        out_col,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")),
+    )
+
+
+def cosine_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    batch_topk: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k over an int8-quantized corpus scan.
+
+    Same contract as :func:`cosine_topk_exact` (bounded query set,
+    full-corpus scan, per-query top-k) but the scan runs as an integer
+    GEMM over Arrow batches: corpus and queries are quantized with
+    :func:`quantize_embeddings`, the (small, bounded — same documented
+    collect as the IVF centroid fetch) query matrix rides to executors
+    in the task closure, and each batch computes ``C_int8 @ Q_int8.T``
+    in int32 — the cheapest possible inner loop. Per batch only the
+    local top-``batch_topk`` rows per query survive (default ``k``), so
+    the shuffle into the global top-k window carries
+    O(n_batches · |Q| · k) rows, not the corpus.
+
+    Scores are cosines of the QUANTIZED vectors — scales cancel
+    (cos(s·a, t·b) = cos(a, b)), so no dequantize pass exists anywhere.
+    """
+    import numpy as np
+
+    qq = quantize_embeddings(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        vec_col=vec_col,
+    )
+    qrows = qq.select("query_id", "q_embedding").collect()  # bounded query set
+    if not qrows:
+        empty = "query_id %s, neighbor_id %s, rank int, cos double" % (
+            ("string", "string")
+            if dict(corpus.dtypes)[id_col] == "string"
+            else ("bigint", "bigint")
+        )
+        return corpus.sparkSession.createDataFrame([], empty)
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.array([r["q_embedding"] for r in qrows], dtype=np.int8)
+    qnorm = np.linalg.norm(qmat.astype(np.int32).astype(np.float64), axis=1)
+    qnorm[qnorm == 0] = 1.0
+    # +1 headroom: a query's own corpus row (cos 1.0) would otherwise
+    # occupy a batch-local slot and evict a true neighbor before the
+    # self-match filter runs
+    keep = int(batch_topk or k + 1)
+
+    cq = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col=vec_col
+    ).select("neighbor_id", "q_embedding")
+
+    id_dtype = dict(cq.dtypes)["neighbor_id"]
+    schema = f"query_id {id_dtype}, neighbor_id {id_dtype}, cos double"
+
+    def scan(batches):
+        qT = qmat.astype(np.int32).T  # (d, m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.array(list(pdf["q_embedding"]), dtype=np.int8).astype(np.int32)
+            cnorm = np.linalg.norm(cmat.astype(np.float64), axis=1)
+            cnorm[cnorm == 0] = 1.0
+            scores = (cmat @ qT).astype(np.float64) / cnorm[:, None] / qnorm[None, :]
+            top = min(keep, len(pdf))
+            # argpartition per query column, then emit the batch-local top rows
+            part = np.argpartition(-scores, top - 1, axis=0)[:top]
+            rows = {
+                "query_id": np.repeat(qids, top),
+                "neighbor_id": pdf["neighbor_id"].to_numpy()[part.T.ravel()],
+                "cos": scores[part.T.ravel(), np.repeat(np.arange(len(qids)), top)],
+            }
+            yield pd.DataFrame(rows)
+
+    scored = cq.mapInPandas(scan, schema).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -2201,3 +2201,56 @@ def test_bpe_max_words_cap_and_vocab(spark):
     assert got == _twin_bpe_train(top5, 10)
     vocab = bpe.bpe_vocab(got)
     assert vocab == [l + r for l, r in got]
+
+
+# --- int8 quantization ------------------------------------------------------
+
+
+def test_quantize_embeddings_bounds_and_scale_cancellation(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    q = similarity.quantize_embeddings(emb).collect()
+    for r in q:
+        v = np.array(r["embedding"], dtype=np.float64)
+        qv = np.array(r["q_embedding"], dtype=np.int32)
+        assert qv.min() >= -127 and qv.max() <= 127
+        # per-coordinate reconstruction error ≤ scale/2 (round-to-nearest)
+        assert np.max(np.abs(qv * r["q_scale"] - v)) <= r["q_scale"] / 2 + 1e-12
+        if np.max(np.abs(v)) > 0:
+            assert max(abs(qv.min()), abs(qv.max())) == 127  # full range used
+    # zero vector: scale guard, all-zero codes
+    z = spark.createDataFrame([(0, [0.0] * 4)], "vec_id int, embedding array<double>")
+    zr = similarity.quantize_embeddings(z).collect()[0]
+    assert zr["q_scale"] == 1.0 and list(zr["q_embedding"]) == [0, 0, 0, 0]
+    # cosine is scale-invariant: scaling a vector 1000x yields identical codes
+    s = spark.createDataFrame(
+        [(0, [0.1, -0.2, 0.3]), (1, [100.0, -200.0, 300.0])],
+        "vec_id int, embedding array<double>",
+    )
+    a, b = similarity.quantize_embeddings(s).orderBy("vec_id").collect()
+    assert list(a["q_embedding"]) == list(b["q_embedding"])
+
+
+def test_cosine_topk_int8_recall_vs_exact(spark, sf_dir):
+    """int8 GEMM corpus scan: quantized cosine differs from float by
+    ≤~1/127 per coordinate, so top-k recall on real embeddings should
+    be near-perfect; floor at 0.9 to absorb boundary ties."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_exact(emb, queries, k=5).collect()
+    }
+    got = similarity.cosine_topk_int8(emb, queries, k=5).collect()
+    assert len(got) == len(exact)
+    for r in got:
+        assert 1 <= r["rank"] <= 5 and -1.001 <= r["cos"] <= 1.001
+        assert r["query_id"] != r["neighbor_id"]
+    hits = {(r["query_id"], r["neighbor_id"]) for r in got} & exact
+    assert len(hits) / len(exact) >= 0.9
+    # per-query exactly k rows, ranks 1..k each
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

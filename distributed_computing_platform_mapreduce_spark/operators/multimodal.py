@@ -17,9 +17,10 @@ Decode support is format-honest:
   row unfilters, CRC-verified chunks; ``encode_png`` exists so tests
   can round-trip every filter type without binary assets. r6 widened
   coverage to palette (PLTE + optional tRNS alpha, depths 1/2/4/8),
-  sub-byte grayscale, and 16-bit samples (high-byte downscale keeps
-  the uint8 contract) — only Adam7 interlace still raises
-  ``NotImplementedError``.
+  sub-byte grayscale, 16-bit samples (high-byte downscale keeps the
+  uint8 contract), and Adam7 interlacing — the PNG decode surface is
+  now complete for every depth/color-type/interlace combination the
+  spec defines.
 - **RIFF/WAV** is decoded FOR REAL — pure numpy + struct chunk walk —
   into ``(n_frames, channels)`` int16 arrays; duration / RMS / peak
   features operate on true samples. PCM-16 and (since r6) IEEE
@@ -224,15 +225,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     """Decode a non-interlaced PNG to an (h, w) / (h, w, c) uint8
     array — stdlib zlib, no codec libs.
 
-    Coverage (r6 widened): color types 0 (gray, depths 1/2/4/8/16),
-    2 (RGB, 8/16), 3 (palette, depths 1/2/4/8, with optional tRNS
-    alpha), 4 (gray+alpha, 8/16), 6 (RGBA, 8/16); all five row
-    filters, multiple IDAT chunks, CRC-verified. 16-bit samples are
-    downscaled to the high byte so the uint8 output contract every
-    downstream consumer (resize, features) relies on is preserved.
-    Only Adam7-interlaced files still raise ``NotImplementedError`` —
-    the same honest gate as progressive JPEG; a deployment swaps in
-    PIL/opencv.
+    Coverage (r6 widened to the full spec matrix): color types 0
+    (gray, depths 1/2/4/8/16), 2 (RGB, 8/16), 3 (palette, depths
+    1/2/4/8, with optional tRNS alpha), 4 (gray+alpha, 8/16), 6 (RGBA,
+    8/16); interlace methods 0 (sequential) and 1 (Adam7 — seven
+    passes, each filtered independently, scattered onto the pixel
+    grid); all five row filters, multiple IDAT chunks, CRC-verified.
+    16-bit samples are downscaled to the high byte so the uint8 output
+    contract every downstream consumer (resize, features) relies on is
+    preserved.
 
     Unfiltering is per-row over raw FILTER BYTES (offset ``bpp`` =
     ceil(depth×channels/8), min 1 — the spec's definition, which is
@@ -296,11 +297,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"PNG header invalid (depth={depth}, color_type={color_type})"
         )
-    if interlace != 0:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG unsupported here — "
-            "swap decode_image to PIL/opencv in deployment"
-        )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     try:
@@ -310,55 +308,87 @@ def decode_png(payload: bytes) -> np.ndarray:
         # normalize to ValueError so callers' fallback paths engage.
         raise ValueError(f"PNG IDAT deflate stream invalid: {e}") from e
     bits_px = depth * channels
-    stride = (w * bits_px + 7) // 8  # filter bytes per row
-    bpp = max(1, bits_px // 8)  # spec: left-neighbor byte offset
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    if stride % bpp != 0:
-        raise ValueError("PNG stride/bpp inconsistency")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).astype(np.int32)
-        if ft == 0:
-            cur = row
-        elif ft == 1:  # Sub: cumsum mod 256 per byte phase
-            cur = row.reshape(-1, bpp).cumsum(axis=0).reshape(-1) & 0xFF
-        elif ft == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                pred = (a + b) // 2 if ft == 3 else _paeth_predict(a, b, c)
-                cur[x] = (row[x] + pred) & 0xFF
+    # per-pass decode: the non-interlaced image is the single pass
+    # (0,0,1,1); Adam7 is seven sub-images, each filtered independently
+    # and scattered onto the (y0::dy, x0::dx) grid
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+    )
+    # assembled samples: (h, w, channels) uint8 for byte depths,
+    # (h, w) uint16 sample values for sub-byte depths
+    vals16 = np.zeros((h, w), dtype=np.uint16) if depth < 8 else None
+    samples = np.zeros((h, w, channels), dtype=np.uint8) if depth >= 8 else None
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * bits_px + 7) // 8  # filter bytes per scanline
+        bpp = max(1, bits_px // 8)  # spec: left-neighbor byte offset
+        need = ph * (stride + 1)
+        if off + need > len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        out = np.zeros((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for r in range(ph):
+            base = off + r * (stride + 1)
+            ft = raw[base]
+            row = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=base + 1
+            ).astype(np.int32)
+            if ft == 0:
+                cur = row
+            elif ft == 1:  # Sub: cumsum mod 256 per byte phase
+                pad = (-stride) % bpp
+                padded = np.concatenate([row, np.zeros(pad, dtype=np.int32)])
+                cur = (padded.reshape(-1, bpp).cumsum(axis=0).reshape(-1) & 0xFF)[
+                    :stride
+                ]
+            elif ft == 2:  # Up
+                cur = (row + prev) & 0xFF
+            elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
+                cur = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    pred = (a + b) // 2 if ft == 3 else _paeth_predict(a, b, c)
+                    cur[x] = (row[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG row filter {ft}")
+            out[r] = cur.astype(np.uint8)
+            prev = cur
+        off += need
+        if depth == 16:
+            # big-endian sample pairs → keep the high byte (uint8 contract)
+            samples[y0::dy, x0::dx] = out.reshape(ph, pw, channels, 2)[:, :, :, 0]
+        elif depth == 8:
+            samples[y0::dy, x0::dx] = out.reshape(ph, pw, channels)
         else:
-            raise ValueError(f"bad PNG row filter {ft}")
-        out[r] = cur.astype(np.uint8)
-        prev = cur
-    if depth == 16:
-        # big-endian sample pairs → keep the high byte (uint8 contract)
-        arr = out.reshape(h, w, channels, 2)[:, :, :, 0]
-        return arr[:, :, 0] if channels == 1 else arr
-    if depth < 8:
-        # MSB-first bit-packed samples; trailing pad bits discarded
-        bits = np.unpackbits(out, axis=1)[:, : w * depth]
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
-        vals = (bits.reshape(h, w, depth).astype(np.uint16) * weights).sum(axis=2)
-        if color_type == 0:
-            # exact expansion: 255/(2^d − 1) is an integer for d=1,2,4
-            return (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
-        idx = vals
-    elif color_type == 3:
-        idx = out.reshape(h, w).astype(np.uint16)
+            # MSB-first bit-packed samples; per-scanline pad bits discarded
+            bits = np.unpackbits(out, axis=1)[:, : pw * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+            vals16[y0::dy, x0::dx] = (
+                bits.reshape(ph, pw, depth).astype(np.uint16) * weights
+            ).sum(axis=2)
+    if off != len(raw):
+        raise ValueError("PNG IDAT length mismatch")
+    if depth >= 8:
+        if color_type == 3:
+            idx = samples[:, :, 0].astype(np.uint16)
+        else:
+            return samples[:, :, 0] if channels == 1 else samples
+    elif color_type == 0:
+        # exact expansion: 255/(2^d − 1) is an integer for d=1,2,4
+        return (vals16 * (255 // ((1 << depth) - 1))).astype(np.uint8)
     else:
-        arr = out.reshape(h, w, channels)
-        return arr[:, :, 0] if channels == 1 else arr
+        idx = vals16
     # palette gather (+ optional tRNS alpha, default fully opaque)
     if int(idx.max(initial=0)) >= len(plte):
         raise ValueError("PNG palette index out of range")

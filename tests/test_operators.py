@@ -850,16 +850,53 @@ def test_png_codec_roundtrip_all_filters_and_gates():
     assert np.array_equal(
         mm.decode_png(deep_png), np.array([[0x12, 0xFF], [0x00, 0xAB]], dtype=np.uint8)
     )
-    # only Adam7 interlace still gates honestly
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    interlaced_png = (
+    # Adam7 interlace decodes FOR REAL since r6: build the 7-pass
+    # stream by slicing the image on the spec's grids (filter 0 rows)
+    adam7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+
+    def _interlaced_png(img, depth=8, color_type=2):
+        h, w = img.shape[:2]
+        body = bytearray()
+        for x0, y0, dx, dy in adam7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for r in range(sub.shape[0]):
+                if depth == 8:
+                    body += b"\x00" + sub[r].tobytes()
+                else:  # sub-byte gray: MSB-first bit packing per scanline
+                    bits = np.unpackbits(
+                        sub[r].astype(np.uint8)[:, None], axis=1, count=8
+                    )[:, -depth:]
+                    body += b"\x00" + np.packbits(bits.ravel()).tobytes()
+        ihdr_i = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + mm._png_chunk(b"IHDR", ihdr_i)
+            + mm._png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + mm._png_chunk(b"IEND", b"")
+        )
+
+    # odd dims exercise the empty/ragged pass edge cases
+    img = mm.synth_pixels(seed=3, width=13, height=9)
+    assert np.array_equal(mm.decode_png(_interlaced_png(img)), img)
+    tiny = mm.synth_pixels(seed=4, width=3, height=2)  # several passes empty
+    assert np.array_equal(mm.decode_png(_interlaced_png(tiny)), tiny)
+    # interlaced 2-bit grayscale: sub-byte packing is per-pass scanline
+    g2 = (mm.synth_pixels(seed=5, width=7, height=5)[:, :, 0] % 4).astype(np.uint8)
+    assert np.array_equal(mm.decode_png(_interlaced_png(g2, depth=2, color_type=0)), g2 * 85)
+    # truncated interlaced stream is corrupt, not a crash or garbage
+    bad = (
         b"\x89PNG\r\n\x1a\n"
-        + mm._png_chunk(b"IHDR", ihdr_i)
-        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 13, 9, 8, 2, 0, 0, 1))
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
         + mm._png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        mm.decode_png(interlaced_png)
+    with pytest.raises(ValueError, match="IDAT length"):
+        mm.decode_png(bad)
     # RGBA decodes (alpha preserved)
     rgba = np.dstack([rgb, gray])
     # hand-build: encode_png is 1/3-channel only, so write RGBA rows raw

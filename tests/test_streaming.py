@@ -265,3 +265,68 @@ def test_stream_sample_rate_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_foreach_batch_sink_idempotent_and_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: (1) availableNow drain through the
+    sink equals the batch aggregation; (2) replaying a batch function
+    with the SAME batch_id (Spark's failure-recovery contract) replaces
+    that batch's partition instead of appending duplicates."""
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+        read_sink,
+        run_foreach_batch,
+    )
+    from distributed_computing_platform_mapreduce_spark.streaming.windows import stream_events
+
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+    run_foreach_batch(agg, ckpt, out)
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+    got = {(r["ws"], r["event_type"]): r["cnt"] for r in read_sink(spark, out).collect()}
+    want = {(r["ws"], r["event_type"]): r["cnt"] for r in batch.collect()}
+    # append mode emits a window only once the watermark passes its end:
+    # emitted rows must match the batch truth exactly, and the held-back
+    # remainder must be exactly the tail windows the final watermark
+    # (max ts − 1 h) hasn't closed
+    import datetime
+
+    assert len(got) > 0 and all(want[k] == v for k, v in got.items())
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(hours=1)
+    for ws, _etype in set(want) - set(got):
+        assert ws + datetime.timedelta(hours=1) > wm
+    want = got  # the emitted snapshot is the baseline for the replay checks
+
+    # replay: re-invoking the batch fn with an already-landed batch_id
+    # must leave the sink with the same logical content (no duplicates)
+    existing = spark.read.parquet(out)
+    replay_ids = [r["__batch_id"] for r in existing.select("__batch_id").distinct().collect()]
+    fn = idempotent_parquet_sink(out)
+    # materialize first: a lazy self-referential read of the partition
+    # being overwritten would race its own deletion
+    replay_rows = (
+        existing.filter(F.col("__batch_id") == replay_ids[0]).drop("__batch_id").collect()
+    )
+    some_batch = spark.createDataFrame(replay_rows, existing.drop("__batch_id").schema)
+    fn(some_batch, replay_ids[0])
+    after = {(r["ws"], r["event_type"]): r["cnt"] for r in read_sink(spark, out).collect()}
+    assert after == want
+    # and a replay carrying a CORRECTED batch (simulating the retry
+    # recomputing slightly different rows) fully replaces the old ones
+    fn(some_batch.limit(1), replay_ids[0])
+    n_after = read_sink(spark, out).count()
+    assert n_after == len(want) - some_batch.count() + 1

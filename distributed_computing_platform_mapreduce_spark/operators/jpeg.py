@@ -8,13 +8,17 @@ but not JPEG forces every user to pre-transcode.
 
 Scope (same honest-gate pattern as the PNG codec):
 
-- **Decode**: baseline sequential DCT (SOF0/SOF1), 8-bit samples,
-  grayscale or YCbCr, any sampling factors in {1, 2} (4:4:4, 4:2:2,
-  4:2:0, 4:4:0), restart markers (DRI/RSTn), Huffman tables read from
-  the stream's own DHT segments. Progressive (SOF2), arithmetic coding
-  (SOF9+), hierarchical, 12-bit and >2 sampling factors raise
-  ``NotImplementedError``; malformed streams raise ``ValueError`` so
-  the feature extractors' schema-stable byte-stats fallback engages.
+- **Decode**: baseline sequential DCT (SOF0/SOF1) AND — late-r6 —
+  progressive DCT (SOF2: spectral selection, successive approximation,
+  interleaved DC scans, non-interleaved AC scans, EOB runs, per-scan
+  DHT redefinition; T.81 G.1.2 control flow), 8-bit samples, grayscale
+  or YCbCr, any sampling factors in {1, 2} (4:4:4, 4:2:2, 4:2:0,
+  4:4:0), restart markers (DRI/RSTn), baseline multi-scan
+  (non-interleaved) streams, Huffman tables read from the stream's own
+  DHT segments. Arithmetic coding (SOF9+), hierarchical, 12-bit and >2
+  sampling factors raise ``NotImplementedError``; malformed streams
+  raise ``ValueError`` so the feature extractors' schema-stable
+  byte-stats fallback engages.
 - **Encode**: baseline 8-bit JFIF with the Annex-K quantization
   tables (libjpeg quality scaling) and Annex-K Huffman tables,
   grayscale or RGB, optional 4:2:0 chroma subsampling — exists so
@@ -22,7 +26,11 @@ Scope (same honest-gate pattern as the PNG codec):
   binary fixtures in the container. Correctness does not depend on
   the Annex-K Huffman recall being byte-exact: the encoder embeds its
   tables in DHT and the decoder reads whatever DHT says (validity is
-  asserted at import).
+  asserted at import). ``encode_jpeg_progressive`` emits a
+  libjpeg-style progressive scan script (DC Al=1 + refinement, banded
+  AC first passes at Al=2 with two refinement sweeps) so every
+  progressive scan kind round-trips in tests; its pixel output must
+  equal the baseline encoding of the same image.
 
 Entropy coding is per-block Python (bounded by test/feature image
 sizes — the distributed axis is rows-of-payloads via mapInPandas, not
@@ -360,18 +368,12 @@ def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF JPEG. ``subsample=True`` emits 4:2:0 chroma (2x2 mean
-    pooling) — the geometry virtually all camera/web JPEGs use — so the
-    decoder's multi-block-MCU path is testable without fixtures.
-    ``restart_interval`` (MCUs per restart) emits DRI + RSTn markers,
-    exercising the decoder's resync path the same way."""
+def _prepare_jpeg(pixels: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color transform, optional 4:2:0
+    pooling, MCU padding, DCT + quantization. Returns
+    ``(comp_zz, samp, qtabs, h, w, gray, mcus_x, mcus_y)`` with
+    ``comp_zz[ci]`` the (blocks_y, blocks_x, 64) zigzagged quantized
+    coefficients on the padded MCU grid."""
     pixels = np.asarray(pixels)
     if pixels.dtype != np.uint8 or pixels.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects (h, w[, 3]) uint8")
@@ -420,16 +422,54 @@ def encode_jpeg(
         qz = np.round(coef / qt).astype(np.int64)
         zz = qz.reshape(-1, 64)[:, ZIGZAG]
         comp_zz.append(zz.reshape(by, bx, 64))
+    return comp_zz, samp, qtabs, h, w, gray, mcus_x, mcus_y
+
+
+def _jpeg_headers(h, w, gray, samp, ql, qc, sof_marker: int) -> bytearray:
+    """SOI + JFIF + DQT + SOF segments shared by both encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, qt in enumerate([ql] if gray else [ql, qc]):
+        body = bytes([tq]) + bytes(int(x) for x in qt.reshape(-1)[ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
+    return out
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline JFIF JPEG. ``subsample=True`` emits 4:2:0 chroma (2x2 mean
+    pooling) — the geometry virtually all camera/web JPEGs use — so the
+    decoder's multi-block-MCU path is testable without fixtures.
+    ``restart_interval`` (MCUs per restart) emits DRI + RSTn markers,
+    exercising the decoder's resync path the same way."""
+    comp_zz, samp, qtabs, h, w, gray, mcus_x, mcus_y = _prepare_jpeg(
+        pixels, quality, subsample
+    )
+    ql, qc = _quality_tables(quality)
 
     # entropy-code in MCU-interleaved order
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    huff = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+    huff = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(comp_zz) - 1)
     chunks: list[bytes] = []
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(comp_zz)
     mcu_count = 0
     rst_idx = 0
     for my in range(mcus_y):
@@ -439,7 +479,7 @@ def encode_jpeg(
                 chunks.append(bytes([0xFF, 0xD0 + rst_idx]))
                 rst_idx = (rst_idx + 1) % 8
                 bw = _BitWriter()
-                preds = [0] * len(planes)
+                preds = [0] * len(comp_zz)
             for ci, (sh, sv) in enumerate(samp):
                 for by in range(sv):
                     for bx in range(sh):
@@ -452,20 +492,8 @@ def encode_jpeg(
     scan = b"".join(chunks)
 
     # assemble segments
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += (
-        b"\xff\xe0"
-        + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    )
-    for tq, qt in enumerate(qtabs[:1] if gray else [ql, qc]):
-        body = bytes([tq]) + bytes(int(x) for x in qt.reshape(-1)[ZIGZAG])
-        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
-    ncomp = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci, (sh, sv) in enumerate(samp):
-        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    ncomp = len(comp_zz)
+    out = _jpeg_headers(h, w, gray, samp, ql, qc, 0xC0)
     out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
     if not gray:
@@ -497,6 +525,28 @@ class _Component:
         self.pred = 0
 
 
+def _read_symbol(br: _BitReader, tab: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        sym = tab.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _read_dc_diff(br: _BitReader, dc_tab: dict[tuple[int, int], int]) -> int:
+    size = _read_symbol(br, dc_tab)
+    if size > 15:
+        # DHT value bytes are attacker/corruption-controlled; the spec
+        # caps DC categories at 11 for 8-bit baseline. Oversized symbols
+        # would shift past int64 (OverflowError — escapes the fallback
+        # contract) and let a hostile stream demand huge bit reads.
+        raise ValueError(f"invalid DC category {size} in JPEG stream")
+    return _extend(br.read_bits(size), size) if size else 0
+
+
 def _decode_block(
     br: _BitReader,
     dc_tab: dict[tuple[int, int], int],
@@ -504,30 +554,11 @@ def _decode_block(
     pred: int,
 ) -> tuple[np.ndarray, int]:
     zz = np.zeros(64, dtype=np.int64)
-
-    def read_symbol(tab: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | br.read_bit()
-            ln += 1
-            sym = tab.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG stream")
-
-    size = read_symbol(dc_tab)
-    if size > 15:
-        # DHT value bytes are attacker/corruption-controlled; the spec
-        # caps DC categories at 11 for 8-bit baseline. Oversized symbols
-        # would shift past int64 (OverflowError — escapes the fallback
-        # contract) and let a hostile stream demand huge bit reads.
-        raise ValueError(f"invalid DC category {size} in JPEG stream")
-    diff = _extend(br.read_bits(size), size) if size else 0
-    dc = pred + diff
+    dc = pred + _read_dc_diff(br, dc_tab)
     zz[0] = dc
     i = 1
     while i < 64:
-        sym = read_symbol(ac_tab)
+        sym = _read_symbol(br, ac_tab)
         if sym == 0x00:  # EOB
             break
         if sym == 0xF0:  # ZRL
@@ -542,9 +573,207 @@ def _decode_block(
     return zz, dc
 
 
+def _decode_ac_first(
+    br: _BitReader,
+    ac_tab: dict[tuple[int, int], int],
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC first pass (Ah=0) for one block; returns the
+    updated end-of-band run count (blocks remaining in the run)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(br, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1  # current block ends the run too
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_ac_refine(
+    br: _BitReader,
+    ac_tab: dict[tuple[int, int], int],
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Progressive AC refinement pass (Ah=Al+1): append one magnitude
+    bit to already-significant coefficients (correction bits read at
+    every nonzero-history position walked) and insert newly-significant
+    ±2^Al values. Mirrors the ITU T.81 G.1.2.3 control flow."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        if br.read_bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r  # consumed below for this block
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                val = 0
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude in JPEG stream")
+                val = p1 if br.read_bit() else m1
+            # advance over r zero-history coefficients, correcting
+            # nonzero-history ones along the way
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker_pos(data: bytes, p: int) -> int:
+    """Index of the next segment marker's 0xFF at or after ``p``,
+    treating stuffed 0xFF00, RSTn, and 0xFF fill bytes as entropy."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF:
+            b = data[p + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                p += 2
+                continue
+            if b == 0xFF:
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+def _run_scan(
+    payload: bytes,
+    start: int,
+    scan_comps: list[_Component],
+    coef: dict[int, np.ndarray],
+    dc_tabs: dict[int, dict[tuple[int, int], int]],
+    ac_tabs: dict[int, dict[tuple[int, int], int]],
+    restart_interval: int,
+    progressive: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    mcus_x: int,
+    mcus_y: int,
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+) -> int:
+    """Entropy-decode one scan (baseline full-spectrum or progressive
+    DC/AC first/refine) into the coefficient buffers; returns the
+    payload position of the next segment marker.
+
+    Multi-component scans run MCU-interleaved on the padded MCU grid;
+    single-component scans are non-interleaved per T.81 (the block grid
+    of the COMPONENT's own sample dimensions, restarts counted per
+    block)."""
+    for c in scan_comps:
+        needs_dc = (not progressive) or (ss == 0 and ah == 0)
+        needs_ac = (not progressive) or ss > 0
+        if (needs_dc and c.td not in dc_tabs) or (needs_ac and c.ta not in ac_tabs):
+            raise ValueError("missing Huffman table")
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+
+    def units():
+        if len(scan_comps) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit = []
+                    for c in scan_comps:
+                        for byy in range(c.v):
+                            for bxx in range(c.h):
+                                unit.append((c, my * c.v + byy, mx * c.h + bxx))
+                    yield unit
+        else:
+            c = scan_comps[0]
+            cw = -(-(width * c.h) // hmax)  # component sample dims
+            chh = -(-(height * c.v) // vmax)
+            bw_, bh_ = -(-cw // 8), -(-chh // 8)
+            for by in range(bh_):
+                for bx in range(bw_):
+                    yield [(c, by, bx)]
+
+    br = _BitReader(payload, start)
+    preds = {c.cid: 0 for c in scan_comps}
+    eobrun = 0
+    rst_idx = 0
+    count = 0
+    for unit in units():
+        if restart_interval and count and count % restart_interval == 0:
+            br.align_and_expect_rst(rst_idx)
+            rst_idx = (rst_idx + 1) % 8
+            preds = {c.cid: 0 for c in scan_comps}
+            eobrun = 0
+        for c, by, bx in unit:
+            zz = coef[c.cid][by, bx]
+            if not progressive:
+                out, preds[c.cid] = _decode_block(
+                    br, dc_tabs[c.td], ac_tabs[c.ta], preds[c.cid]
+                )
+                zz[:] = out
+            elif ss == 0:
+                if ah == 0:
+                    preds[c.cid] += _read_dc_diff(br, dc_tabs[c.td])
+                    zz[0] = preds[c.cid] << al
+                elif br.read_bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _decode_ac_first(br, ac_tabs[c.ta], zz, ss, se, al, eobrun)
+            else:
+                eobrun = _decode_ac_refine(br, ac_tabs[c.ta], zz, ss, se, al, eobrun)
+        count += 1
+    return _next_marker_pos(payload, max(start, br.pos - 2))
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an (h, w) grayscale or (h, w, 3) RGB
-    uint8 array. See module docstring for the supported envelope.
+    """Decode a baseline or progressive JPEG to an (h, w) grayscale or
+    (h, w, 3) RGB uint8 array. See module docstring for the envelope.
 
     Malformed streams raise ``ValueError`` (never struct/IndexError),
     so the feature extractors' schema-stable byte-stats fallback always
@@ -565,16 +794,18 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[_Component] = []
     height = width = 0
     restart_interval = 0
-    scan_comps: list[_Component] = []
-    sos_pos = -1
+    progressive = False
+    coef: dict[int, np.ndarray] | None = None
+    hmax = vmax = mcus_x = mcus_y = 0
+    n_scans = 0
 
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("no scan data in JPEG")
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
         if pos + 2 > len(payload):
@@ -596,7 +827,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 tab[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
                 qtables[tq] = tab.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -619,8 +851,6 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     raise NotImplementedError(f"sampling factors {ch}x{cv}")
                 comps.append(_Component(cid, ch, cv, tq))
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG coding process")
         elif marker == 0xC4:  # DHT
@@ -636,9 +866,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + nvals
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan's entropy data inline
+            if not comps or height == 0 or width == 0:
+                raise ValueError("JPEG missing SOF/SOS")
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS header")
             by_id = {c.cid: c for c in comps}
+            scan_comps: list[_Component] = []
             for si in range(ns):
                 cid, tdta = body[1 + 2 * si : 3 + 2 * si]
                 if cid not in by_id:
@@ -646,48 +881,38 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 c = by_id[cid]
                 c.td, c.ta = tdta >> 4, tdta & 0x0F
                 scan_comps.append(c)
-            sos_pos = nxt
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline scans are full-band
+            if coef is None:
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                # quantized zigzag coefficients per component, accumulated
+                # across scans; IDCT vectorized once at the end
+                coef = {
+                    c.cid: np.zeros((mcus_y * c.v, mcus_x * c.h, 64), dtype=np.int64)
+                    for c in comps
+                }
+            pos = _run_scan(
+                payload, nxt, scan_comps, coef, dc_tabs, ac_tabs,
+                restart_interval, progressive, ss, se, ah, al,
+                mcus_x, mcus_y, hmax, vmax, width, height,
+            )
+            n_scans += 1
+            continue
         # APPn / COM / others: skip
         pos = nxt
 
-    if sos_pos < 0 or not comps or height == 0 or width == 0:
+    if not comps or height == 0 or width == 0:
         raise ValueError("JPEG missing SOF/SOS")
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+    if coef is None or n_scans == 0:
+        raise ValueError("no scan data in JPEG")
     for c in comps:
         if c.tq not in qtables:
             raise ValueError("missing quantization table")
-        if c.td not in dc_tabs or c.ta not in ac_tabs:
-            raise ValueError("missing Huffman table")
-
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    # collect quantized zigzag coefficients per component; IDCT vectorized after
-    coef = {
-        c.cid: np.zeros((mcus_y * c.v, mcus_x * c.h, 64), dtype=np.int64) for c in comps
-    }
-
-    br = _BitReader(payload, sos_pos)
-    rst_idx = 0
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_and_expect_rst(rst_idx)
-                rst_idx = (rst_idx + 1) % 8
-                for c in comps:
-                    c.pred = 0
-            for c in scan_comps:
-                for by in range(c.v):
-                    for bx in range(c.h):
-                        zz, c.pred = _decode_block(
-                            br, dc_tabs[c.td], ac_tabs[c.ta], c.pred
-                        )
-                        coef[c.cid][my * c.v + by, mx * c.h + bx] = zz
-            mcu_count += 1
 
     planes = []
     for c in comps:
@@ -712,3 +937,255 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive encoder ----------------------------------------------------
+
+
+def _fixed_ac_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """Fixed-length canonical Huffman table over the symbol set one
+    progressive scan actually uses (EOBn symbols aren't in the Annex-K
+    tables, so per-scan DHT emission is the simplest valid encoding;
+    2^L ≥ n+1 keeps the all-ones code unused per the spec's
+    padding-alias recommendation)."""
+    syms = sorted(set(symbols)) or [0x00]
+    L = 1
+    while (1 << L) < len(syms) + 1:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+def _emit_ops(ops: list[tuple], codes: dict[int, tuple[int, int]]) -> bytes:
+    bw = _BitWriter()
+    for op in ops:
+        if op[0] == "sym":
+            code, ln = codes[op[1]]
+            bw.write(code, ln)
+        else:
+            bw.write(op[1], op[2])
+    return bw.flush()
+
+
+def _ops_ac_first(blocks: list[np.ndarray], ss: int, se: int, al: int) -> list[tuple]:
+    """Spectral-selection first pass (Ah=0): baseline-style run/size
+    coding of the point-transformed band, plus EOBn run batching."""
+    ops: list[tuple] = []
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            ops.append(("sym", nb << 4))
+            if nb:
+                ops.append(("bits", eobrun - (1 << nb), nb))
+            eobrun = 0
+
+    for zz in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            m = abs(v) >> al
+            vals.append(-m if v < 0 else m)
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 32767:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i, v in enumerate(vals):
+            if i > nz[-1]:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.append(("sym", 0xF0))
+                run -= 16
+            s = abs(v).bit_length()
+            ops.append(("sym", (run << 4) | s))
+            ops.append(("bits", v if v > 0 else v + (1 << s) - 1, s))
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 32767:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _ops_ac_refine(blocks: list[np.ndarray], ss: int, se: int, al: int) -> list[tuple]:
+    """Successive-approximation refinement (Ah=Al+1 → Al): correction
+    bits for already-significant coefficients, run/1 symbols + sign for
+    newly-significant ones, EOBn batching with deferred correction bits
+    — T.81 G.1.2.3 / the libjpeg encode_ac_refine control flow."""
+    ops: list[tuple] = []
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            ops.append(("sym", nb << 4))
+            if nb:
+                ops.append(("bits", eobrun - (1 << nb), nb))
+            for b in eob_bits:
+                ops.append(("bits", b, 1))
+            eob_bits = []
+            eobrun = 0
+
+    for zz in blocks:
+        absv = []
+        eob = -1
+        for idx, k in enumerate(range(ss, se + 1)):
+            t = abs(int(zz[k])) >> al
+            absv.append(t)
+            if t == 1:
+                eob = idx
+        run = 0
+        br_bits: list[int] = []
+        for idx, k in enumerate(range(ss, se + 1)):
+            t = absv[idx]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and idx <= eob:
+                flush_eob()
+                ops.append(("sym", 0xF0))
+                run -= 16
+                for b in br_bits:
+                    ops.append(("bits", b, 1))
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            ops.append(("sym", (run << 4) | 1))
+            ops.append(("bits", 1 if int(zz[k]) > 0 else 0, 1))
+            for b in br_bits:
+                ops.append(("bits", b, 1))
+            br_bits = []
+            run = 0
+        if run > 0 or br_bits:
+            eobrun += 1
+            eob_bits.extend(br_bits)
+            if eobrun == 32767:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Encode as a progressive (SOF2) JFIF JPEG with a libjpeg-style
+    scan script: interleaved DC first pass at Al=1, per-component
+    spectral-selection AC bands (1–5, 6–63) at Al=2, two successive-
+    approximation refinement sweeps per band (2→1, 1→0), and a final
+    DC refinement. Exists so tests can round-trip the progressive
+    decoder on every scan kind without binary fixtures — the pixel
+    output must equal the baseline encoding of the same image (both
+    encode identical quantized coefficients)."""
+    comp_zz, samp, qtabs, h, w, gray, mcus_x, mcus_y = _prepare_jpeg(
+        pixels, quality, subsample
+    )
+    ql, qc = _quality_tables(quality)
+    ncomp = len(comp_zz)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    out = _jpeg_headers(h, w, gray, samp, ql, qc, 0xC2)
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    def mcu_blocks(ci: int) -> list[np.ndarray]:
+        sh, sv = samp[ci]
+        blocks = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(sv):
+                    for bx in range(sh):
+                        blocks.append(comp_zz[ci][my * sv + by, mx * sh + bx])
+        return blocks
+
+    def comp_blocks(ci: int) -> list[np.ndarray]:
+        # the non-interleaved grid of the component's own sample dims —
+        # smaller than the padded MCU grid when sampling pads blocks;
+        # must match the decoder's single-component-scan iteration
+        sh, sv = samp[ci]
+        cw, chh = -(-(w * sh) // hmax), -(-(h * sv) // vmax)
+        bw_, bh_ = -(-cw // 8), -(-chh // 8)
+        return [comp_zz[ci][by, bx] for by in range(bh_) for bx in range(bw_)]
+
+    # 1) DC first pass, Al=1: interleaved over all components when
+    # ncomp>1 (single-component images are non-interleaved by spec,
+    # which coincides with the 1x1 MCU grid)
+    dc_codes = [
+        _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        if ci == 0
+        else _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        for ci in range(ncomp)
+    ]
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(comp_zz[ci][my * sv + by, mx * sh + bx][0]) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _category(diff)
+                        code, ln = dc_codes[ci][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)], 0, 0, 0, 1)
+    out += bw.flush()
+
+    # 2) AC scans: per component, two spectral bands; first pass at
+    # Al=2 then refinements 2→1 and 1→0 (each scan ships its own DHT)
+    bands = [(1, 5), (6, 63)]
+    for kind, ah, al in (("first", 0, 2), ("refine", 2, 1), ("refine", 1, 0)):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                blocks = comp_blocks(ci)
+                ops = (
+                    _ops_ac_first(blocks, ss, se, al)
+                    if kind == "first"
+                    else _ops_ac_refine(blocks, ss, se, al)
+                )
+                bits, vals = _fixed_ac_table([op[1] for op in ops if op[0] == "sym"])
+                out += _dht_segment(1, 0, bits, vals)
+                out += sos([(ci + 1, 0, 0)], ss, se, ah, al)
+                out += _emit_ops(ops, _canonical_codes(bits, vals))
+
+    # 3) DC refinement, Ah=1 → Al=0: one raw bit per block, no Huffman
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(int(comp_zz[ci][my * sv + by, mx * sh + bx][0]) & 1, 1)
+    out += sos([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0)
+    out += bw.flush()
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -36,13 +36,15 @@ Decode support is format-honest:
   resize) unchanged. Chroma-subsampled y4m (C420 etc.) raises
   ``NotImplementedError`` — honest gate again; a deployment swaps in
   ffmpeg/pyav and nothing downstream changes.
-- **JPEG** (baseline sequential DCT, 8-bit, gray/YCbCr, sampling
-  factors ≤ 2, restart markers) is decoded FOR REAL since r6 — pure
-  numpy Huffman + IDCT in ``jpeg.py``, with ``encode_jpeg`` so tests
-  round-trip every MCU geometry (4:4:4 / 4:2:0 / DRI) without binary
-  fixtures. Progressive (SOF2), arithmetic-coded, 12-bit and
-  hierarchical JPEG raise ``NotImplementedError`` — the same honest
-  gate as the rarer PNG variants.
+- **JPEG** (baseline sequential AND — late-r6 — progressive DCT:
+  spectral selection, successive approximation, EOB runs; 8-bit,
+  gray/YCbCr, sampling factors ≤ 2, restart markers) is decoded FOR
+  REAL since r6 — pure numpy Huffman + IDCT in ``jpeg.py``, with
+  ``encode_jpeg`` / ``encode_jpeg_progressive`` so tests round-trip
+  every MCU geometry and scan kind (4:4:4 / 4:2:0 / DRI / banded
+  first+refine scans) without binary fixtures. Arithmetic-coded,
+  12-bit and hierarchical JPEG raise ``NotImplementedError`` — the
+  same honest gate as ever, now covering only genuinely rare forms.
 - Unknown payloads fall back to byte statistics (schema-stable).
 """
 

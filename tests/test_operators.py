@@ -1009,12 +1009,13 @@ def test_jpeg_codec_roundtrip_and_gates():
         mm.decode_image(J.encode_jpeg(rgb, 95)), J.decode_jpeg(J.encode_jpeg(rgb, 95))
     )
 
-    # gates: progressive (SOF2) is honestly not-implemented...
+    # a baseline stream mislabeled SOF2 is corrupt (its full-band
+    # interleaved scan is illegal in progressive mode), not garbage
     stream = bytearray(J.encode_jpeg(rgb, 85))
     stream[stream.find(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
         J.decode_jpeg(bytes(stream))
-    # ...as is arithmetic coding (SOF9)
+    # arithmetic coding (SOF9) gates honestly
     stream = bytearray(J.encode_jpeg(rgb, 85))
     stream[stream.find(b"\xff\xc0") + 1] = 0xC9
     with pytest.raises(NotImplementedError):
@@ -2291,3 +2292,82 @@ def test_cosine_topk_int8_recall_vs_exact(spark, sf_dir):
     for r in got:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_jpeg_progressive_decode_equals_baseline():
+    """Progressive (SOF2) decode: the libjpeg-style scan script (DC
+    first+refine, banded AC first at Al=2, two refinement sweeps)
+    encodes the SAME quantized coefficients as the baseline encoder, so
+    the decoded pixels must be bit-identical — across gray/RGB, 4:4:4
+    and 4:2:0 (where the non-interleaved AC grid differs from the
+    padded MCU grid), and odd dims."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import jpeg as J
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    cases = [
+        (1, 24, 16, False, False),
+        (2, 8, 8, False, False),   # single-MCU
+        (3, 9, 13, True, False),   # gray, odd dims (non-interleaved DC)
+        (4, 18, 20, False, True),  # 4:2:0, comp grid < padded grid
+        (5, 48, 64, False, True),
+    ]
+    for seed, hh, ww, gray, ss in cases:
+        img = mm.synth_pixels(seed, ww, hh)
+        if gray:
+            img = img[:, :, 0]
+        base = J.decode_jpeg(J.encode_jpeg(img, 85, subsample=ss))
+        prog_stream = J.encode_jpeg_progressive(img, 85, subsample=ss)
+        assert prog_stream.find(b"\xff\xc2") > 0  # really SOF2
+        prog = J.decode_jpeg(prog_stream)
+        assert np.array_equal(base, prog), (seed, hh, ww, gray, ss)
+    # quality sweep exercises denser/sparser coefficient populations
+    img = mm.synth_pixels(7, 32, 24)
+    for q in (30, 60, 95):
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg(img, q)),
+            J.decode_jpeg(J.encode_jpeg_progressive(img, q)),
+        ), q
+    # flat image: every AC band is pure EOB runs (EOBn > 1 path)
+    flat = np.full((40, 40, 3), 137, dtype=np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(flat, 85)),
+        J.decode_jpeg(J.encode_jpeg_progressive(flat, 85)),
+    )
+
+
+def test_jpeg_progressive_corruption_and_media_path(spark):
+    """Truncated/corrupt progressive streams are ValueError (fallback
+    contract), and progressive payloads flow through the distributed
+    feature path like any other codec."""
+    import numpy as np
+    import pandas as pd
+
+    from distributed_computing_platform_mapreduce_spark.operators import jpeg as J
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    img = mm.synth_pixels(11, 24, 16)
+    stream = J.encode_jpeg_progressive(img, 85)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(stream[: len(stream) // 2])
+    # flip a byte three-quarters in (inside some scan's data/headers)
+    bad = bytearray(stream)
+    bad[len(bad) * 3 // 4] ^= 0x5A
+    try:
+        out = J.decode_jpeg(bytes(bad))
+        assert out.shape == img.shape  # decoded to plausible pixels
+    except ValueError:
+        pass  # rejection is equally acceptable — never a crash
+    # distributed: features over progressive payloads
+    rows = [
+        {"media_id": i, "kind": "image", "payload": J.encode_jpeg_progressive(
+            mm.synth_pixels(i + 1, 16, 16), 85
+        )}
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    feats = mm.extract_features(df).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert r["decoded"] == "jpeg" and r["px_width"] == 16 and r["px_height"] == 16

@@ -9,7 +9,8 @@ vectorized numpy, the exact shape a production decoder plugs into.
 Decode support is format-honest:
 
 - **PPM (P6) / PGM (P5)** are decoded FOR REAL — pure numpy, no
-  external libs — into ``(h, w, c)`` uint8 arrays; features and
+  external libs — into ``(h, w, c)`` uint8 arrays (late-r6: two-byte
+  maxval>255 samples too, scaled by the header maxval); features and
   resize operate on true pixels. The synthesized media table carries
   genuine P6 payloads, so the whole pipeline (encode → scan → decode →
   feature/resize) is exercised end-to-end in tests.
@@ -25,17 +26,20 @@ Decode support is format-honest:
   into ``(n_frames, channels)`` int16 arrays; duration / RMS / peak
   features operate on true samples. PCM-16 and (since r6) IEEE
   float32/float64 (format code 3, mapped [-1,1] → int16 full scale so
-  the sample contract is format-independent). Compressed formats and
-  other bit widths raise ``NotImplementedError`` (same honest gate as
-  JPEG below).
-- **YUV4MPEG2 (y4m) Cmono** video is decoded FOR REAL — plain-text
-  stream header + raw luma planes, pure numpy — into ``(n, h, w)``
-  uint8 frame stacks; duration and per-frame luma features operate on
-  true frames, and ``sample_frames`` re-emits every k-th frame as a
-  genuine PGM image row that flows through the image path (features,
-  resize) unchanged. Chroma-subsampled y4m (C420 etc.) raises
-  ``NotImplementedError`` — honest gate again; a deployment swaps in
-  ffmpeg/pyav and nothing downstream changes.
+  the sample contract is format-independent), plus (late-r6) G.711
+  A-law/µ-law telephony expansion via the ITU segment formulas.
+  Genuinely compressed formats (ADPCM, MP3-in-WAV) raise
+  ``NotImplementedError`` (same honest gate as JPEG below).
+- **YUV4MPEG2 (y4m)** video is decoded FOR REAL — plain-text stream
+  header + raw planes, pure numpy — into ``(n, h, w)`` uint8 luma
+  stacks; duration and per-frame luma features operate on true frames,
+  and ``sample_frames`` re-emits every k-th frame as a genuine PGM
+  image row that flows through the image path (features, resize)
+  unchanged. Cmono and (late-r6) the chroma-subsampled family
+  (C420/C420jpeg/C420paldv/C420mpeg2/C422/C444 — the ffmpeg defaults)
+  all decode; chroma planes are skipped since every feature here is
+  luma-based. 10-bit/unknown colorspaces raise ``NotImplementedError``
+  — a deployment swaps in ffmpeg/pyav and nothing downstream changes.
 - **JPEG** (baseline sequential AND — late-r6 — progressive DCT:
   spectral selection, successive approximation, EOB runs; 8-bit,
   gray/YCbCr, sampling factors ≤ 2, restart markers) is decoded FOR
@@ -138,10 +142,17 @@ def decode_image(payload: bytes) -> np.ndarray:
             i = j
         i += 1  # single whitespace after maxval
         w, h, maxval = parts
-        if maxval > 255:
-            raise ValueError("16-bit PPM not supported")
+        if maxval <= 0 or maxval > 65535:
+            raise ValueError(f"PPM maxval {maxval} out of spec")
         c = 3 if payload[:2] == b"P6" else 1
-        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=i)
+        if maxval > 255:
+            # two-byte samples (big-endian per spec, late-r6), scaled by
+            # the header's actual maxval (10/12/16-bit sources all land
+            # correctly) — uint8 output policy as with 16-bit PNG
+            arr16 = np.frombuffer(payload, dtype=">u2", count=w * h * c, offset=i)
+            arr = (arr16.astype(np.uint32) * 255 // maxval).clip(0, 255).astype(np.uint8)
+        else:
+            arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=i)
         return arr.reshape((h, w, 3)) if c == 3 else arr.reshape((h, w))
     if payload[:2] == b"\xff\xd8":
         from distributed_computing_platform_mapreduce_spark.operators.jpeg import decode_jpeg
@@ -476,10 +487,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if not (
         (audio_format == 1 and bits == 16)
         or (audio_format == 3 and bits in (32, 64))
+        or (audio_format in (6, 7) and bits == 8)  # A-law / µ-law telephony
     ):
         raise NotImplementedError(
             f"WAV format {audio_format}/{bits}-bit not supported "
-            "(PCM-16 and IEEE float32/64 only here; "
+            "(PCM-16, IEEE float32/64, A-law and µ-law here; "
             "swap decode_wav to a real codec in deployment)"
         )
     if ch < 1:
@@ -493,9 +505,40 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if audio_format == 3:
         fl = np.frombuffer(data, dtype=f"<f{width}", count=n).astype(np.float64)
         samples = np.clip(np.rint(fl * 32767.0), -32768, 32767).astype(np.int16)
+    elif audio_format in (6, 7):
+        codes = np.frombuffer(data, dtype=np.uint8, count=n)
+        lut = _alaw_table() if audio_format == 6 else _mulaw_table()
+        samples = lut[codes]
     else:
         samples = np.frombuffer(data, dtype="<i2", count=n)
     return samples.reshape(-1, ch), rate
+
+
+def _alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law code → linear int16 expansion (all 256 codes,
+    built once — the standard segment/mantissa formula, sign-magnitude
+    with even-bit inversion)."""
+    codes = np.arange(256, dtype=np.uint8) ^ 0x55  # spec's alternate-bit inversion
+    sign = np.where(codes & 0x80, 1, -1)
+    seg = (codes >> 4) & 0x07
+    mant = (codes & 0x0F).astype(np.int32)
+    # np.where evaluates both branches — clamp the shift so seg=0 rows
+    # don't left-shift by -1 (C UB) in the unselected branch
+    mag = np.where(
+        seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(seg - 1, 0)
+    )
+    return (sign * mag).astype(np.int16)
+
+
+def _mulaw_table() -> np.ndarray:
+    """ITU-T G.711 µ-law code → linear int16 expansion (33-bias
+    formula over all 256 codes)."""
+    codes = ~np.arange(256, dtype=np.uint8) & 0xFF
+    sign = np.where(codes & 0x80, -1, 1)
+    seg = (codes >> 4) & 0x07
+    mant = (codes & 0x0F).astype(np.int32)
+    mag = (((mant << 1) + 33) << seg) - 33
+    return (sign * (mag << 2)).astype(np.int16)
 
 
 def synth_samples(seed: int, n_samples: int = 800, channels: int = 1) -> np.ndarray:
@@ -529,14 +572,19 @@ def encode_y4m(frames: np.ndarray, fps_num: int = 25, fps_den: int = 1) -> bytes
 
 
 def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
-    """Decode a YUV4MPEG2 Cmono stream to ``((n, h, w) uint8, fps)``.
+    """Decode a YUV4MPEG2 stream to ``((n, h, w) uint8 luma, fps)``.
 
     Parses the tagged stream header generically (unknown tags like X
     metadata skipped; FRAME headers may carry parameters), so files from
-    real encoders parse too. Chroma-subsampled colorspaces (C420 and
-    friends — what ffmpeg emits by default) raise ``NotImplementedError``:
-    the honest-codec gate, same as PNG/JPEG; ValueError for non-y4m or
-    truncated payloads.
+    real encoders parse too. Since late-r6 the chroma-subsampled
+    colorspaces (C420/C420jpeg/C420paldv/C420mpeg2/C422/C444 — what
+    ffmpeg emits by default) decode too: every downstream feature
+    (duration, mean-luma, frame sampling into the image path) is
+    luma-based, so the Y plane is extracted and the chroma planes are
+    skipped per their colorspace's plane geometry — full fidelity for
+    this module's feature surface, no NotImplementedError left for the
+    common cases. Interlaced/10-bit tags and unknown colorspaces still
+    gate honestly; ValueError for non-y4m or truncated payloads.
     """
     if payload[:9] != b"YUV4MPEG2":
         raise ValueError("not a YUV4MPEG2 payload")
@@ -562,12 +610,28 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
         raise ValueError("y4m header missing W/H tags")
     if w <= 0 or h <= 0:
         raise ValueError("y4m header with non-positive dimensions")
-    if colorspace != b"Cmono":
+    # chroma bytes per frame on top of the w*h luma plane, by colorspace
+    chroma_scale = {
+        b"Cmono": 0.0,
+        b"C420": 0.5,
+        b"C420jpeg": 0.5,
+        b"C420paldv": 0.5,
+        b"C420mpeg2": 0.5,
+        b"C422": 1.0,
+        b"C444": 2.0,
+    }.get(colorspace)
+    if chroma_scale is None:
         raise NotImplementedError(
             f"y4m colorspace {colorspace.decode()} not supported "
-            "(Cmono only here; swap decode_y4m to ffmpeg/pyav in deployment)"
+            "(mono/420/422/444 8-bit here; swap decode_y4m to ffmpeg/pyav "
+            "in deployment)"
         )
-    frame_bytes = w * h
+    if chroma_scale == 0.5 and (w % 2 or h % 2):
+        raise ValueError("4:2:0 y4m with odd dimensions")
+    if chroma_scale == 1.0 and w % 2:
+        raise ValueError("4:2:2 y4m with odd width")
+    luma_bytes = w * h
+    frame_bytes = luma_bytes + int(luma_bytes * chroma_scale)
     frames = []
     i = nl + 1
     while i < len(payload):
@@ -577,9 +641,9 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
         if i + frame_bytes > len(payload):
             raise ValueError("y4m stream truncated mid-frame")
         frames.append(
-            np.frombuffer(payload, dtype=np.uint8, count=frame_bytes, offset=i).reshape(h, w)
+            np.frombuffer(payload, dtype=np.uint8, count=luma_bytes, offset=i).reshape(h, w)
         )
-        i += frame_bytes
+        i += frame_bytes  # skip the chroma planes: features are luma-based
     return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
 
 

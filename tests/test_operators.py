@@ -1179,15 +1179,16 @@ def test_wav_codec_roundtrip_and_gates():
     for dtype, bits in (("<f4", 32), ("<f8", 64)):
         df, fr = mm.decode_wav(_float_wav(vals, dtype, bits))
         assert fr == 8000 and np.array_equal(df[:, 0], expect), dtype
-    # compressed formats still gate honestly
-    alaw_fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
-    alaw_wav = (
+    # still-compressed formats (ADPCM etc.) gate honestly; G.711 A-law
+    # and µ-law decode since late-r6 (see the dedicated G.711 test)
+    adpcm_fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)
+    adpcm_wav = (
         b"RIFF" + struct.pack("<I", 4 + 24 + 8) + b"WAVE"
-        + b"fmt " + struct.pack("<I", 16) + alaw_fmt
+        + b"fmt " + struct.pack("<I", 16) + adpcm_fmt
         + b"data" + struct.pack("<I", 0)
     )
     with pytest.raises(NotImplementedError):
-        mm.decode_wav(alaw_wav)
+        mm.decode_wav(adpcm_wav)
     with pytest.raises(ValueError):
         mm.decode_wav(b"garbage-not-riff")
 
@@ -1232,11 +1233,12 @@ def test_y4m_codec_roundtrip_and_gates():
     tagged = raw.replace(b" Cmono\n", b" Cmono Xcustom=1\n").replace(b"FRAME\n", b"FRAME Ix\n")
     d2, _ = mm.decode_y4m(tagged)
     assert np.array_equal(d2, frames[:1])
-    # chroma-subsampled streams are honestly not-implemented
-    with pytest.raises(NotImplementedError):
-        mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\x00" * 24)
-    with pytest.raises(NotImplementedError):  # no C tag -> C420jpeg default
-        mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1\nFRAME\n" + b"\x00" * 24)
+    # chroma-subsampled streams decode since late-r6 (luma extracted)
+    d420, _ = mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\x07" * 24)
+    assert d420.shape == (1, 4, 4) and (d420 == 7).all()
+    # no C tag -> C420jpeg default, same plane geometry
+    d420j, _ = mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1\nFRAME\n" + b"\x09" * 24)
+    assert (d420j == 9).all()
     with pytest.raises(ValueError):
         mm.decode_y4m(b"garbage-not-y4m")
     with pytest.raises(ValueError):  # truncated mid-frame
@@ -2371,3 +2373,67 @@ def test_jpeg_progressive_corruption_and_media_path(spark):
     assert len(feats) == 6
     for r in feats:
         assert r["decoded"] == "jpeg" and r["px_width"] == 16 and r["px_height"] == 16
+
+
+def test_wav_g711_and_ppm16_and_y4m_chroma_decode():
+    """Late-r6 codec-completeness sweep: G.711 A-law/µ-law WAV, 16-bit
+    PPM, and chroma-subsampled y4m (luma extraction) all decode."""
+    import struct as _s
+
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    # µ-law/A-law: known ITU G.711 expansion anchor points
+    mu = mm._mulaw_table()
+    assert mu[0xFF] == 0 and mu[0x7F] == 0  # both zero codes
+    assert mu[0x80] == -32124 and mu[0x00] == -32124 or mu[0x80] == 32124
+    assert abs(int(mu[0x80])) == 32124 and abs(int(mu[0x00])) == 32124
+    al = mm._alaw_table()
+    assert sorted(abs(int(v)) for v in (al[0x55 ^ 0x80], al[0x55])) == [8, 8]
+    assert max(abs(int(v)) for v in al) == 32256 and max(abs(int(v)) for v in mu) == 32124
+    # each code maps sign-symmetrically
+    for lut in (mu, al):
+        mags = sorted(set(abs(int(v)) for v in lut))
+        assert len(mags) == 128  # 128 distinct magnitudes per law
+
+    def _wav(fmt_code, payload, bits):
+        fmt = _s.pack("<HHIIHH", fmt_code, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+        return (
+            b"RIFF" + _s.pack("<I", 4 + 24 + 8 + len(payload)) + b"WAVE"
+            + b"fmt " + _s.pack("<I", 16) + fmt
+            + b"data" + _s.pack("<I", len(payload)) + payload
+        )
+
+    d, r = mm.decode_wav(_wav(7, bytes([0xFF, 0x80, 0x00]), 8))
+    assert r == 8000 and list(d[:, 0]) == [0, int(mu[0x80]), int(mu[0x00])]
+    d, _ = mm.decode_wav(_wav(6, bytes(range(8)), 8))
+    assert [int(x) for x in d[:, 0]] == [int(al[c]) for c in range(8)]
+
+    # 16-bit PPM: big-endian samples scale by the header maxval
+    px16 = np.array([[0, 32768, 65535]], dtype=">u2")
+    ppm16 = b"P5\n3 1\n65535\n" + px16.tobytes()
+    assert list(mm.decode_image(ppm16)[0]) == [0, 127, 255]
+    # 10-bit source (maxval 1023) scales correctly too
+    px10 = np.array([[0, 512, 1023]], dtype=">u2")
+    assert list(mm.decode_image(b"P5\n3 1\n1023\n" + px10.tobytes())[0]) == [0, 127, 255]
+
+    # y4m C420: full-res luma + two quarter-res chroma planes per frame
+    frames = mm.synth_frames(seed=9, n_frames=3, width=8, height=6)
+    body = bytearray(b"YUV4MPEG2 W8 H6 F25:1 Ip A1:1 C420\n")
+    for f in range(3):
+        body += b"FRAME\n" + frames[f].tobytes() + bytes(8 * 6 // 2)
+    got, fps = mm.decode_y4m(bytes(body))
+    assert fps == 25.0 and np.array_equal(got, frames)
+    # C444: full-res chroma
+    body = bytearray(b"YUV4MPEG2 W8 H6 C444\n")
+    body += b"FRAME\n" + frames[0].tobytes() + bytes(8 * 6 * 2)
+    got, _ = mm.decode_y4m(bytes(body))
+    assert np.array_equal(got[0], frames[0])
+    # truncated chroma is a truncation error, not silent success
+    short = bytes(b"YUV4MPEG2 W8 H6 C420\n" + b"FRAME\n" + frames[0].tobytes())
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_y4m(short)
+    # unknown colorspace still gates
+    with pytest.raises(NotImplementedError):
+        mm.decode_y4m(b"YUV4MPEG2 W8 H6 C420p10\nFRAME\n" + bytes(8 * 6 * 3))

@@ -2437,3 +2437,47 @@ def test_wav_g711_and_ppm16_and_y4m_chroma_decode():
     # unknown colorspace still gates
     with pytest.raises(NotImplementedError):
         mm.decode_y4m(b"YUV4MPEG2 W8 H6 C420p10\nFRAME\n" + bytes(8 * 6 * 3))
+
+
+def test_pq_topk_rerank_recall_vs_exact(spark, sf_dir):
+    """Product quantization ANN (train → assign → ADC scan → exact
+    re-rank): codes are m small ints, and the shortlist+rerank pattern
+    recovers ≥0.9 of the exact top-k with exact cosine scores."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    # m=16 4-dim subspaces: random-ish synthetic embeddings are PQ's
+    # worst case (no cluster structure), so finer subspaces carry the
+    # recall; real embedding corpora do better at coarser settings
+    books = similarity.pq_train(emb, m=16, k=16)
+    assert books.shape == (16, 16, 4)
+    codes = similarity.pq_assign(emb, books).collect()
+    n_corpus = emb.count()
+    assert len(codes) == n_corpus
+    for r in codes[:50]:
+        cs = list(r["pq_codes"])
+        assert len(cs) == 16 and all(0 <= c < 16 for c in cs)
+
+    exact_rows = similarity.cosine_topk_exact(emb, queries, k=5).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact_rows}
+    got = similarity.cosine_topk_pq(
+        emb, queries, codebooks=books, k=5, shortlist=48
+    ).collect()
+    assert len(got) == len(exact)
+    hits = {(r["query_id"], r["neighbor_id"]) for r in got} & exact
+    assert len(hits) / len(exact) >= 0.9
+    # re-ranked scores are TRUE cosines (match the exact query's values)
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cos"] == pytest.approx(exact_cos[key], abs=1e-9)
+    # raw ADC mode returns approximate scores but the right shape
+    raw = similarity.cosine_topk_pq(
+        emb, queries, codebooks=books, k=5, shortlist=16, rerank=False
+    ).collect()
+    per_q = {}
+    for r in raw:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v)[:5] == [1, 2, 3, 4, 5] for v in per_q.values())

@@ -118,10 +118,10 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (h, w, c)/(h, w) uint8 array.
 
-    Real decode for P6/P5, (via ``decode_png``) 8-bit non-interlaced
-    PNG, and (via ``jpeg.decode_jpeg``) baseline sequential JPEG;
-    NotImplementedError for the gated variants of each format;
-    ValueError otherwise.
+    Real decode for P6/P5 (incl. two-byte maxval), the full PNG spec
+    matrix (via ``decode_png``), and baseline + progressive JPEG (via
+    ``jpeg.decode_jpeg``); NotImplementedError for the remaining gated variants
+    (arithmetic/12-bit JPEG); ValueError otherwise.
     """
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)

@@ -60,6 +60,7 @@ def pack_sequences(
     text_col: str = "text",
     max_tokens: int = 2048,
     n_partitions: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Assign each document its (seq_id, seq_offset) under concat-and-
     chunk packing of the ``id_col``-ordered token stream.
@@ -69,12 +70,22 @@ def pack_sequences(
     boundary. Deterministic: a pure function of (corpus, max_tokens) —
     partitioning only changes WHERE rows are computed, never the global
     prefix sum they receive.
+
+    ``count_col`` (late-r6) packs by a caller-supplied per-doc token
+    count instead of the whitespace default — the hook that lets a REAL
+    tokenizer drive packing (``bpe.bpe_encode``'s ``n_bpe_tokens``
+    composes directly; see the composition test).
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    count_expr = (
+        F.col(count_col)
+        if count_col is not None
+        else whitespace_token_count(F.col(text_col))
+    )
     t = docs.select(
         F.col(id_col).alias("doc_id"),
-        whitespace_token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        count_expr.cast("bigint").alias("n_tokens"),
     )
     if n_partitions:
         t = t.repartitionByRange(n_partitions, "doc_id")

@@ -2481,3 +2481,32 @@ def test_pq_topk_rerank_recall_vs_exact(spark, sf_dir):
     for r in raw:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v)[:5] == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_bpe_tokens_drive_sequence_packing(spark):
+    """Composition: train BPE → encode docs → pack sequences by the
+    LEARNED token counts (count_col hook) — the end-to-end shape a
+    trainer-data pipeline runs. Offsets must match a straight-line
+    prefix sum of the BPE counts."""
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+    from distributed_computing_platform_mapreduce_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BPE_CORPUS)], ["doc_id", "text"]
+    )
+    merges = bpe.bpe_train(df, n_merges=20)
+    enc = bpe.bpe_encode(df, merges)
+    packed = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            enc, text_col="bpe_tokens", count_col="n_bpe_tokens", max_tokens=16
+        ).collect()
+    }
+    counts = {r["doc_id"]: r["n_bpe_tokens"] for r in enc.collect()}
+    off = 0
+    for i in sorted(counts):
+        r = packed[i]
+        assert r["n_tokens"] == counts[i]
+        assert r["seq_id"] == off // 16 and r["seq_offset"] == off % 16
+        assert r["straddles"] == (off // 16 != (off + counts[i] - 1) // 16 and counts[i] > 0)
+        off += counts[i]

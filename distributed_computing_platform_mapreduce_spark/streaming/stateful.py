@@ -81,3 +81,49 @@ def run_update_to_memory(spark, stream_df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- transformWithStateInPandas (Spark 4 arbitrary-state API) ---------------
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running (count, sum) per user on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49187): typed per-key value state
+    via a ``StatefulProcessor``, schema evolution and timers supported
+    by the engine, RocksDB state store required. Kept beside the
+    classic form so both arbitrary-state APIs are exercised; the twin
+    test asserts they produce identical results on the same stream
+    (skipped where ``google.protobuf`` — the wire protocol of the
+    API's state server, not baked into this container — is absent;
+    the classic ``applyInPandasWithState`` form needs no extra deps
+    and carries the always-on coverage).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

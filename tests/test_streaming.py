@@ -330,3 +330,59 @@ def test_foreach_batch_sink_idempotent_and_equals_batch(spark, sf_dir, tmp_path)
     fn(some_batch.limit(1), replay_ids[0])
     n_after = read_sink(spark, out).count()
     assert n_after == len(want) - some_batch.count() + 1
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state-server protocol needs protobuf, "
+    "not baked into this container (operator gated per environment "
+    "rules; runs where pyspark's protobuf extra is installed)",
+)
+def test_transform_with_state_equals_classic_stateful(spark, sf_dir):
+    """Spark 4's transformWithStateInPandas twin of the classic
+    applyInPandasWithState running totals: identical results on the
+    same stream, and both equal the batch aggregation. Requires the
+    RocksDB state store provider (set per-query via the session conf,
+    restored after) and the protobuf package (pyspark's [connect]/
+    streaming-state extra)."""
+    from distributed_computing_platform_mapreduce_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        streamed = run_update_to_memory(
+            spark, running_user_totals_tws(stream_events(spark, sf_dir)), "tws_mem"
+        )
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"]) for r in streamed.collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert got[uid][1] == pytest.approx(want[uid][1], rel=1e-9)

@@ -67,3 +67,40 @@ def stream_interval_join(
             f"AND purchase_ts <= click_ts + INTERVAL {window}"
         ),
     ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
+def stream_interval_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    window: str = "30 minutes",
+    click_watermark: str = "1 hour",
+    purchase_watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (late-r6): clicks with no
+    purchase inside the window still emit — with null purchase columns
+    — but only once the watermark proves no match can still arrive
+    (Spark holds the unmatched row in state until
+    ``click_ts + window`` is past both watermarks, then emits the
+    null-padded row and evicts). Same bounded-state story as the inner
+    form; the null rows are the part a batch left join gets for free
+    and a stream has to EARN from the watermark."""
+    c = clicks.select(
+        F.col(key).alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", click_watermark)
+    p = purchases.select(
+        F.col(key).alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", purchase_watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {window}"
+        ),
+        "leftOuter",
+    ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")

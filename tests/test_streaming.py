@@ -386,3 +386,78 @@ def test_transform_with_state_equals_classic_stateful(spark, sf_dir):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert got[uid][1] == pytest.approx(want[uid][1], rel=1e-9)
+
+
+def test_stream_interval_join_outer_equals_batch(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join == the batch left join:
+    matched rows identical, and every unmatched click emits exactly one
+    null-padded row once the watermark closes its window (availableNow
+    commits the final watermark, so all windows close)."""
+    from distributed_computing_platform_mapreduce_spark.streaming.joins_dedup import (
+        stream_interval_join_outer,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    q = (
+        stream_interval_join_outer(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+        .writeStream.format("memory")
+        .queryName("ssjoin_outer_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("ssjoin_outer_mem")
+
+    e = load_table(spark, sf_dir, "events")
+    bc = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = bc.join(
+        bp,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 minutes"
+        ),
+        "leftOuter",
+    ).select(
+        "c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
+    cols = ["c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"]
+    got, want = set(_rows(streamed, cols)), set(_rows(batch, cols))
+    # a null row is only emitted once the watermark PROVES no match can
+    # arrive — clicks whose window end lies beyond the final committed
+    # watermark (max purchase ts − 2 h) stay held in state, so the
+    # streamed set is the batch set minus exactly those tail rows
+    import datetime
+
+    assert got <= want and len(got) > 0
+    ets = load_table(spark, sf_dir, "events")
+    max_click = ets.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
+    max_purch = ets.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0]
+    # Spark's global watermark is the MIN across watermarked inputs
+    # (each from its own stream's max event time)
+    global_wm = min(
+        max_click - datetime.timedelta(hours=1),
+        max_purch - datetime.timedelta(hours=2),
+    )
+    # left state evicts (emitting the null row) once click_ts falls
+    # behind global_wm − upperBound; allow one trigger of slack
+    evict_bound = global_wm - datetime.timedelta(minutes=30)
+    for row in want - got:
+        assert row[3] is None, f"matched row missing from stream: {row}"
+        assert row[2] >= evict_bound - datetime.timedelta(minutes=30), row
+    # the outer rows are non-vacuous: some clicks really are unmatched
+    n_null = streamed.filter(F.col("purchase_id").isNull()).count()
+    assert n_null > 0

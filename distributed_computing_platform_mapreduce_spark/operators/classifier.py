@@ -1,0 +1,133 @@
+"""Model-based document quality scoring (Spark MLlib).
+
+The heuristic gates in ``operators/quality.py`` (Gopher rules, LM
+floors) are rule-based; modern curation pipelines add a TRAINED
+quality classifier on top — FineWeb-Edu's educational-value scorer,
+CCNet's LM filter, fastText quality models. This module is that stage,
+expressed Spark-first: ``pyspark.ml``'s distributed estimators do the
+training (tokenize → feature-hash → logistic regression — the same
+hashing trick as ``similarity.embed_texts``, here via MLlib's
+``HashingTF``), so fitting runs as Spark jobs over the corpus, the
+fitted model is a broadcast-sized coefficient vector, and scoring is
+one map-side transform with no shuffle.
+
+At 100 TB: training typically runs on a labeled SAMPLE (labels are
+expensive — often another model's outputs), which is corpus-scale-free;
+scoring is embarrassingly parallel (hash + dot product per doc).
+L-BFGS in MLlib aggregates gradients tree-wise per iteration — the
+bounded-driver-scalar discipline (one coefficient vector per round)
+that two-star CC, PageRank and BPE training follow.
+
+Labels for tests/fixtures are synthesized deterministically (natural
+text vs shuffled-alphabet gibberish); a deployment swaps in human or
+teacher-model labels — the pipeline contract is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = 4096,
+    reg_param: float = 0.001,
+    max_iter: int = 50,
+):
+    """Fit tokenize → HashingTF → LogisticRegression on labeled docs
+    (label 1.0 = keep-quality). Returns the fitted PipelineModel —
+    deterministic for fixed inputs (L-BFGS from a zero start, hash
+    features; no random init anywhere)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(
+                inputCol=text_col, outputCol="__toks", pattern=r"\s+", minTokenLength=1
+            ),
+            HashingTF(inputCol="__toks", outputCol="__features", numFeatures=n_features),
+            LogisticRegression(
+                featuresCol="__features",
+                labelCol=label_col,
+                regParam=reg_param,
+                maxIter=max_iter,
+            ),
+        ]
+    )
+    return pipe.fit(labeled)
+
+
+def score_quality(
+    docs: DataFrame,
+    model,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Score documents with a fitted classifier → (id_col, out_col) with
+    out_col = P(label=1 | text). Map-side only: tokenizer, hash and the
+    coefficient dot product all run in the scan stage — no shuffle, no
+    driver involvement beyond the broadcast model."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(docs.select(id_col, text_col))
+    return scored.select(
+        id_col,
+        vector_to_array("probability").getItem(1).alias(out_col),
+    )
+
+
+def quality_gate(
+    docs: DataFrame,
+    model,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep docs the classifier scores ≥ threshold — the model-based
+    analogue of ``quality.gopher_gate``, composable with the curation
+    recipe (a left-semi join on the scored id set, so the caller's
+    columns pass through untouched)."""
+    keep = score_quality(docs, model, id_col, text_col).filter(
+        F.col("quality_score") >= threshold
+    )
+    return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def synth_labeled_corpus(spark, n_per_class: int = 200, seed: int = 7) -> DataFrame:
+    """Deterministic labeled fixture: label 1 = natural-ish English
+    sentences assembled from a small vocabulary; label 0 = gibberish
+    with the SAME length distribution (so length alone can't separate —
+    the classifier must use the token distribution)."""
+    words = (
+        "the of and to in is for on with as data model training quality text "
+        "document corpus filter learn spark engine query scale test value"
+    ).split()
+    rows = []
+    state = seed * 2654435761 % (1 << 31)
+
+    def nxt() -> int:
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        return state
+
+    # a fixed gibberish VOCABULARY (not per-token noise): held-out docs
+    # must contain tokens the model has seen, else unseen hash buckets
+    # leave every gibberish score at the prior and the split is
+    # unlearnable by construction
+    gibberish = [
+        "".join(chr(97 + nxt() % 26) for _ in range(3 + nxt() % 6))
+        for _ in range(len(words))
+    ]
+    for i in range(n_per_class):
+        n = 8 + nxt() % 10
+        good = " ".join(words[nxt() % len(words)] for _ in range(n))
+        bad = " ".join(gibberish[nxt() % len(gibberish)] for _ in range(n))
+        rows.append((2 * i, good, 1.0))
+        rows.append((2 * i + 1, bad, 0.0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")

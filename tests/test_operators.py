@@ -2510,3 +2510,40 @@ def test_bpe_tokens_drive_sequence_packing(spark):
         assert r["seq_id"] == off // 16 and r["seq_offset"] == off % 16
         assert r["straddles"] == (off // 16 != (off + counts[i] - 1) // 16 and counts[i] > 0)
         off += counts[i]
+
+
+# --- model-based quality classifier (operators/classifier.py) ---------------
+
+
+def test_quality_classifier_trains_scores_and_gates(spark):
+    """MLlib pipeline quality classifier: separates natural text from
+    same-length gibberish on a held-out split, scores are calibrated
+    probabilities, the gate keeps high-scoring docs, and training is
+    deterministic (no random init anywhere in the pipeline)."""
+    from distributed_computing_platform_mapreduce_spark.operators import classifier as qc
+
+    corpus = qc.synth_labeled_corpus(spark, n_per_class=200)
+    train = corpus.filter(F.col("doc_id") % 5 != 0)
+    test = corpus.filter(F.col("doc_id") % 5 == 0)
+    model = qc.train_quality_classifier(train)
+
+    scored = qc.score_quality(test, model).join(test, "doc_id")
+    rows = scored.collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    acc = sum(
+        1 for r in rows if (r["quality_score"] >= 0.5) == (r["label"] == 1.0)
+    ) / len(rows)
+    assert acc >= 0.95, acc  # held-out split, easily separable by design
+
+    gated = qc.quality_gate(test, model, threshold=0.5)
+    kept = {r["doc_id"] for r in gated.collect()}
+    assert kept == {r["doc_id"] for r in rows if r["quality_score"] >= 0.5}
+    assert set(gated.columns) == set(test.columns)  # caller columns intact
+
+    # determinism: refit on the same data → identical coefficients
+    m2 = qc.train_quality_classifier(train)
+    import numpy as np
+
+    c1 = np.array(model.stages[-1].coefficients)
+    c2 = np.array(m2.stages[-1].coefficients)
+    assert np.array_equal(c1, c2)

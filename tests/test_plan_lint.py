@@ -143,3 +143,38 @@ def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir):
     q19 = plan_of("q19_disjunctive")
     assert "HashJoin" in q19 or "SortMergeJoin" in q19
     assert "NestedLoop" not in q19 and "CartesianProduct" not in q19
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The optimizer surface a tuner reaches for at 100 TB: per-join
+    strategy hints. broadcast → BroadcastHashJoin, merge →
+    SortMergeJoin, shuffle_hash → ShuffledHashJoin — each hint must
+    reach the physical plan (a silently-ignored hint means a tuning
+    knob that doesn't exist). AQE is disabled for the assertion so the
+    static planner's choice is what's inspected; results must be
+    identical across all strategies."""
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        nat = load_table(spark, sf_dir, "nation")
+
+        def plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        joined = {}
+        for hint, marker in [
+            ("broadcast", "BroadcastHashJoin"),
+            ("merge", "SortMergeJoin"),
+            ("shuffle_hash", "ShuffledHashJoin"),
+        ]:
+            df = cust.join(
+                nat.hint(hint), cust.c_nationkey == nat.n_nationkey
+            ).select("c_custkey", "n_name")
+            assert marker in plan(df), (hint, plan(df))
+            joined[hint] = sorted((r["c_custkey"], r["n_name"]) for r in df.collect())
+        assert joined["broadcast"] == joined["merge"] == joined["shuffle_hash"]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -42,6 +42,8 @@ def curation_recipe(
     gopher_rules: bool = False,
     pii_redact: bool = False,
     decontaminate_against: DataFrame | None = None,
+    quality_model=None,
+    quality_model_threshold: float = 0.5,
     lm_percentile_floor: float = 0.1,
     lm_logp_min: float | None = None,
     near_dup_threshold: float = 0.5,
@@ -75,6 +77,12 @@ def curation_recipe(
     2d. **Decontamination** (r6, ``decontaminate_against=<eval df>``) —
        drop docs sharing any 8-gram with the eval corpus
        (``quality.decontaminate``); None skips.
+    2e. **Model quality gate** (late-r6, ``quality_model=<fitted
+       PipelineModel>``) — keep docs the trained classifier
+       (``classifier.train_quality_classifier``) scores ≥
+       ``quality_model_threshold``: the FineWeb-Edu-style learned
+       filter beside the heuristic ones. Map-side only (broadcast
+       model), adds no shuffle; None skips.
     3. **LM quality floor** — drop the bottom ``lm_percentile_floor``
        fraction by corpus-trained bigram cross-entropy
        (``text.bigram_lm_scores``); 0 skips. The cutoff is an
@@ -129,6 +137,12 @@ def curation_recipe(
         flagged = quality.decontaminate(out, decontaminate_against, id_col, text_col)
         drop = flagged.filter(F.col("contaminated")).select(F.col("id").alias(id_col))
         out = out.join(drop, id_col, "left_anti")
+    if quality_model is not None:
+        from distributed_computing_platform_mapreduce_spark.operators import classifier
+
+        out = classifier.quality_gate(
+            out, quality_model, quality_model_threshold, id_col, text_col
+        )
     if lm_percentile_floor > 0 or lm_logp_min is not None:
         # ONE LM pipeline serves both floors (r6 review finding: the
         # previous sequential form built two full bigram/unigram count

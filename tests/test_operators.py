@@ -2547,3 +2547,32 @@ def test_quality_classifier_trains_scores_and_gates(spark):
     c1 = np.array(model.stages[-1].coefficients)
     c2 = np.array(m2.stages[-1].coefficients)
     assert np.array_equal(c1, c2)
+
+
+def test_curation_model_gate_stage(spark):
+    """The learned quality gate composes into the curation recipe:
+    gibberish docs drop, natural docs survive, and the stage is a pure
+    filter (no columns added/renamed, ids preserved)."""
+    from distributed_computing_platform_mapreduce_spark.operators import classifier as qc
+    from distributed_computing_platform_mapreduce_spark.operators.curation import curation_recipe
+
+    labeled = qc.synth_labeled_corpus(spark, n_per_class=150)
+    model = qc.train_quality_classifier(labeled.filter(F.col("doc_id") % 3 != 0))
+    docs = labeled.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    out = curation_recipe(
+        docs,
+        min_tokens=0,
+        max_punct_ratio=1.0,
+        lm_percentile_floor=0.0,
+        near_dup_threshold=1.0,
+        quality_model=model,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    labels = {r["doc_id"]: r["label"] for r in labeled.collect()}
+    # the surviving set is overwhelmingly the natural-text class
+    n_good = sum(1 for d in kept if labels[d] == 1.0)
+    assert len(kept) > 0 and n_good / len(kept) >= 0.95
+    # and most of the natural-text docs survive the gate
+    n_good_total = sum(1 for d, l in labels.items() if l == 1.0 and d % 3 == 0)
+    assert n_good / n_good_total >= 0.9
+    assert set(out.columns) == {"doc_id", "text"}

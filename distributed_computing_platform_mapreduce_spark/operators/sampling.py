@@ -147,3 +147,21 @@ def weighted_sample_stratified(
         .filter(F.col("__wk") <= n_per_stratum)
         .drop("__wk")
     )
+
+
+def train_valid_split(
+    df: DataFrame, id_col: str, valid_frac: float, seed: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic disjoint-and-exhaustive train/valid split (late-r6):
+    the same GF(2³¹−1) priority that drives ``sample_rate`` partitions
+    rows by a single threshold, so (train, valid) is a pure function of
+    (ids, seed) — stable across reruns, repartitioning, cluster sizes,
+    and INCREMENTAL ingestion (a new doc lands on the same side forever,
+    which is what keeps a training corpus's held-out set from leaking as
+    the corpus grows). Both sides are stateless scan filters — no
+    shuffle, no sampling job."""
+    if not 0.0 <= valid_frac <= 1.0:
+        raise ValueError(f"valid_frac must be in [0, 1], got {valid_frac}")
+    cut = F.lit(int(valid_frac * _P))
+    pr = _priority(id_col, seed)
+    return df.filter(pr >= cut), df.filter(pr < cut)

@@ -2576,3 +2576,27 @@ def test_curation_model_gate_stage(spark):
     n_good_total = sum(1 for d, l in labels.items() if l == 1.0 and d % 3 == 0)
     assert n_good / n_good_total >= 0.9
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_train_valid_split_disjoint_exhaustive_stable(spark, sf_dir):
+    from distributed_computing_platform_mapreduce_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, valid = sampling.train_valid_split(docs, "doc_id", 0.2, seed=3)
+    t = {r["doc_id"] for r in train.select("doc_id").collect()}
+    v = {r["doc_id"] for r in valid.select("doc_id").collect()}
+    allids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert t | v == allids and not (t & v) and t and v
+    # roughly the requested fraction (hash-uniform over ids)
+    assert 0.1 <= len(v) / len(allids) <= 0.3
+    # stability under growth: the split of any SUBSET agrees with the
+    # full corpus's assignment (incremental-ingestion invariance)
+    sub = docs.filter(F.col("doc_id") % 7 == 0)
+    st, sv = sampling.train_valid_split(sub, "doc_id", 0.2, seed=3)
+    assert {r["doc_id"] for r in st.collect()} == t & {i for i in allids if i % 7 == 0}
+    assert {r["doc_id"] for r in sv.collect()} == v & {i for i in allids if i % 7 == 0}
+    # different seed → different split; same seed → identical
+    t2, v2 = sampling.train_valid_split(docs, "doc_id", 0.2, seed=4)
+    assert {r["doc_id"] for r in v2.collect()} != v
+    t3, v3 = sampling.train_valid_split(docs.repartition(17), "doc_id", 0.2, seed=3)
+    assert {r["doc_id"] for r in v3.collect()} == v

@@ -131,3 +131,66 @@ def synth_labeled_corpus(spark, n_per_class: int = 200, seed: int = 7) -> DataFr
         rows.append((2 * i, good, 1.0))
         rows.append((2 * i + 1, bad, 0.0))
     return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+def nearest_centroid_classify(
+    labeled: DataFrame,
+    targets: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Rocchio / nearest-centroid classification over an embedding
+    column: per-class mean vectors from the labeled corpus, cosine
+    argmax for each target → ``(id_col, predicted_label, score)``.
+
+    Spark shape: the centroids come from ONE distributed pass —
+    ``posexplode`` the vectors and ``groupBy(label, pos).avg`` (partial
+    aggregation applies; the shuffle carries n_labels·dim rows, not the
+    corpus) — then ride to executors as a closure matrix (n_labels ×
+    dim — KBs, the IVF-centroid pattern); scoring is one numpy GEMM per
+    Arrow batch with no shuffle. The cheap, surprisingly-strong
+    baseline for embedding-space labeling (topic tagging, source
+    attribution) before anything trained."""
+    import numpy as np
+
+    means = (
+        labeled.select(label_col, F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy(label_col, "pos")
+        .agg(F.avg("col").alias("m"))
+        .collect()
+    )  # bounded: n_labels × dim rows
+    by_label: dict = {}
+    for r in means:
+        by_label.setdefault(r[label_col], {})[r["pos"]] = r["m"]
+    labels = sorted(by_label)
+    dim = max(max(d) for d in by_label.values()) + 1
+    cmat = np.array([[by_label[lb].get(p, 0.0) for p in range(dim)] for lb in labels])
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cmat /= norms
+
+    import pandas as pd
+
+    id_dtype = dict(targets.select(id_col).dtypes)[id_col]
+
+    def pick(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (mat / n) @ cmat.T
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "predicted_label": [int(labels[b]) for b in best],
+                    "score": sims[np.arange(len(best)), best],
+                }
+            )
+
+    return targets.select(id_col, vec_col).mapInPandas(
+        pick, f"{id_col} {id_dtype}, predicted_label long, score double"
+    )

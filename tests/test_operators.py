@@ -2600,3 +2600,45 @@ def test_train_valid_split_disjoint_exhaustive_stable(spark, sf_dir):
     assert {r["doc_id"] for r in v2.collect()} != v
     t3, v3 = sampling.train_valid_split(docs.repartition(17), "doc_id", 0.2, seed=3)
     assert {r["doc_id"] for r in v3.collect()} == v
+
+
+def test_nearest_centroid_classify(spark, sf_dir):
+    """Rocchio classification: on a clustered fixture (10 deterministic
+    centers + bounded noise) held-out accuracy must be near-perfect; on
+    the real embeddings table (whose labels are random by construction
+    — held-out centroid accuracy is chance, verified numerically) the
+    contract checks are shape, score range, and determinism."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import classifier as qc
+    from distributed_computing_platform_mapreduce_spark.operators import sampling
+
+    # clustered fixture: center per class from splitmix-ish streams
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(10, 16))
+    rows = []
+    for i in range(600):
+        c = i % 10
+        v = centers[c] + 0.3 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v], c))
+    fix = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    # split modulus must be coprime to the 10-class cycle: a %5 split
+    # would put two whole classes in the valid set with zero training
+    # rows (labels are id%10)
+    train = fix.filter(F.col("vec_id") % 7 != 0)
+    valid = fix.filter(F.col("vec_id") % 7 == 0)
+    pred = qc.nearest_centroid_classify(train, valid)
+    joined = pred.join(valid.select("vec_id", "label"), "vec_id").collect()
+    assert len(joined) == valid.count()
+    acc = sum(1 for r in joined if r["predicted_label"] == r["label"]) / len(joined)
+    assert acc >= 0.95, acc
+    for r in joined:
+        assert -1.001 <= r["score"] <= 1.001
+
+    # real table: shape + determinism (labels are structureless there)
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr, va = sampling.train_valid_split(emb, "vec_id", 0.2, seed=1)
+    p1 = {r["vec_id"]: (r["predicted_label"], r["score"]) for r in qc.nearest_centroid_classify(tr, va).collect()}
+    p2 = {r["vec_id"]: (r["predicted_label"], r["score"]) for r in qc.nearest_centroid_classify(tr, va).collect()}
+    assert p1 == p2 and len(p1) == va.count()
+    assert all(0 <= v[0] <= 9 for v in p1.values())

@@ -232,3 +232,91 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     """The merged-symbol vocabulary a trainer's tokenizer config wants:
     every glued symbol, in merge order (base characters are implicit)."""
     return [left + right for left, right in merges]
+
+
+def corpus_chars(df: DataFrame, text_col: str = "text") -> str:
+    """The corpus's distinct non-whitespace characters as one string —
+    the ``extra_chars`` a complete :func:`bpe_vocab_map` wants (chars
+    that never win a merge still need base-vocab ids). One distributed
+    distinct over exploded characters; the collect is bounded by the
+    alphabet, not the corpus."""
+    rows = (
+        df.select(
+            F.explode(F.split(F.regexp_replace(F.col(text_col), r"\s", ""), "(?!^)(?!$)"))
+            .alias("c")
+        )
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return "".join(sorted(r["c"] for r in rows))
+
+
+def bpe_vocab_map(
+    merges: list[tuple[str, str]], extra_chars: str = ""
+) -> dict[str, int]:
+    """Deterministic symbol → integer-id table in the standard BPE
+    layout: EOW, then the sorted base characters (every character
+    occurring in a merge side, plus ``extra_chars`` for coverage of
+    characters the training corpus happened to exhaust into merges),
+    then the merged symbols in merge order. Pure function of the merge
+    list — two workers, or two runs, always agree."""
+    base = {c for left, right in merges for c in left + right} | set(extra_chars)
+    vocab = [EOW] + sorted(base)
+    seen = set(vocab)
+    for left, right in merges:
+        glued = left + right
+        if glued not in seen:
+            vocab.append(glued)
+            seen.add(glued)
+    return {s: i for i, s in enumerate(vocab)}
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Tokenize straight to trainer-ready integer ids →
+    ``(id_col, out_col array<int>, n_{out_col} int)``. Unknown symbols
+    (characters never seen at training) map to ``len(vocab)`` — the
+    single reserved UNK id, so the embedding-table size is
+    ``len(vocab) + 1``. Same zero-shuffle mapInPandas shape as
+    :func:`bpe_encode`; the vocab dict rides in the closure."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    vocab = bpe_vocab_map(merges) if vocab is None else vocab
+    unk = len(vocab)
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(out_col, T.ArrayType(T.IntegerType())),
+            T.StructField(f"n_{out_col}", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in batches:
+            ids = [
+                [
+                    vocab.get(s, unk)
+                    for w in text.split()
+                    for s in _encode_word(w, ranks, cache)
+                ]
+                for text in pdf[text_col].fillna("")
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: ids,
+                    f"n_{out_col}": [len(t) for t in ids],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

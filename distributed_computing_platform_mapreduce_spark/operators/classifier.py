@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def train_quality_classifier(
@@ -193,4 +194,52 @@ def nearest_centroid_classify(
 
     return targets.select(id_col, vec_col).mapInPandas(
         pick, f"{id_col} {id_dtype}, predicted_label long, score double"
+    )
+
+
+def knn_classify(
+    labeled: DataFrame,
+    targets: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN classification by cosine: majority label among each
+    target's ``k`` nearest labeled vectors (ties → smaller label, so
+    the output is deterministic) → ``(id_col, predicted_label, votes)``.
+
+    Pure composition: the neighbor search IS
+    ``similarity.cosine_topk_exact`` (swap in the LSH/IVF/PQ variant at
+    scale — identical contract), the vote one small groupBy over
+    |targets|·k rows. The lazy workhorse for label propagation when a
+    labeled seed set exists (topic spreading, source attribution)."""
+    from distributed_computing_platform_mapreduce_spark.operators import similarity
+
+    nn = similarity.cosine_topk_exact(
+        labeled.select(F.col(id_col), vec_col).unionByName(
+            targets.select(F.col(id_col), vec_col)
+        ).dropDuplicates([id_col]),
+        targets,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+    )
+    # restrict neighbors to the LABELED set (targets may appear in the
+    # corpus scan; an unlabeled neighbor carries no vote)
+    lab = labeled.select(F.col(id_col).alias("neighbor_id"), F.col(label_col))
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("query_id", label_col)
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc(label_col))
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col(label_col).alias("predicted_label"),
+            "votes",
+        )
     )

@@ -2642,3 +2642,59 @@ def test_nearest_centroid_classify(spark, sf_dir):
     p2 = {r["vec_id"]: (r["predicted_label"], r["score"]) for r in qc.nearest_centroid_classify(tr, va).collect()}
     assert p1 == p2 and len(p1) == va.count()
     assert all(0 <= v[0] <= 9 for v in p1.values())
+
+
+def test_knn_classify_on_clustered_fixture(spark):
+    """k-NN label propagation (cosine_topk_exact + majority vote): on
+    the 10-cluster fixture every held-out vector's 5 nearest labeled
+    neighbors share its class, and the vote output is deterministic
+    with bounded vote counts."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import classifier as qc
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(10, 16))
+    rows = []
+    for i in range(400):
+        c = i % 10
+        v = centers[c] + 0.3 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v], c))
+    fix = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    train = fix.filter(F.col("vec_id") % 7 != 0)
+    valid = fix.filter(F.col("vec_id") % 7 == 0)
+    pred = qc.knn_classify(train, valid, k=5)
+    joined = pred.join(valid.select("vec_id", "label"), "vec_id").collect()
+    assert len(joined) == valid.count()
+    acc = sum(1 for r in joined if r["predicted_label"] == r["label"]) / len(joined)
+    assert acc >= 0.95, acc
+    for r in joined:
+        assert 1 <= r["votes"] <= 5
+    # deterministic under repartitioning
+    p2 = {r["vec_id"]: r["predicted_label"] for r in qc.knn_classify(train.repartition(13), valid, k=5).collect()}
+    assert p2 == {r["vec_id"]: r["predicted_label"] for r in joined}
+
+
+def test_bpe_encode_ids_roundtrip_and_unk(spark):
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_BPE_CORPUS)], ["doc_id", "text"])
+    merges = bpe.bpe_train(df, n_merges=20)
+    # complete base vocab needs the corpus's characters — letters that
+    # never win a merge (e.g. rare ones) are absent from the merge list
+    chars = bpe.corpus_chars(df)
+    vocab = bpe.bpe_vocab_map(merges, extra_chars=chars)
+    # layout: EOW first, base chars sorted, merged symbols after
+    assert vocab[bpe.EOW] == 0
+    inv = {v: k for k, v in vocab.items()}
+    assert len(inv) == len(vocab)  # injective
+    toks = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df, merges).collect()}
+    ids = {r["doc_id"]: list(r["token_ids"]) for r in bpe.bpe_encode_ids(df, merges, vocab=vocab).collect()}
+    for d in toks:
+        assert [vocab[s] for s in toks[d]] == ids[d]  # exact correspondence
+        assert all(i < len(vocab) for i in ids[d])  # no UNK on the training corpus
+    # unseen characters map to the single reserved UNK id
+    odd = spark.createDataFrame([(0, "zebra ñandú")], "doc_id int, text string")
+    out = bpe.bpe_encode_ids(odd, merges, vocab=vocab).collect()[0]
+    assert max(out["token_ids"]) == len(vocab)  # UNK present (ñ/ú unseen)
+    assert out["n_token_ids"] == len(out["token_ids"])

@@ -320,3 +320,27 @@ def bpe_encode_ids(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Write the merge list in the interchange format GPT-2 made
+    standard (``#version`` header + one space-separated pair per line)
+    — what tokenizer libraries' ``merges.txt`` loaders read."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for left, right in merges:
+            f.write(f"{left} {right}\n")
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Read a ``merges.txt``-format merge list (inverse of
+    :func:`save_merges`; ``#``-prefixed header lines skipped)."""
+    out: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            left, _, right = line.partition(" ")
+            out.append((left, right))
+    return out

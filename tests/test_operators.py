@@ -2698,3 +2698,19 @@ def test_bpe_encode_ids_roundtrip_and_unk(spark):
     out = bpe.bpe_encode_ids(odd, merges, vocab=vocab).collect()[0]
     assert max(out["token_ids"]) == len(vocab)  # UNK present (ñ/ú unseen)
     assert out["n_token_ids"] == len(out["token_ids"])
+
+
+def test_bpe_merges_txt_roundtrip(spark, tmp_path):
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_BPE_CORPUS)], ["doc_id", "text"])
+    merges = bpe.bpe_train(df, n_merges=15)
+    p = str(tmp_path / "merges.txt")
+    bpe.save_merges(merges, p)
+    loaded = bpe.load_merges(p)
+    assert loaded == merges
+    assert open(p).readline().startswith("#version")
+    # the reloaded artifact encodes identically
+    a = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df, merges).collect()}
+    b = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df, loaded).collect()}
+    assert a == b

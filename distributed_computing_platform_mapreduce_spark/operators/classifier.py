@@ -216,17 +216,16 @@ def knn_classify(
     labeled seed set exists (topic spreading, source attribution)."""
     from distributed_computing_platform_mapreduce_spark.operators import similarity
 
+    # neighbors come from the labeled set only (an unlabeled neighbor
+    # carries no vote); cosine_topk_exact's self-exclusion keeps a
+    # target that also appears in `labeled` from voting for itself
     nn = similarity.cosine_topk_exact(
-        labeled.select(F.col(id_col), vec_col).unionByName(
-            targets.select(F.col(id_col), vec_col)
-        ).dropDuplicates([id_col]),
+        labeled.select(F.col(id_col), vec_col),
         targets,
         id_col=id_col,
         vec_col=vec_col,
         k=k,
     )
-    # restrict neighbors to the LABELED set (targets may appear in the
-    # corpus scan; an unlabeled neighbor carries no vote)
     lab = labeled.select(F.col(id_col).alias("neighbor_id"), F.col(label_col))
     votes = (
         nn.join(lab, "neighbor_id")

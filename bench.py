@@ -320,6 +320,62 @@ def _skew_times(spark) -> tuple[dict[str, float], dict[str, list[float]], dict[s
     return times, spread, errors
 
 
+def _measure_canary(spark) -> dict[str, float]:
+    """Fixed-work load canary: a pinned numpy GEMM (pure CPU, no Spark)
+    and a pinned trivial Spark action (range-sum, no data dependence).
+    Run before AND after the query sweep; if the two disagree the machine
+    was not idle and the sweep's numbers carry ambient noise. This exists
+    because BENCH_r06 recorded every untouched query 1.0–1.7× slower than
+    r05 with no code change — plausibly ambient load, but the record had
+    no way to show it. The canary makes drift measurable in the JSON
+    itself instead of argued in prose."""
+    import numpy as np
+
+    a = np.arange(2560 * 2560, dtype=np.float64).reshape(2560, 2560) / 1e6
+    (a @ a).sum()  # warm BLAS thread pool + page in the buffers untimed
+    gemm = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        gemm.append(time.perf_counter() - t0)
+    spark.range(1_000_000_000).selectExpr("sum(id)").collect()  # warm codegen
+    sp = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1_000_000_000).selectExpr("sum(id)").collect()
+        sp.append(time.perf_counter() - t0)
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:  # pragma: no cover — platform without getloadavg
+        load1 = load5 = -1.0
+    # min-of-5, not median: the canary estimates the machine's UNLOADED
+    # capability at this moment — min is the run least perturbed by
+    # scheduling jitter, which is exactly the quantity to compare pre/post
+    return {
+        "gemm_sec": round(min(gemm), 4),
+        "spark_range_sum_sec": round(min(sp), 4),
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+    }
+
+
+def _canary_verdict(pre: dict[str, float], post: dict[str, float]) -> dict:
+    """Compare pre/post canaries; >10% disagreement on either fixed
+    workload flags the run as load-contaminated."""
+    drift = {}
+    # Per-leg thresholds from measured idle variance: the GEMM repeats
+    # within ~2% on an idle box (tight bar, 10%); the pinned Spark action
+    # carries ~10% scheduler jitter even back-to-back (looser bar, 25%).
+    thresholds = {"gemm_sec": 10.0, "spark_range_sum_sec": 25.0}
+    flagged = False
+    for key, bar in thresholds.items():
+        lo, hi = sorted((pre[key], post[key]))
+        drift[key] = round((hi / lo - 1.0) * 100, 1) if lo > 0 else None
+        if drift[key] is not None and drift[key] > bar:
+            flagged = True
+    return {"drift_pct": drift, "load_contaminated": flagged}
+
+
 def _error_line(exc: BaseException) -> str:
     """One-line error summary for the JSON report (no newlines — the
     report must stay a single JSON line)."""
@@ -335,6 +391,12 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+
+    try:
+        canary_pre = _measure_canary(spark)
+    except Exception as exc:  # noqa: BLE001
+        canary_pre = None
+        errors["canary_pre"] = _error_line(exc)
 
     # Per-query fault isolation (round-4 lesson: one query throwing at
     # plan-analysis time zeroed the ENTIRE round's numbers). Each query
@@ -378,6 +440,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["skew"] = _error_line(exc)
 
+    try:
+        canary_post = _measure_canary(spark)
+    except Exception as exc:  # noqa: BLE001
+        canary_post = None
+        errors["canary_post"] = _error_line(exc)
+    canary = (
+        _canary_verdict(canary_pre, canary_post)
+        if canary_pre and canary_post
+        else {"drift_pct": None, "load_contaminated": None}
+    )
+
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -392,6 +465,9 @@ def main() -> None:
                 "runs_per_query": N_RUNS,
                 "sf": float(sf) if sf else None,
                 "baseline_sec": BASELINE_SEC,
+                "canary_pre": canary_pre,
+                "canary_post": canary_post,
+                "canary": canary,
             }
         )
     )

@@ -48,8 +48,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from distributed_computing_platform_mapreduce_spark.operators.text import tokens
-
 #: End-of-word sentinel symbol (its own array element, never glued to a
 #: character — keeps round-tripping trivial and matches the twin).
 EOW = "</w>"
@@ -57,9 +55,30 @@ EOW = "</w>"
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One corpus scan → the distinct-word frequency table
-    ``(word string, count long)`` — BPE's working set."""
+    ``(word string, count long)`` — BPE's working set.
+
+    Word splitting runs through Arrow with PYTHON ``str.split()``
+    semantics (Unicode whitespace, codepoint strings) so the training
+    working set is defined by EXACTLY the same function
+    :func:`bpe_encode` applies at encode time. A JVM-side ``\\s+``
+    split (Java ASCII whitespace, UTF-16 code units) silently disagrees
+    on NBSP / ideographic space / non-BMP text — learned merges would
+    then never match encode-side symbols (round-6 advisory)."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    schema = T.StructType([T.StructField("word", T.StringType())])
+
+    def split_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"word": [w for text in pdf[text_col].fillna("") for w in text.split()]},
+                dtype=object,
+            )
+
     return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        df.select(text_col)
+        .mapInPandas(split_words, schema)
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )
@@ -121,16 +140,20 @@ def bpe_train(
     words = word_counts(df, text_col)
     if max_words is not None:
         words = words.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
-    words = words.select(
-        F.concat(
-            # chars: split at every inter-char position only (Spark's
-            # split keeps trailing empties — limit=-1 — so the bare
-            # (?!^) lookahead would append a "" symbol to every word)
-            F.split(F.col("word"), "(?!^)(?!$)"),
-            F.array(F.lit(EOW)),
-        ).alias("syms"),
-        "count",
-    ).localCheckpoint(eager=False)
+    # chars: Python list(word) codepoints + EOW — identical to
+    # _encode_word's symbol alphabet. (The former JVM F.split at every
+    # inter-char position operated on UTF-16 code units, mangling
+    # non-BMP chars into lone surrogates that encode-side codepoint
+    # symbols could never match.)
+    syms_udf_t = T.ArrayType(T.StringType())
+
+    @F.pandas_udf(syms_udf_t)
+    def to_syms(w: pd.Series) -> pd.Series:
+        return w.map(lambda word: list(word) + [EOW])
+
+    words = words.select(to_syms("word").alias("syms"), "count").localCheckpoint(
+        eager=False
+    )
 
     syms_t = T.ArrayType(T.StringType())
     merges: list[tuple[str, str]] = []
@@ -239,16 +262,24 @@ def corpus_chars(df: DataFrame, text_col: str = "text") -> str:
     the ``extra_chars`` a complete :func:`bpe_vocab_map` wants (chars
     that never win a merge still need base-vocab ids). One distributed
     distinct over exploded characters; the collect is bounded by the
-    alphabet, not the corpus."""
-    rows = (
-        df.select(
-            F.explode(F.split(F.regexp_replace(F.col(text_col), r"\s", ""), "(?!^)(?!$)"))
-            .alias("c")
-        )
-        .filter(F.col("c") != "")
-        .distinct()
-        .collect()
-    )
+    alphabet, not the corpus. Python codepoint/whitespace semantics —
+    the same alphabet :func:`bpe_encode` emits."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    schema = T.StructType([T.StructField("c", T.StringType())])
+
+    def split_chars(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            chars = {
+                c
+                for text in pdf[text_col].fillna("")
+                for w in text.split()
+                for c in w
+            }
+            yield pd.DataFrame({"c": sorted(chars)}, dtype=object)
+
+    rows = df.select(text_col).mapInPandas(split_chars, schema).distinct().collect()
     return "".join(sorted(r["c"] for r in rows))
 
 
@@ -341,6 +372,10 @@ def load_merges(path: str) -> list[tuple[str, str]]:
             line = line.rstrip("\n")
             if not line or line.startswith("#"):
                 continue
-            left, _, right = line.partition(" ")
+            left, sep, right = line.partition(" ")
+            if not sep or not right:
+                # fail fast — a silently-accepted ('token', '') merge
+                # would corrupt every rank below it (round-6 advisory)
+                raise ValueError(f"malformed merges line (no pair): {line!r}")
             out.append((left, right))
     return out

@@ -161,6 +161,8 @@ def nearest_centroid_classify(
         .agg(F.avg("col").alias("m"))
         .collect()
     )  # bounded: n_labels × dim rows
+    if not means:
+        raise ValueError("nearest_centroid_classify: labeled set is empty")
     by_label: dict = {}
     for r in means:
         by_label.setdefault(r[label_col], {})[r["pos"]] = r["m"]
@@ -174,6 +176,9 @@ def nearest_centroid_classify(
     import pandas as pd
 
     id_dtype = dict(targets.select(id_col).dtypes)[id_col]
+    # predicted_label keeps labeled's label dtype (string labels are as
+    # legitimate as ints — knn_classify already preserves them)
+    label_dtype = dict(labeled.select(label_col).dtypes)[label_col]
 
     def pick(batches):
         for pdf in batches:
@@ -187,13 +192,15 @@ def nearest_centroid_classify(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "predicted_label": [int(labels[b]) for b in best],
+                    "predicted_label": pd.Series(
+                        [labels[b] for b in best], dtype=object
+                    ),
                     "score": sims[np.arange(len(best)), best],
                 }
             )
 
     return targets.select(id_col, vec_col).mapInPandas(
-        pick, f"{id_col} {id_dtype}, predicted_label long, score double"
+        pick, f"{id_col} {id_dtype}, predicted_label {label_dtype}, score double"
     )
 
 
@@ -213,7 +220,15 @@ def knn_classify(
     ``similarity.cosine_topk_exact`` (swap in the LSH/IVF/PQ variant at
     scale — identical contract), the vote one small groupBy over
     |targets|·k rows. The lazy workhorse for label propagation when a
-    labeled seed set exists (topic spreading, source attribution)."""
+    labeled seed set exists (topic spreading, source attribution).
+
+    Scale contract: ``targets`` is the QUERY side of the exact search
+    and is broadcast — it must be the bounded set (≲10⁵ rows). In the
+    typical label-propagation shape (small labeled seed, huge unlabeled
+    corpus) that inversion matters: propagate in bounded target
+    batches, or route the search through the LSH/IVF path
+    (``similarity.cosine_topk_lsh`` / ``_ivf``) where the corpus side
+    is bucketed instead of broadcast."""
     from distributed_computing_platform_mapreduce_spark.operators import similarity
 
     # neighbors come from the labeled set only (an unlabeled neighbor

@@ -522,11 +522,18 @@ def cosine_topk_int8(
             cnorm[cnorm == 0] = 1.0
             scores = (cmat @ qT).astype(np.float64) / cnorm[:, None] / qnorm[None, :]
             top = min(keep, len(pdf))
-            # argpartition per query column, then emit the batch-local top rows
-            part = np.argpartition(-scores, top - 1, axis=0)[:top]
+            # deterministic batch-local cut: pre-sort rows by neighbor_id,
+            # then a STABLE per-column argsort orders each query's rows by
+            # (-score, neighbor_id) — score ties at the cut always survive
+            # by smaller id, so the global top-k is partitioning-invariant
+            # (argpartition kept ties by arbitrary array position)
+            nid = pdf["neighbor_id"].to_numpy()
+            order = np.argsort(nid, kind="stable")
+            nid, scores = nid[order], scores[order]
+            part = np.argsort(-scores, axis=0, kind="stable")[:top]
             rows = {
                 "query_id": np.repeat(qids, top),
-                "neighbor_id": pdf["neighbor_id"].to_numpy()[part.T.ravel()],
+                "neighbor_id": nid[part.T.ravel()],
                 "cos": scores[part.T.ravel(), np.repeat(np.arange(len(qids)), top)],
             }
             yield pd.DataFrame(rows)
@@ -691,11 +698,16 @@ def cosine_topk_pq(
             for j in range(mm_):
                 ip += luts[:, j, codes[:, j]].T  # (b, n_queries)
             top = min(keep, len(codes))
-            part = np.argpartition(-ip, top - 1, axis=0)[:top]
+            # stable (-score, neighbor_id) cut — same determinism contract
+            # as cosine_topk_int8's scan (partitioning-invariant ties)
+            nid = pdf["neighbor_id"].to_numpy()
+            order = np.argsort(nid, kind="stable")
+            nid, ip = nid[order], ip[order]
+            part = np.argsort(-ip, axis=0, kind="stable")[:top]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, top),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy()[part.T.ravel()],
+                    "neighbor_id": nid[part.T.ravel()],
                     "adc_ip": ip[part.T.ravel(), np.repeat(np.arange(len(qids)), top)],
                 }
             )

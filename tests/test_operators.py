@@ -2243,6 +2243,54 @@ def test_bpe_max_words_cap_and_vocab(spark):
     assert vocab == [l + r for l, r in got]
 
 
+def test_bpe_non_ascii_train_encode_agree(spark):
+    """Round-6 advisory: training formerly char-split JVM-side (UTF-16
+    code units — non-BMP chars became lone surrogates) and word-split
+    with Java ASCII \\s+, while encode used Python codepoints and
+    Unicode whitespace. Train and encode must share one tokenization:
+    emoji (non-BMP), NBSP-separated words, and accented text must learn
+    merges the encoder can actually hit, matching the Python twin."""
+    from collections import Counter
+
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+
+    corpus = [
+        "café cafés naïve",  # accents (BMP)
+        "\U0001f600\U0001f600g \U0001f600\U0001f600g smile",  # non-BMP emoji inside words
+        "alpha\u00a0beta\u00a0alpha\u00a0beta",  # NBSP = Unicode whitespace
+        "あいう あいう あい",  # CJK
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+    got = bpe.bpe_train(df, n_merges=20, min_pair_count=2)
+    want = _twin_bpe_train(Counter(w for t in corpus for w in t.split()), 20)
+    assert got == want and len(got) > 0
+    # no lone surrogates / replacement chars anywhere in learned merges
+    for left, right in got:
+        for s in (left, right):
+            assert "?" not in s and all(not 0xD800 <= ord(c) <= 0xDFFF for c in s)
+    # encode-side symbols are fully covered by train-side vocab (no UNK)
+    vocab = bpe.bpe_vocab_map(got, extra_chars=bpe.corpus_chars(df))
+    out = bpe.bpe_encode_ids(df, got, vocab=vocab).collect()
+    assert all(max(r["token_ids"], default=0) < len(vocab) for r in out)
+    # NBSP splits words: the nbsp line yields alpha/beta tokens only
+    toks = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df, got).collect()}
+    rebuilt = "".join(toks[2]).replace(bpe.EOW, " ").split()
+    assert rebuilt == ["alpha", "beta", "alpha", "beta"]
+
+
+def test_bpe_load_merges_rejects_malformed_line(tmp_path):
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+
+    p = str(tmp_path / "merges.txt")
+    with open(p, "w") as f:
+        f.write("#version: 0.2\na b\nmalformed_no_space\n")
+    try:
+        bpe.load_merges(p)
+        raise AssertionError("expected ValueError on malformed line")
+    except ValueError as e:
+        assert "malformed" in str(e)
+
+
 # --- int8 quantization ------------------------------------------------------
 
 
@@ -2642,6 +2690,74 @@ def test_nearest_centroid_classify(spark, sf_dir):
     p2 = {r["vec_id"]: (r["predicted_label"], r["score"]) for r in qc.nearest_centroid_classify(tr, va).collect()}
     assert p1 == p2 and len(p1) == va.count()
     assert all(0 <= v[0] <= 9 for v in p1.values())
+
+
+def test_nearest_centroid_string_labels_and_empty(spark):
+    """Round-6 advisory: predicted_label must carry labeled's label
+    dtype (string labels included), and an empty labeled set raises a
+    clear ValueError instead of a bare max() crash."""
+    from distributed_computing_platform_mapreduce_spark.operators import classifier as qc
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], "news"),
+        (1, [0.9, 0.1, 0.0], "news"),
+        (2, [0.0, 1.0, 0.0], "code"),
+        (3, [0.0, 0.9, 0.1], "code"),
+    ]
+    lab = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    targets = spark.createDataFrame(
+        [(10, [1.0, 0.05, 0.0]), (11, [0.05, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pred = qc.nearest_centroid_classify(lab, targets)
+    assert dict(pred.dtypes)["predicted_label"] == "string"
+    got = {r["vec_id"]: r["predicted_label"] for r in pred.collect()}
+    assert got == {10: "news", 11: "code"}
+
+    empty = lab.filter(F.col("vec_id") < 0)
+    try:
+        qc.nearest_centroid_classify(empty, targets)
+        raise AssertionError("expected ValueError on empty labeled set")
+    except ValueError as e:
+        assert "empty" in str(e)
+
+
+def test_cosine_topk_int8_partitioning_invariant_ties(spark):
+    """Round-6 advisory: the batch-local cut must break score ties by
+    neighbor_id, so the final top-k is identical under any partitioning.
+    Fixture: many DUPLICATE vectors (all cosine-tied at 1.0) — under
+    the old argpartition cut, which ids survived depended on batch
+    layout."""
+    from distributed_computing_platform_mapreduce_spark.operators import similarity as sim
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)] + [
+        (100 + i, [-4.0, 3.0, -2.0, 1.0]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    expected = [
+        (r["neighbor_id"], r["rank"])
+        for r in sim.cosine_topk_exact(emb, queries, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    for parts in (1, 3, 17):
+        got = [
+            (r["neighbor_id"], r["rank"])
+            for r in sim.cosine_topk_int8(emb.repartition(parts), queries, k=5)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == expected, (parts, got, expected)
+        pq = [
+            (r["neighbor_id"], r["rank"])
+            for r in sim.cosine_topk_pq(
+                emb.repartition(parts), queries, k=5, m=2, n_codes=4, shortlist=20
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert pq == expected, (parts, pq, expected)
 
 
 def test_knn_classify_on_clustered_fixture(spark):

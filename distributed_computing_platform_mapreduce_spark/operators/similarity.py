@@ -550,6 +550,13 @@ def cosine_topk_int8(
 # --- product quantization (PQ) ANN ------------------------------------------
 
 
+def _plan_string(df: DataFrame) -> str:
+    """Formatted physical-plan string (what ``df.explain("formatted")``
+    prints) — returned instead of printed so tests can lint plans."""
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
 def pq_train(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -558,46 +565,187 @@ def pq_train(
     k: int = 16,
     sample_rows: int = 2048,
     iters: int = 10,
+    seed: int = 7,
+    distributed: bool | None = None,
+    max_train_rows: int = 262_144,
+    plan_log: list | None = None,
 ):
     """Train PQ codebooks: split the (L2-normalized) vector into ``m``
     subspaces and k-means each to ``k`` centroids (Jégou, Douze &
     Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
-    2011). Training runs driver-side numpy on a BOUNDED deterministic
-    sample (first ``sample_rows`` by id — the same documented bounded
-    collect as the IVF centroid fetch; a production pipeline swaps in a
-    distributed-sampled k-means without changing the query contract).
-    Returns a ``(m, k, dim//m)`` float64 codebook array that rides in
-    UDF closures like a broadcast (k·dim doubles — KBs)."""
+    2011). Returns a ``(m, k, dim//m)`` float64 codebook array that
+    rides in UDF closures like a broadcast (k·dim doubles — KBs).
+
+    Sampling is a HASH-PRIORITY filter (``sampling._priority`` — the
+    same GF(2³¹−1) affine the deterministic samplers use): a stateless
+    per-row predicate, NO global sort anywhere in the training plan
+    (the former ``orderBy(id).limit(n)`` shuffled the whole corpus just
+    to pick a sample — a 100 TB scale-killer; ``plan_log`` lets tests
+    lint the plans for Sort operators).
+
+    Two training paths behind one contract:
+
+    - **small corpus / default bench path**: collect the ~``sample_rows``
+      hash-sampled vectors (bounded — the IVF-centroid pattern) and run
+      Lloyd in numpy on the driver.
+    - **distributed** (``distributed=True`` or auto when the corpus
+      exceeds ``max_train_rows``): the sample STAYS a DataFrame (capped
+      at ~``max_train_rows`` expected rows, far more training data than
+      the driver path can hold); each Lloyd round assigns codes in one
+      Arrow pass and recomputes all m·k centroids with one
+      ``groupBy(subspace, code, pos).avg`` — partial aggregation
+      applies, and the per-round driver collect is m·k·sub = k·dim
+      doubles (KBs — the bounded-scalar discipline of PageRank/CC).
+      Init is the k smallest-(priority, id) sampled rows, fetched via
+      top-k (TakeOrderedAndProject over the sample, not a Sort).
+    """
     import numpy as np
 
-    rows = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(id_col)
-        .limit(sample_rows)
-        .collect()
+    from distributed_computing_platform_mapreduce_spark.operators.sampling import sample_rate
+
+    n = corpus.count()  # one bounded-scalar job (the CC-checksum pattern)
+    if n == 0:
+        raise ValueError("pq_train: corpus is empty")
+    if distributed is None:
+        distributed = n > max_train_rows
+
+    base = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    target = max_train_rows if distributed else sample_rows
+    rate = min(1.0, target / n)
+    samp = sample_rate(base, id_col, rate, seed=seed)
+    if plan_log is not None:
+        plan_log.append(_plan_string(samp))
+
+    if not distributed:
+        rows = samp.collect()
+        if not rows:  # tiny corpus + aggressive rate: fall back to all rows
+            rows = base.collect()
+        rows.sort(key=lambda r: r[id_col])  # layout-independent order
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        nn_, dim = mat.shape
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
+        sub = dim // m
+        books = np.zeros((m, k, sub))
+        for j in range(m):
+            x = mat[:, j * sub : (j + 1) * sub]
+            # deterministic seeding: evenly strided sample rows
+            cent = x[(np.arange(k) * max(1, nn_ // k)) % nn_].copy()
+            for _ in range(iters):  # Lloyd
+                d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                for c in range(k):
+                    pts = x[a == c]
+                    if len(pts):
+                        cent[c] = pts.mean(axis=0)
+            books[j] = cent
+        return books
+
+    return _pq_train_distributed(
+        samp, id_col, m=m, k=k, iters=iters, seed=seed, plan_log=plan_log
     )
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    n, dim = mat.shape
+
+
+def _pq_train_distributed(
+    samp: DataFrame,
+    id_col: str,
+    m: int,
+    k: int,
+    iters: int,
+    seed: int,
+    plan_log: list | None = None,
+):
+    """Distributed Lloyd over a sampled ``(id, v array<double>)``
+    DataFrame — see :func:`pq_train`. The sample is normalized once and
+    persisted (it is re-scanned every round); centroid state lives on
+    the driver as a (m, k, sub) array refreshed from one bounded
+    aggregate per round."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators.sampling import _priority
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(samp.sparkSession)
+
+    head = samp.select(F.size("v").alias("d")).limit(1).collect()
+    dim = head[0]["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat /= norms
     sub = dim // m
-    books = np.zeros((m, k, sub))
-    for j in range(m):
-        x = mat[:, j * sub : (j + 1) * sub]
-        # deterministic seeding: evenly strided sample rows
-        cent = x[(np.arange(k) * max(1, n // k)) % n].copy()
-        for _ in range(iters):  # Lloyd
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            a = d2.argmin(axis=1)
-            for c in range(k):
-                pts = x[a == c]
-                if len(pts):
-                    cent[c] = pts.mean(axis=0)
-        books[j] = cent
-    return books
+
+    nrm = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x, lambda s: F.sqrt(s)
+    )
+    safe_nrm = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    normed = samp.select(
+        F.col(id_col),
+        F.transform("v", lambda x: x / safe_nrm).alias("v"),
+    ).persist()
+    try:
+        # init pool: a bounded top-N by (priority, id) — planned as
+        # TakeOrderedAndProject (never a full Sort); strided rows from
+        # the id-sorted pool seed each subspace exactly like the numpy
+        # path, so distributed training starts from the same quality
+        # of seeding and Lloyd refines over far more data
+        pool_n = max(k, min(2048, 128 * k))
+        init_df = normed.orderBy(
+            _priority(id_col, seed + 1).asc(), F.col(id_col).asc()
+        ).limit(pool_n)
+        if plan_log is not None:
+            plan_log.append(_plan_string(init_df))
+        init_rows = sorted(init_df.collect(), key=lambda r: r[id_col])
+        pool = np.array([r["v"] for r in init_rows], dtype=np.float64)
+        if len(pool) < k:  # fewer sampled rows than centroids: tile
+            reps = -(-k // max(1, len(pool)))
+            pool = np.tile(pool, (reps, 1))[:k]
+        stride_idx = (np.arange(k) * max(1, len(pool) // k)) % len(pool)
+        init = pool[stride_idx]
+        books = np.stack(
+            [init[:, j * sub : (j + 1) * sub].copy() for j in range(m)]
+        )  # (m, k, sub)
+
+        pos = F.posexplode("v").alias("pos", "x")
+        for it in range(iters):
+            bks = books  # rebind for closure capture per round
+
+            @F.pandas_udf("array<tinyint>")
+            def assign(s: pd.Series) -> pd.Series:
+                if len(s) == 0:
+                    return pd.Series([], dtype=object)
+                mat = np.array(list(s), dtype=np.float64)
+                codes = np.empty((len(mat), m), dtype=np.int8)
+                for j in range(m):
+                    x = mat[:, j * sub : (j + 1) * sub]
+                    d2 = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = d2.argmin(axis=1).astype(np.int8)
+                return pd.Series(list(codes))
+
+            agg_df = (
+                normed.select(assign("v").alias("codes"), pos)
+                .select(
+                    (F.col("pos") / sub).cast("int").alias("j"),
+                    F.pmod("pos", F.lit(sub)).alias("p"),
+                    F.element_at("codes", (F.col("pos") / sub).cast("int") + 1).alias(
+                        "code"
+                    ),
+                    "x",
+                )
+                .groupBy("j", "code", "p")
+                .agg(F.avg("x").alias("mean"))
+            )
+            if plan_log is not None and it == 0:
+                plan_log.append(_plan_string(agg_df))
+            means = agg_df.collect()  # bounded: ≤ m·k·sub = k·dim rows
+            nxt = books.copy()  # empty clusters keep their centroid
+            for r in means:
+                nxt[r["j"], r["code"], r["p"]] = r["mean"]
+            books = nxt
+        return books
+    finally:
+        normed.unpersist()
 
 
 def pq_assign(

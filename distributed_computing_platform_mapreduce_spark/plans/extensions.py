@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from distributed_computing_platform_mapreduce_spark.operators import (
+    classifier,
     curation,
     dedup,
     multimodal,
@@ -477,29 +478,76 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(flags, "doc_id").join(dec, "doc_id")
 
 
-@query("multimodal_features")  # PERMANENTLY rows-only: decoding PPM/WAV/Y4M
-# binary payloads (zlib/struct/numpy codec work) has no ANSI-SQL twin DuckDB
-# could run; ground truth is the pytest codec round-trips vs numpy reference.
-def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via Arrow-batched mapInPandas,
-    over a MIXED media table: genuine P6 images, genuine baseline-JPEG
-    images (r6 — the pure-numpy Huffman+DCT codec in operators/jpeg.py),
-    genuine RIFF/WAV PCM-16 clips AND genuine YUV4MPEG2 Cmono video (all
-    synthesized deterministically) decoded for real — pixel
-    width/height/mean from the numpy image codecs, duration/RMS/peak
-    from the numpy WAV codec, duration/mean-luma from the numpy y4m
-    codec — in one schema-stable pass.
+@query(
+    "knn_label_propagation",
+    # DuckDB replays the full pipeline: all-pairs cosine (same left-fold
+    # as similarity_topk_suite → bit-identical doubles), top-5 by
+    # (cos desc, neighbor_id), majority vote with the (votes desc,
+    # label asc) tie-break. Hash compares only integer outputs
+    # (vec_id, predicted_label, votes) — fp jitter can't leak in.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+    ),
+    labeled AS (SELECT * FROM v WHERE vec_id % 20 <> 0),
+    targets AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+    scored AS (
+      SELECT t.vec_id AS query_id, l.vec_id AS neighbor_id, l.label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [t.e[i] * l.e[i] FOR i IN range(1, len(t.e)+1)]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [t.e[i] * t.e[i] FOR i IN range(1, len(t.e)+1)]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 [l.e[i] * l.e[i] FOR i IN range(1, len(l.e)+1)]), (x, y) -> x + y)))
+             AS cos
+      FROM targets t CROSS JOIN labeled l WHERE l.vec_id <> t.vec_id
+    ),
+    topk AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= 5
+    ),
+    votes AS (SELECT query_id, label, count(*) AS votes FROM topk GROUP BY query_id, label)
+    SELECT query_id AS vec_id, label AS predicted_label, votes FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rk
+      FROM votes
+    ) WHERE rk = 1
+    """,
+)
+def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label propagation (``classifier.knn_classify``): every 20th
+    vector is the unlabeled target batch, the rest the labeled seed set;
+    each target takes the majority label of its 5 nearest labeled
+    neighbors by cosine, ties broken (votes desc, label asc) so the
+    output is a pure function of the table. The neighbor search is
+    ``similarity.cosine_topk_exact`` (bounded targets broadcast, corpus
+    scanned once map-side); the vote is one |targets|·k-row groupBy —
+    the LSH/IVF/PQ variants swap in for unbounded target sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = emb.filter(F.col("vec_id") % 20 != 0)
+    targets = emb.filter(F.col("vec_id") % 20 == 0)
+    return classifier.knn_classify(labeled, targets, k=5).withColumn(
+        "votes", F.col("votes").cast("long")
+    )
 
-    Exact-count contract (r6, drivers can assert it): the synthesis is
-    deterministic and 1:1 per modality, so the result has EXACTLY
-    4 × count(documents) rows (ppm + jpeg + wav + y4m legs), schema
-    ``multimodal.FEATURE_SCHEMA``, zero ``decoded='fallback'`` rows, and
-    per-row values that are pure functions of ``doc_id`` — pinned
-    end-to-end by ``test_multimodal_features_exact_contract`` (count,
-    per-modality decode tags, and a corpus checksum over every feature
-    column). Rows-only at the driver because the codec work
-    (zlib/struct/Huffman/numpy) has no ANSI-SQL twin; the pytest contract
-    is the ground truth."""
+
+def multimodal_full_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY feature column (``multimodal.FEATURE_SCHEMA``) over the
+    four-modality synthesized media table: genuine P6 images, genuine
+    baseline-JPEG images (pure-numpy Huffman+DCT codec in
+    operators/jpeg.py), genuine RIFF/WAV PCM-16 clips AND genuine
+    YUV4MPEG2 Cmono video, all deterministically seeded by doc_id and
+    decoded for real in one Arrow-batched schema-stable pass.
+
+    This is the pytest surface: the byte/pixel-value features
+    (n_bytes, byte_mean, px_mean, rms, peak, …) are functions of the
+    pseudo-random payload bytes with no ANSI-SQL twin, so they are
+    pinned by ``test_multimodal_features_exact_contract``'s corpus
+    checksum instead of a driver oracle. The registered driver query
+    below projects this down to the oracle-checkable metadata leg."""
     docs = load_table(spark, sf_dir, "documents")
     media = (
         multimodal.media_from_documents(docs)
@@ -508,6 +556,40 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(multimodal.video_from_documents(docs))
     )
     return multimodal.extract_features(media)
+
+
+@query(
+    "multimodal_features",
+    # r7: the formerly rows-only row now carries a REAL (partial) oracle.
+    # The decode-derived metadata — modality tag, pixel dimensions,
+    # channel count, duration — are pure functions of the synthesis
+    # parameters (16×16 images, 800 samples @ 8 kHz mono, 8 frames @
+    # 4 fps), so DuckDB replays them as constants per document. The check
+    # is NOT circular: the Spark side round-trips real encoded bytes
+    # through the real codecs — a broken decoder yields 'fallback'/-1
+    # rows and the hash mismatches. Pixel/byte VALUE features stay
+    # pytest-pinned (see multimodal_full_features).
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind, 'ppm' AS decoded,
+           CAST(16 AS INTEGER) AS px_width, CAST(16 AS INTEGER) AS px_height,
+           CAST(0.0 AS DOUBLE) AS duration_s
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'image', 'jpeg', 16, 16, 0.0 FROM documents
+    UNION ALL
+    SELECT doc_id, 'audio', 'wav', 1, -1, 0.1 FROM documents
+    UNION ALL
+    SELECT doc_id, 'video', 'y4m', 16, 16, 2.0 FROM documents
+    """,
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checked metadata leg of the multimodal pipeline: one row
+    per (document × modality), with the decode tag and decoded
+    shape/duration — EXACTLY 4 × count(documents) rows by construction
+    (the r6 count contract, now oracle-enforced rather than prose)."""
+    return multimodal_full_features(spark, sf_dir).select(
+        "media_id", "kind", "decoded", "px_width", "px_height", "duration_s"
+    )
 
 
 @query(

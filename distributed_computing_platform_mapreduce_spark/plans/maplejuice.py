@@ -136,45 +136,49 @@ def mj_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "mj_compat_wordcount",
+    "mj_compat_suite",
     oracle="""
-    SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+    SELECT 'wc' AS leg, word AS key, CAST(count(*) AS VARCHAR) AS value
     FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
     WHERE word <> ''
     GROUP BY word
-    """,
-)
-def mj_compat_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1+E7: word count THROUGH the MapleJuice compat layer — the
-    reference's actual user contract (``applications/wc-maple.py:6-7`` +
-    ``applications/wc-juice.py:6-14``) run as ``maple()`` (mapInPandas
-    flatMap) then ``juice()`` (applyInPandas per-key reduce). Output is the
-    engine's string (key, value) pairs, oracle-checked against the
-    declarative ``wordcount``'s result. Also covers the count-variant
-    semantics of ``WordCountJuice.java:5`` (count == sum of 1s)."""
-    from distributed_computing_platform_mapreduce_spark.compat.maplejuice import juice, maple, wc_juice, wc_maple
-
-    docs = load_table(spark, sf_dir, "documents")
-    kv = maple(spark, wc_maple, docs.select(F.col("text").alias("value")))
-    return juice(kv, wc_juice, dedup=None, sort=True)
-
-
-@query(
-    "mj_compat_rwlg",
-    oracle="""
-    SELECT CAST(user_id AS VARCHAR) AS key,
+    UNION ALL
+    SELECT 'rwlg' AS leg, CAST(user_id AS VARCHAR) AS key,
            string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY CAST(event_id AS VARCHAR)) AS value
     FROM events
     GROUP BY user_id
     """,
 )
-def mj_compat_rwlg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1+E7/E8: reverse web-link graph THROUGH the compat layer
-    (``applications/rwlg-maple.py:6-7`` + ``applications/rwlg-juice.py``,
-    intended sorted semantics — SURVEY.md §2.5 item 6). Lines are the
-    reference's ``src,dst`` CSV; maple inverts edges, juice collects and
-    sorts sources per dst. Oracle-checked against the declarative ``rwlg``."""
-    from distributed_computing_platform_mapreduce_spark.compat.maplejuice import juice, maple, rwlg_juice, rwlg_maple
+def mj_compat_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E7/E8 THROUGH the MapleJuice compat layer — the reference's
+    actual user contract run as ``maple()`` (mapInPandas flatMap) then
+    ``juice()`` (applyInPandas per-key reduce), as two tagged legs under
+    one registry row (folded in r7 to free a slot at the 50 cap):
+
+    - ``leg='wc'``: word count (``applications/wc-maple.py:6-7`` +
+      ``applications/wc-juice.py:6-14``); also covers the count-variant
+      semantics of ``WordCountJuice.java:5`` (count == sum of 1s).
+    - ``leg='rwlg'``: reverse web-link graph
+      (``applications/rwlg-maple.py:6-7`` + ``applications/rwlg-juice.py``,
+      intended sorted semantics — SURVEY.md §2.5 item 6) over the
+      reference's ``src,dst`` CSV lines.
+
+    Output stays the engine's string (key, value) pairs per leg,
+    oracle-checked against the declarative ``wordcount``/``rwlg``."""
+    from distributed_computing_platform_mapreduce_spark.compat.maplejuice import (
+        juice,
+        maple,
+        rwlg_juice,
+        rwlg_maple,
+        wc_juice,
+        wc_maple,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kv_wc = maple(spark, wc_maple, docs.select(F.col("text").alias("value")))
+    wc = juice(kv_wc, wc_juice, dedup=None, sort=True).select(
+        F.lit("wc").alias("leg"), "key", "value"
+    )
 
     events = load_table(spark, sf_dir, "events")
     lines = events.select(
@@ -182,5 +186,8 @@ def mj_compat_rwlg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         )
     )
-    kv = maple(spark, rwlg_maple, lines)
-    return juice(kv, rwlg_juice, dedup=None, sort=True)
+    kv_rw = maple(spark, rwlg_maple, lines)
+    rw = juice(kv_rw, rwlg_juice, dedup=None, sort=True).select(
+        F.lit("rwlg").alias("leg"), "key", "value"
+    )
+    return wc.unionAll(rw)

@@ -1080,6 +1080,7 @@ def test_multimodal_features_exact_contract(spark):
 
     from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
     from distributed_computing_platform_mapreduce_spark.plans import QUERIES
+    from distributed_computing_platform_mapreduce_spark.plans.extensions import multimodal_full_features
 
     # the corpus checksum below is a function of THIS corpus — pinned to
     # sf0.001 by construction, not an oversight; gate explicitly rather
@@ -1088,7 +1089,11 @@ def test_multimodal_features_exact_contract(spark):
     if not os.path.exists(sf + "/documents.parquet"):
         pytest.skip("sf0.001 corpus absent — the pinned checksum is sf0.001-specific")
     docs_n = spark.read.parquet(sf + "/documents.parquet").count()
-    df = QUERIES["multimodal_features"](spark, sf)
+    # r7: the registered query became the metadata (oracle) projection;
+    # the full feature surface — what this checksum pins — lives here
+    df = multimodal_full_features(spark, sf)
+    meta = QUERIES["multimodal_features"](spark, sf)
+    assert meta.columns == ["media_id", "kind", "decoded", "px_width", "px_height", "duration_s"]
     assert [f.name for f in df.schema.fields] == [f.name for f in mm.FEATURE_SCHEMA.fields]
     rows = df.collect()
     assert len(rows) == 4 * docs_n

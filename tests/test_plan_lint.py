@@ -32,8 +32,7 @@ from distributed_computing_platform_mapreduce_spark.plans import QUERIES
 # compat layer exists to run user callables (reference's exe contract),
 # multimodal decode is Python by nature.
 ARROW_PYTHON_OK = {
-    "mj_compat_wordcount",
-    "mj_compat_rwlg",
+    "mj_compat_suite",
     "multimodal_features",
 }
 
@@ -49,6 +48,10 @@ BNLJ_OK = {
     "join_theta_range",
     "agg_rollup_having",
     "similarity_topk_suite",
+    # knn_label_propagation's neighbor search is cosine_topk_exact:
+    # the bounded target batch broadcast against the corpus — the same
+    # sanctioned shape as similarity_topk_suite's exact leg
+    "knn_label_propagation",
     "ranking_bm25",
     "text_ngram_lm",  # broadcast 1-row vocab-size aggregate crossJoined on
     # curation_recipe's LM-floor stage reuses bigram_lm_scores — the same

@@ -760,34 +760,40 @@ def simhash(
     return votes.select("id", fingerprint.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def hamming_pairs(
+    prints: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "simhash",
     max_hamming: int = 3,
     blocks: int = 4,
-    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, block-LSH style.
+    """Near-dup pairs among 64-bit fingerprints by hamming distance,
+    block-LSH (pigeonhole) style — the shared candidate machinery behind
+    text SimHash AND image perceptual-hash dedup.
 
-    Pigeonhole: if two 64-bit prints differ in ≤ max_hamming bits and we
-    cut into ``blocks`` ≥ max_hamming+1 blocks, at least one 16-bit block
-    matches exactly → candidates join on (block_idx, block_value), then
-    verify popcount of XOR. Avoids the O(n²) cross join. ``hash_fn``
-    forwards to ``simhash`` (xxhash64 fast path vs the DuckDB-replayable
-    fnv1a64 fold).
-    """
+    Pigeonhole: if two 64-bit prints differ in ≤ ``max_hamming`` bits
+    and we cut into ``blocks`` ≥ max_hamming+1 equal blocks, at least
+    one block matches exactly → candidates join on (block_idx,
+    block_value), then verify popcount of XOR. Avoids the O(n²) cross
+    join; the shuffle carries blocks·n rows keyed by block value."""
+    if 64 % blocks != 0:
+        raise ValueError(f"blocks must divide 64, got {blocks}")
+    if blocks < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole guarantee broken: blocks={blocks} < max_hamming+1="
+            f"{max_hamming + 1} (a pair at distance {max_hamming} could "
+            "differ in every block)"
+        )
     width = 64 // blocks
-    prints = simhash(df, id_col, text_col, hash_fn=hash_fn)
     blocked = prints.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        F.shiftrightunsigned(F.col(hash_col), i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("blkval"),
                     )
@@ -795,7 +801,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.blk", "bb.blkval")
+    ).select("id", "__h", "bb.blk", "bb.blkval")
     a = blocked.alias("a")
     b = blocked.alias("b")
     return (
@@ -808,10 +814,28 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, block-LSH style —
+    ``simhash`` fingerprints through the shared :func:`hamming_pairs`
+    pigeonhole join. ``hash_fn`` forwards to ``simhash`` (xxhash64 fast
+    path vs the DuckDB-replayable fnv1a64 fold)."""
+    prints = simhash(df, id_col, text_col, hash_fn=hash_fn)
+    return hamming_pairs(
+        prints, id_col="id", hash_col="simhash", max_hamming=max_hamming, blocks=blocks
     )
 
 

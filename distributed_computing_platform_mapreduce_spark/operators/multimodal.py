@@ -940,3 +940,149 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# --- perceptual image hashing (dHash / pHash) -------------------------------
+#
+# The image analogue of text SimHash: a 64-bit fingerprint that is
+# stable under resize, re-encode, and mild recompression, so near-dup
+# candidate pairs come from dedup.hamming_pairs' pigeonhole block join
+# — never an all-pairs pixel comparison. References: the widely
+# published dHash (difference hash, 8×9 gradient grid) and pHash
+# (32×32 DCT low-frequency median threshold) constructions.
+
+
+def _to_gray(px: np.ndarray) -> np.ndarray:
+    """uint8 (h, w[, c]) → float64 (h, w) luma (ITU-R BT.601 weights)."""
+    g = px.astype(np.float64)
+    if g.ndim == 3:
+        if g.shape[2] >= 3:
+            g = 0.299 * g[:, :, 0] + 0.587 * g[:, :, 1] + 0.114 * g[:, :, 2]
+        else:
+            g = g[:, :, 0]
+    return g
+
+
+def _area_downsample(g: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box-filter downsample to (out_h, out_w) via reduceat block means —
+    deterministic, loop-free; upsamples first (nearest) if the source is
+    smaller than the target in either axis."""
+    h, w = g.shape
+    if h < out_h or w < out_w:
+        g = resize_nearest(g, max(w, out_w), max(h, out_h))
+        h, w = g.shape
+    rb = np.arange(out_h) * h // out_h
+    cb = np.arange(out_w) * w // out_w
+    s = np.add.reduceat(np.add.reduceat(g, rb, axis=0), cb, axis=1)
+    counts = np.outer(np.diff(np.append(rb, h)), np.diff(np.append(cb, w)))
+    return s / counts
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 bools (bit i → 1<<i) → signed int64 (two's complement, same
+    wrapping as dedup.simhash)."""
+    v = 0
+    for i, b in enumerate(bits.ravel()[:64]):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash, bidirectional: 32 horizontal-gradient bits
+    (8×5 grid, cell brighter than right neighbor) + 32 vertical-gradient
+    bits (5×8 grid, cell brighter than the one below). Gradient signs
+    survive resize and recompression far better than absolute
+    intensities; the classic horizontal-only 8×9 dHash is blind to
+    purely vertical structure (two images differing only row-wise
+    collide at hamming 0 — measured on sinusoid fixtures), so half the
+    bits go to each direction."""
+    g = _to_gray(px)
+    hb = _area_downsample(g, 8, 5)
+    vb = _area_downsample(g, 5, 8)
+    bits = np.concatenate(
+        [(hb[:, :-1] > hb[:, 1:]).ravel(), (vb[:-1, :] > vb[1:, :]).ravel()]
+    )
+    return _pack_bits64(bits)
+
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    """32-point DCT-II basis matrix (cached)."""
+    global _DCT32
+    if _DCT32 is None:
+        n = np.arange(32)
+        _DCT32 = np.cos(np.pi * (2 * n[None, :] + 1) * n[:, None] / 64.0)
+    return _DCT32
+
+
+def phash64(px: np.ndarray) -> int:
+    """Perceptual hash: 32×32 luma → 2-D DCT-II → the 8×8 low-frequency
+    block thresholded at its own median (median over the 63 non-DC
+    coefficients — the DC term is pure brightness)."""
+    g = _area_downsample(_to_gray(px), 32, 32)
+    m = _dct32()
+    d = m @ g @ m.T
+    low = d[:8, :8].ravel()
+    med = np.median(low[1:])
+    return _pack_bits64(low > med)
+
+
+def image_phash(
+    media: DataFrame,
+    method: str = "dhash",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    out_col: str = "phash",
+) -> DataFrame:
+    """64-bit perceptual hash per decodable image payload → ``(id_col,
+    out_col long)``. One Arrow-batched pass, no shuffle; undecodable
+    payloads are dropped (no print → never a candidate), mirroring the
+    feature extractor's fallback philosophy but without fake hashes."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"method must be dhash|phash, got {method!r}")
+    ensure_shipped(media.sparkSession)
+    fn = dhash64 if method == "dhash" else phash64
+    id_dtype = dict(media.select(id_col).dtypes)[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    px = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                ids.append(mid)
+                hashes.append(fn(px))
+            yield pd.DataFrame({id_col: ids, out_col: np.array(hashes, dtype=np.int64)})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} {id_dtype}, {out_col} long"
+    )
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    method: str = "dhash",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image near-dup candidate pairs ``(id_a, id_b, hamming)``: decode →
+    perceptual hash (one Arrow pass) → ``dedup.hamming_pairs`` pigeonhole
+    block join — the SAME banded machinery as text SimHash, pointed at
+    pixels. 8 blocks of 8 bits guarantees every pair within hamming 7;
+    at 100 TB the prints table is 16 bytes/image and the shuffle is
+    blocks·n rows, never pixels."""
+    from distributed_computing_platform_mapreduce_spark.operators.dedup import hamming_pairs
+
+    prints = image_phash(media, method=method, id_col=id_col, payload_col=payload_col)
+    return hamming_pairs(
+        prints, id_col=id_col, hash_col="phash", max_hamming=max_hamming, blocks=blocks
+    )

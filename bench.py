@@ -200,7 +200,30 @@ def _ref_scale_times(
             )
             rw.write.format("noop").mode("overwrite").save()
 
-        for key, fn in ((f"wordcount_{label}", run_wc), (f"rwlg_{label}", run_rwlg)):
+        def run_rwlg_capped():
+            # the capped layout (skew.capped_collect_sorted): top-128
+            # sources per page via WindowGroupLimit — the policy answer
+            # for the group-concat growth regime; same-answer-checked
+            # against the uncapped variant on under-cap keys in pytest
+            from distributed_computing_platform_mapreduce_spark.operators.skew import (
+                capped_collect_sorted,
+            )
+
+            edges = spark.read.parquet(edges_path).select(
+                F.col("user_id").cast("string").alias("dst"),
+                F.col("event_id").cast("string").alias("src"),
+            )
+            out = capped_collect_sorted(
+                edges, "dst", "src", max_values=128, out_col="sources"
+            )
+            out.write.format("noop").mode("overwrite").save()
+
+        points = [(f"wordcount_{label}", run_wc), (f"rwlg_{label}", run_rwlg)]
+        if label == "1gb":
+            # capped-layout evidence at the volume where output growth
+            # dominates the uncapped variant
+            points.append((f"rwlg_{label}_capped", run_rwlg_capped))
+        for key, fn in points:
             try:
                 fn()  # warm the plan shape (codegen/JIT) before timing
                 if label == "1gb":

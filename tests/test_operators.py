@@ -638,6 +638,92 @@ def test_salted_collect_sorted_matches_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_capped_collect_sorted_contract_and_plan(spark, sf_dir):
+    """Round-6 verdict item 4 (capped layout): on keys under the cap the
+    output EQUALS the uncapped salted collect; above it, the
+    lexicographically-smallest max_values survive; and the plan carries
+    WindowGroupLimit so each map partition prunes to its local top-N
+    BEFORE the exchange (the property that bounds the hot key's shuffle
+    fan-in)."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        capped_collect_sorted,
+        salted_collect_sorted,
+    )
+
+    # hot key owning most rows + a long tail of small keys
+    e = spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 10 < 8 THEN 'hot' ELSE concat('k', id % 37) END AS k",
+        "format_string('v%05d', id) AS v",
+    )
+    cap = 50
+    uncapped = {
+        r["k"]: list(r["vals"])
+        for r in salted_collect_sorted(
+            e, "k", "v", n_salts=7, out_col="vals", as_string=False
+        ).collect()
+    }
+    capped_df = capped_collect_sorted(e, "k", "v", max_values=cap, out_col="vals", as_string=False)
+    capped = {r["k"]: list(r["vals"]) for r in capped_df.collect()}
+    assert set(capped) == set(uncapped)
+    for k, vals in capped.items():
+        assert vals == uncapped[k][:cap], k
+        assert vals == sorted(vals)
+    assert len(uncapped["hot"]) > cap and len(capped["hot"]) == cap
+
+    plan = capped_df._sc._jvm.PythonSQLUtils.explainString(
+        capped_df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
+
+    # string form matches the array form joined
+    s = {
+        r["k"]: r["vals"]
+        for r in capped_collect_sorted(e, "k", "v", max_values=cap, out_col="vals").collect()
+    }
+    assert s["hot"] == ",".join(capped["hot"])
+
+
+def test_write_values_bucketed_sink_layout(spark, tmp_path):
+    """The sink-side layout for unbounded keys: rows land hash-bucketed
+    and (key, value)-sorted — every key one contiguous sorted run, no
+    concat row anywhere; a keyed read prunes to one bucket directory and
+    returns exactly that key's sorted values."""
+    import pyarrow.parquet as pq
+
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        read_values_bucketed,
+        write_values_bucketed,
+    )
+
+    e = spark.range(0, 3000).selectExpr(
+        "CASE WHEN id % 5 < 3 THEN 'hot' ELSE concat('k', id % 11) END AS k",
+        "format_string('v%05d', id) AS v",
+    )
+    path = str(tmp_path / "sink")
+    write_values_bucketed(e, path, "k", "v", n_buckets=8)
+
+    # within every parquet file rows are sorted by (k, v) — each key is
+    # one contiguous run a reader can stream
+    import glob
+
+    files = glob.glob(path + "/__kb=*/*.parquet")
+    assert files
+    for f in files:
+        t = pq.read_table(f).to_pydict()
+        pairs = list(zip(t["k"], t["v"]))
+        assert pairs == sorted(pairs), f
+
+    # keyed read: one pruned bucket, exact sorted value run
+    got = read_values_bucketed(spark, path, "k", "v", key="hot", n_buckets=8)
+    vals = [r["v"] for r in got.orderBy("v").collect()]
+    want = sorted(r["v"] for r in e.filter(F.col("k") == "hot").collect())
+    assert vals == want
+    # pruned scan touches exactly one bucket value
+    assert got.select("__kb").distinct().count() == 1
+    # full read preserves every row
+    assert read_values_bucketed(spark, path, "k", "v").count() == 3000
+
+
 def test_salted_join_matches_plain_on_skewed_data(spark):
     from distributed_computing_platform_mapreduce_spark.operators.skew import salted_join
 

@@ -93,11 +93,15 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     via a ``StatefulProcessor``, schema evolution and timers supported
     by the engine, RocksDB state store required. Kept beside the
     classic form so both arbitrary-state APIs are exercised; the twin
-    test asserts they produce identical results on the same stream
-    (skipped where ``google.protobuf`` — the wire protocol of the
-    API's state server, not baked into this container — is absent;
-    the classic ``applyInPandasWithState`` form needs no extra deps
-    and carries the always-on coverage).
+    test asserts they produce identical results on the same stream.
+
+    STATUS CAVEAT: ``google.protobuf`` (the wire protocol of the API's
+    state server) is absent from the build container and cannot be
+    installed there, so the twin test has never executed in that
+    environment — this function is UNVERIFIED where the rest of the
+    suite is gate-tested. The classic ``applyInPandasWithState`` form
+    needs no extra deps and carries the always-on, verified coverage;
+    prefer it until the twin test has run in your environment.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -270,6 +270,44 @@ def _ivf_assign_udf(cmat, n_probe: int):
     return assign
 
 
+def ivf_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 7,
+    distributed: bool | None = None,
+):
+    """Lloyd-trained IVF centroids — :func:`pq_train` with a single
+    full-width subspace (m=1), so the IVF codebook gets the identical
+    sort-free hash-priority sampling + distributed-Lloyd machinery as
+    PQ (bounded per-round collect, no corpus sort). Returns a unit-row
+    ``(n_centroids, dim)`` float64 matrix for
+    :func:`cosine_topk_ivf`'s ``centroids`` parameter.
+
+    Kept opt-in: the default ``_centroids`` seeding is pinned by the
+    registered ``similarity_topk_ivf`` query's recall-saturated oracle
+    operating point; swap trained centroids in per-index, not
+    per-default."""
+    import numpy as np
+
+    books = pq_train(
+        corpus,
+        id_col,
+        vec_col,
+        m=1,
+        k=n_centroids,
+        iters=iters,
+        seed=seed,
+        distributed=distributed,
+    )
+    cmat = books[0]
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cmat / norms
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -278,6 +316,7 @@ def cosine_topk_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus vectors live in their nearest
     centroid's cell; a query scans only its ``n_probe`` closest cells.
@@ -286,9 +325,15 @@ def cosine_topk_ivf(
     query ≈ n·n_probe/n_centroids, tunable by the probe/centroid ratio
     rather than plane count. Corpus is assigned ONCE (on disk this is a
     partitioned/bucketed table keyed by cell); queries broadcast. At
-    10⁹ rows you'd use √n ≈ 32k centroids and a trained codebook — same
-    plan shape."""
-    cmat = _centroids(corpus, id_col, vec_col, n_centroids)
+    10⁹ rows you'd use √n ≈ 32k centroids and a TRAINED codebook
+    (:func:`ivf_train` — distributed Lloyd, same plan shape)."""
+    import numpy as np
+
+    cmat = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _centroids(corpus, id_col, vec_col, n_centroids)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),

@@ -2750,6 +2750,29 @@ def test_pq_train_distributed_sort_free_and_recall(spark, sf_dir):
     assert b2.shape == (16, 8, 4)
 
 
+def test_ivf_train_lloyd_centroids_recall(spark, sf_dir):
+    """ivf_train = the PQ distributed-Lloyd machinery at m=1: unit-row
+    centroids, sort-free training plans, and recall through
+    cosine_topk_ivf at least as good as the untrained seeding floor."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cmat = similarity.ivf_train(emb, n_centroids=16, iters=4, distributed=True)
+    assert cmat.shape == (16, 64)
+    assert np.allclose(np.linalg.norm(cmat, axis=1), 1.0)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_exact(emb, queries, k=5).collect()
+    }
+    got = similarity.cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=16, n_probe=8, centroids=cmat
+    ).collect()
+    hits = {(r["query_id"], r["neighbor_id"]) for r in got} & exact
+    assert len(hits) / len(exact) >= 0.8  # same floor the generic IVF test uses
+
+
 def test_bpe_tokens_drive_sequence_packing(spark):
     """Composition: train BPE → encode docs → pack sequences by the
     LEARNED token counts (count_col hook) — the end-to-end shape a

@@ -1086,3 +1086,92 @@ def image_neardup_pairs(
     return hamming_pairs(
         prints, id_col=id_col, hash_col="phash", max_hamming=max_hamming, blocks=blocks
     )
+
+
+def frame_phash(
+    media: DataFrame,
+    every_n: int = 1,
+    method: str = "dhash",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual hash per sampled video frame → ``(id_col, frame_idx,
+    phash long)``. One Arrow pass: each y4m payload is decoded ONCE and
+    every ``every_n``-th frame hashed directly — no intermediate
+    re-encoded frame table. Undecodable payloads drop (same philosophy
+    as :func:`image_phash`)."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"method must be dhash|phash, got {method!r}")
+    ensure_shipped(media.sparkSession)
+    fn = dhash64 if method == "dhash" else phash64
+    id_dtype = dict(media.select(id_col).dtypes)[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames, _ = decode_y4m(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                for fi in range(0, frames.shape[0], every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hashes.append(fn(frames[fi]))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": np.int32(idxs),
+                    "phash": np.array(hashes, dtype=np.int64),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} {id_dtype}, frame_idx int, phash long"
+    )
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    every_n: int = 1,
+    min_frame_matches: int = 1,
+    method: str = "dhash",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video near-dup candidates ``(id_a, id_b, n_frame_matches,
+    min_hamming)``: two videos pair when ≥ ``min_frame_matches``
+    sampled-frame pairs fall within ``max_hamming`` of each other.
+    Catches re-encodes, truncations, and temporal offsets — any shared
+    visual content — without ever comparing pixels across videos: frame
+    prints (8 B each) go through the SAME ``dedup.hamming_pairs``
+    pigeonhole block join as text SimHash and image near-dup, keyed by
+    a (video, frame) struct; same-video frame pairs are filtered out
+    and the rest roll up per video pair."""
+    from distributed_computing_platform_mapreduce_spark.operators.dedup import hamming_pairs
+
+    fp = frame_phash(
+        media, every_n=every_n, method=method, id_col=id_col, payload_col=payload_col
+    )
+    keyed = fp.select(F.struct(id_col, "frame_idx").alias("fid"), "phash")
+    pairs = hamming_pairs(
+        keyed, id_col="fid", hash_col="phash", max_hamming=max_hamming, blocks=blocks
+    )
+    cross = pairs.filter(F.col(f"id_a.{id_col}") != F.col(f"id_b.{id_col}"))
+    normalized = cross.select(
+        F.least(F.col(f"id_a.{id_col}"), F.col(f"id_b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"id_a.{id_col}"), F.col(f"id_b.{id_col}")).alias("id_b"),
+        "hamming",
+    )
+    return (
+        normalized.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_frame_matches") >= min_frame_matches)
+    )

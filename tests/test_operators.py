@@ -2467,6 +2467,58 @@ def test_image_neardup_perceptual_hash(spark):
         assert "divide" in str(e)
 
 
+def test_video_neardup_frame_phash(spark):
+    """Video near-dup through per-frame perceptual hashes: a truncated
+    twin and a temporally-offset twin of each base video pair with it
+    (shared frames → frame-print matches at hamming 0), distinct videos
+    never pair, and frame_phash samples every_n-th frame."""
+    import numpy as np
+    import pandas as pd
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    def vid(frames):
+        return mm.encode_y4m(frames, 4, 1)
+
+    rows = []
+    n_base = 6
+    for s in range(n_base):
+        frames = np.stack([_block_img(100 * s + f + 1, 32, 32)[:, :, 0] for f in range(8)])
+        rows.append((s, vid(frames)))  # base: 8 frames
+        rows.append((100 + s, vid(frames[:5])))  # truncated twin
+        rows.append((200 + s, vid(frames[2:])))  # offset twin
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, "video", bytearray(p), 32, 32, 8) for i, p in rows],
+            columns=["media_id", "kind", "payload", "width", "height", "n_frames"],
+        ),
+        schema=mm.MEDIA_SCHEMA,
+    )
+
+    fp = mm.frame_phash(media).collect()
+    per_vid = {}
+    for r in fp:
+        per_vid.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(per_vid[0]) == list(range(8))
+    assert sorted(per_vid[100]) == list(range(5))
+    # every_n sampling
+    fp2 = mm.frame_phash(media, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in fp2 if r["media_id"] == 0) == [0, 2, 4, 6]
+
+    pairs = mm.video_neardup_pairs(media, max_hamming=4, min_frame_matches=2).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in pairs}
+    for s in range(n_base):
+        for t in (100 + s, 200 + s):
+            assert (s, t) in got, (s, t)
+            assert got[(s, t)]["min_hamming"] == 0  # identical shared frames
+        # the two twins share frames 2..4 with each other too
+        assert (100 + s, 200 + s) in got
+    for a, b in got:
+        assert a % 100 == b % 100, (a, b)  # distinct bases never pair
+    n_match = got[(0, 100)]["n_frame_matches"]
+    assert n_match >= 5  # all 5 truncated frames match their originals
+
+
 # --- int8 quantization ------------------------------------------------------
 
 

@@ -383,20 +383,21 @@ def _measure_canary(spark) -> dict[str, float]:
 
 
 def _canary_verdict(pre: dict[str, float], post: dict[str, float]) -> dict:
-    """Compare pre/post canaries; >10% disagreement on either fixed
-    workload flags the run as load-contaminated."""
+    """Compare pre/post canaries. The contamination verdict comes from
+    the GEMM ONLY: pure CPU work that repeats within ~2–4% on an idle
+    box, so >10% pre/post drift means another process took cores during
+    the sweep. The pinned Spark action is recorded for context but
+    EXCLUDED from the flag — measured swings up to ~45% between a
+    cold-ish pre and a fully-JIT-warm post on an idle machine (post
+    FASTER than pre) show its variance tracks JVM state, not ambient
+    load, and a canary that flags JVM warmup as contamination would cry
+    wolf on every clean run."""
     drift = {}
-    # Per-leg thresholds from measured idle variance: the GEMM repeats
-    # within ~2% on an idle box (tight bar, 10%); the pinned Spark action
-    # carries ~10% scheduler jitter even back-to-back (looser bar, 25%).
-    thresholds = {"gemm_sec": 10.0, "spark_range_sum_sec": 25.0}
-    flagged = False
-    for key, bar in thresholds.items():
+    for key in ("gemm_sec", "spark_range_sum_sec"):
         lo, hi = sorted((pre[key], post[key]))
         drift[key] = round((hi / lo - 1.0) * 100, 1) if lo > 0 else None
-        if drift[key] is not None and drift[key] > bar:
-            flagged = True
-    return {"drift_pct": drift, "load_contaminated": flagged}
+    g = drift["gemm_sec"]
+    return {"drift_pct": drift, "load_contaminated": g is not None and g > 10.0}
 
 
 def _error_line(exc: BaseException) -> str:

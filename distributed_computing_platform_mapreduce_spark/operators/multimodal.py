@@ -1175,3 +1175,135 @@ def video_neardup_pairs(
         )
         .filter(F.col("n_frame_matches") >= min_frame_matches)
     )
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """Encode int16 samples as a RIFF/WAVE G.711 telephony file
+    (format 7 µ-law / 6 A-law, 8 bits): each sample maps to the nearest
+    code of the ITU expansion table — the compressor matching
+    ``decode_wav``'s expander, so lossy round-trips are testable without
+    external codecs."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be ulaw|alaw, got {law!r}")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    _, ch = samples.shape
+    table = (_mulaw_table() if law == "ulaw" else _alaw_table()).astype(np.int32)
+    order = np.argsort(table, kind="stable")
+    sorted_t = table[order]
+    flat = samples.astype(np.int32).ravel()
+    idx = np.searchsorted(sorted_t, flat).clip(1, 255)
+    left, right = sorted_t[idx - 1], sorted_t[idx]
+    pick = np.where(np.abs(flat - left) <= np.abs(right - flat), idx - 1, idx)
+    codes = order[pick].astype(np.uint8)
+    fmt_code = 7 if law == "ulaw" else 6
+    block_align = ch
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, ch, sample_rate, sample_rate * block_align, block_align, 8
+    )
+    data = codes.tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- perceptual audio hashing (band-energy fingerprint) ---------------------
+
+
+def ahash64(samples: np.ndarray, rate: int) -> int:
+    """64-bit audio fingerprint: mix to mono, split into 8 equal time
+    segments, measure MEAN-PER-BIN energy in 9 log-spaced frequency
+    bands per segment (rFFT), bit (s, b) = band b louder than band b+1
+    in segment s — the Haitsma–Kalker band-energy-sign family.
+    Amplitude scaling cancels (pure energy RATIOS), and mild
+    requantization (G.711, PCM rounding) perturbs band energies far
+    less than typical inter-band gaps. Per-bin MEAN (not sum) matters:
+    log-spaced bands widen with frequency, so summed energies bias
+    every comparison toward the wider band and broadband noise drowns
+    the discriminative tones (measured: distinct-clip distances
+    collapsed from mean ~28 to ~14 with sums)."""
+    mono = samples.astype(np.float64).mean(axis=1) if samples.ndim == 2 else samples.astype(np.float64)
+    n = len(mono)
+    if n < 16:
+        mono = np.pad(mono, (0, 16 - n))
+        n = 16
+    seg_len = n // 8
+    mono = mono[: seg_len * 8].reshape(8, seg_len)
+    spec = np.abs(np.fft.rfft(mono, axis=1)) ** 2  # (8, seg_len//2+1)
+    n_bins = spec.shape[1]
+    # 9 log-spaced band edges over [1, n_bins) — skip DC (bin 0: pure
+    # offset, no perceptual content)
+    edges = np.unique(
+        np.rint(np.geomspace(1, n_bins - 1, 10)).astype(int)
+    )
+    while len(edges) < 10:  # tiny clips: pad with the top bin
+        edges = np.append(edges, edges[-1] + 1)
+    energies = np.stack(
+        [
+            spec[:, edges[b] : max(edges[b] + 1, edges[b + 1])].mean(axis=1)
+            for b in range(9)
+        ],
+        axis=1,
+    )  # (8, 9)
+    bits = (energies[:, :-1] > energies[:, 1:]).ravel()  # (8, 8) → 64
+    v = 0
+    for i, b in enumerate(bits[:64]):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_phash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    out_col: str = "phash",
+) -> DataFrame:
+    """64-bit audio fingerprint per decodable WAV payload → ``(id_col,
+    out_col long)``. One Arrow pass, undecodable payloads drop — the
+    audio twin of :func:`image_phash`."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    id_dtype = dict(media.select(id_col).dtypes)[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                ids.append(mid)
+                hashes.append(ahash64(samples, rate))
+            yield pd.DataFrame({id_col: ids, out_col: np.array(hashes, dtype=np.int64)})
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} {id_dtype}, {out_col} long"
+    )
+
+
+def audio_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio near-dup candidates ``(id_a, id_b, hamming)``: band-energy
+    fingerprints through ``dedup.hamming_pairs`` — the third modality on
+    the shared pigeonhole block-LSH (text SimHash, image/video phash,
+    now audio). Samples are touched once; everything downstream shuffles
+    8-byte prints."""
+    from distributed_computing_platform_mapreduce_spark.operators.dedup import hamming_pairs
+
+    prints = audio_phash(media, id_col=id_col, payload_col=payload_col)
+    return hamming_pairs(
+        prints, id_col=id_col, hash_col="phash", max_hamming=max_hamming, blocks=blocks
+    )

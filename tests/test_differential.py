@@ -656,3 +656,41 @@ def test_bpe_train_and_encode_match_python(spark, corpus):
     enc = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df, want).collect()}
     for i, line in enumerate(corpus):
         assert enc[i] == [s for w in line.split() for s in bpe._encode_word(w, ranks, cache)]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from([4, 8, 16]),
+)
+def test_hamming_pairs_match_bruteforce(spark, prints, max_hamming, blocks):
+    """dedup.hamming_pairs (the pigeonhole block join behind text
+    SimHash AND image/video/audio perceptual dedup since r7) vs the
+    brute-force all-pairs popcount on arbitrary 64-bit prints: exactly
+    the pairs within max_hamming, each with the exact distance —
+    pigeonhole recall is a theorem (blocks ≥ max_hamming+1), this pins
+    the implementation to it."""
+    if blocks < max_hamming + 1:
+        blocks = 8 if max_hamming < 8 else 16
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(prints)], "id long, h long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_pairs(
+            df, id_col="id", hash_col="h", max_hamming=max_hamming, blocks=blocks
+        ).collect()
+    }
+    want = {}
+    for i, a in enumerate(prints):
+        for j in range(i + 1, len(prints)):
+            d = bin((a ^ prints[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= max_hamming:
+                want[(i, j)] = d
+    assert got == want

@@ -2519,6 +2519,38 @@ def test_video_neardup_frame_phash(spark):
     assert n_match >= 5  # all 5 truncated frames match their originals
 
 
+def test_media_dedup_end_to_end_cc_survivors(spark):
+    """The full multimodal dedup pipeline composes from existing parts:
+    image_neardup_pairs → dedup_survivors_cc keeps exactly one variant
+    (the min id) per near-dup image family and every distinct image —
+    the same pairs→CC→survivor shape the text path registers as
+    dedup_cc_survivors, pointed at pixels."""
+    import pandas as pd
+
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+    from distributed_computing_platform_mapreduce_spark.operators.jpeg import encode_jpeg
+
+    n = 8
+    rows = []
+    for s in range(n):
+        px = _block_img(s + 1)
+        rows.append((s, mm.encode_ppm(px)))
+        rows.append((1000 + s, encode_jpeg(px, quality=85)))
+        rows.append((2000 + s, mm.encode_png(px)))
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, "image", bytearray(p), -1, -1, 1) for i, p in rows],
+            columns=["media_id", "kind", "payload", "width", "height", "n_frames"],
+        ),
+        schema=mm.MEDIA_SCHEMA,
+    )
+    pairs = mm.image_neardup_pairs(media, max_hamming=6, blocks=8)
+    survivors = dd.dedup_survivors_cc(media, pairs, id_col="media_id")
+    ids = sorted(r["media_id"] for r in survivors.select("media_id").collect())
+    assert ids == list(range(n))  # one survivor (min id) per image family
+
+
 def test_audio_neardup_fingerprint(spark):
     """Audio near-dup — the third modality on the shared hamming
     machinery: amplitude-scaled and G.711 (µ-law AND A-law) re-encoded

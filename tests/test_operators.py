@@ -2519,6 +2519,47 @@ def test_video_neardup_frame_phash(spark):
     assert n_match >= 5  # all 5 truncated frames match their originals
 
 
+def test_heavy_hitters_guarantee_and_exact_counts(spark):
+    """Misra–Gries + exact recount: every value above the n/(k+1)
+    guarantee threshold is present with its EXACT count (equal to a
+    full groupBy), under multiple partitionings, on a Zipf-ish corpus
+    whose tail cardinality dwarfs k."""
+    from distributed_computing_platform_mapreduce_spark.operators.frequent import heavy_hitters
+
+    n = 20_000
+    # Zipf-ish: value j with weight ~ 1/rank; plus a huge singleton tail
+    df = spark.range(n).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN concat('hot', id % 7) "
+        "     WHEN id % 5 < 2 THEN concat('warm', id % 50) "
+        "     ELSE concat('tail', id) END AS v"
+    )
+    exact = {r["v"]: r["count"] for r in df.groupBy("v").agg(F.count("*").alias("count")).collect()}
+    k = 64
+    threshold = n / (k + 1)
+    must_have = {v for v, c in exact.items() if c > threshold}
+    assert must_have  # fixture sanity: some true heavy hitters exist
+    for parts in (1, 4, 32):
+        got = {
+            r["v"]: r["count"]
+            for r in heavy_hitters(df.repartition(parts), "v", k=k).collect()
+        }
+        assert must_have <= set(got), parts
+        for v, c in got.items():
+            assert c == exact[v], (parts, v)  # recount is exact
+    # min_count filter is exact too
+    filtered = heavy_hitters(df, "v", k=k, min_count=int(threshold)).collect()
+    assert all(r["count"] >= threshold - 1 for r in filtered)
+    # nulls ignored, k guard raises
+    withnull = spark.createDataFrame([("a",), (None,), ("a",)], ["v"])
+    hh = {r["v"]: r["count"] for r in heavy_hitters(withnull, "v", k=4).collect()}
+    assert hh == {"a": 2}
+    try:
+        heavy_hitters(df, "v", k=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_media_dedup_end_to_end_cc_survivors(spark):
     """The full multimodal dedup pipeline composes from existing parts:
     image_neardup_pairs → dedup_survivors_cc keeps exactly one variant

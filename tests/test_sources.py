@@ -251,3 +251,40 @@ def test_catalog_works_on_bare_session(spark, tmp_path):
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
     assert [r["ts"] for r in df.collect()] == [base]
+
+
+def test_compact_files_hits_target_and_preserves_data(spark, sf_dir, tmp_path):
+    """Small-file compaction: a deliberately fragmented dataset (64
+    files for ~100 KB of data) rewrites to the byte-sized partition
+    count, every row preserved, and the report reflects the layout."""
+    from distributed_computing_platform_mapreduce_spark.sources.compaction import (
+        compact_files,
+        dataset_bytes,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.read.parquet(sf_dir + "/lineitem.parquet")
+    df.repartition(64).write.parquet(src)
+    total, n_files = dataset_bytes(spark, src)
+    assert n_files == 64 and total > 0
+
+    report = compact_files(spark, src, dst, target_file_bytes=total // 3 + 1)
+    assert report["files_before"] == 64
+    assert report["partitions_written"] == 3
+    assert report["files_after"] == 3
+    # every row survives, byte size stays the same order (codec jitter)
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # degenerate target: everything in one file
+    dst1 = str(tmp_path / "one")
+    r1 = compact_files(spark, src, dst1, target_file_bytes=1 << 40)
+    assert r1["files_after"] == 1
+    try:
+        compact_files(spark, src, dst, target_file_bytes=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

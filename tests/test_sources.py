@@ -288,3 +288,46 @@ def test_compact_files_hits_target_and_preserves_data(spark, sf_dir, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_write_clustered_disjoint_ranges_enable_skipping(spark, sf_dir, tmp_path):
+    """Range-clustered layout: files carry disjoint cluster-column
+    ranges (verified from parquet footer statistics via pyarrow), so a
+    range predicate could skip all but the overlapping files/row
+    groups; data round-trips exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from distributed_computing_platform_mapreduce_spark.sources.partitioned import write_clustered
+
+    df = spark.read.parquet(sf_dir + "/orders.parquet").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, ["o_orderkey"], n_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            assert st is not None and st.has_min_max  # stats present → skipping possible
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    # disjoint file ranges: sort by min, every max < next min
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0
+
+    try:
+        write_clustered(df, path, [])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -902,3 +902,176 @@ def remove_repeated_paragraphs(
         .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
         .drop("__rebuilt")
     )
+
+
+# --- incremental dedup (new batch vs historical index) ----------------------
+
+
+def minhash_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """The STORABLE dedup index: ``(id, signature array<long>, sz)`` —
+    num_hashes MinHash components + the exact shingle count per doc.
+    ~300 bytes/doc regardless of document size; a production pipeline
+    materializes this once per corpus increment and never re-reads
+    historical TEXT to dedup against it (see
+    :func:`incremental_minhash_pairs`)."""
+    rnd = _lcg_params(num_hashes)
+    sh = shingle_rows(df, id_col, text_col, n)
+    hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
+    mins = hashed.groupBy("id").agg(
+        F.count("*").alias("sz"),
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"__sig{i}")
+            for i, (a, b) in enumerate(rnd)
+        ],
+    )
+    return mins.select(
+        "id",
+        F.array(*[F.col(f"__sig{i}") for i in range(num_hashes)]).alias("signature"),
+        "sz",
+    )
+
+
+def _index_band_buckets(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) from a signature index — the identical banding
+    formula `minhash_lsh_pairs` uses, so buckets collide across
+    increments built at different times."""
+    r = num_hashes // bands
+    return index.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", i * r + j + 1)
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def incremental_minhash_pairs(
+    new_index: DataFrame,
+    history_index: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs for a NEW increment against itself and against the
+    historical index → ``(id_new, id_other, source 'history'|'new',
+    est_jaccard)``.
+
+    The incremental regime changes the verification contract: the
+    history's TEXT (and shingles) are gone — only signatures persist —
+    so similarity is the MinHash ESTIMATE (matching components /
+    num_hashes, the unbiased Jaccard estimator; σ = √(J(1−J)/k) ≈ 0.09
+    at k=32, J=0.5 — size num_hashes to the precision the drop policy
+    needs). Candidates still come from band-bucket collisions (one
+    shuffle keyed by (band, bucket), never all-pairs); the estimator
+    runs on candidate pairs only."""
+    nb = _index_band_buckets(new_index, num_hashes, bands)
+    hb = _index_band_buckets(history_index, num_hashes, bands)
+
+    sig_n = new_index.select(F.col("id").alias("id_new"), F.col("signature").alias("sig_n"))
+    sig_h = history_index.select(
+        F.col("id").alias("id_other"), F.col("signature").alias("sig_o")
+    )
+
+    def estimate(cand: DataFrame, other_sigs: DataFrame, tag: str) -> DataFrame:
+        est = F.aggregate(
+            F.zip_with(
+                "sig_n", "sig_o", lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.lit(float(num_hashes))
+        return (
+            cand.join(sig_n, "id_new")
+            .join(other_sigs, "id_other")
+            .select(
+                "id_new",
+                "id_other",
+                F.lit(tag).alias("source"),
+                est.alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+
+    # new vs history: every colliding (new, hist) bucket pair
+    nh = (
+        nb.alias("a")
+        .join(
+            hb.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_other"))
+        .distinct()
+    )
+    # new vs new: ordered pairs within the increment
+    nn = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_other"))
+        .distinct()
+    )
+    return estimate(nh, sig_h, "history").unionAll(
+        estimate(nn, sig_n.select(F.col("id_new").alias("id_other"), F.col("sig_n").alias("sig_o")), "new")
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    history_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """The production increment loop: ``(survivors, updated_index)``.
+
+    A new doc survives iff it matches NOTHING in history and no
+    LOWER-id doc in its own increment (the deterministic min-id-wins
+    policy of `dedup_exact`/`dedup_survivors`). The updated index =
+    history ∪ survivors' signatures, ready to be written back for the
+    next increment — historical text is never read, and the index grows
+    only by the deduped increment."""
+    new_index = minhash_index(new_df, id_col, text_col, n, num_hashes).localCheckpoint(
+        eager=False
+    )
+    pairs = incremental_minhash_pairs(
+        new_index, history_index, num_hashes, bands, threshold
+    )
+    # any history match kills the new doc; a new-new match kills the
+    # HIGHER id (pairs are ordered id_new < id_other for source='new',
+    # so the victim there is id_other)
+    dead_vs_history = pairs.filter(F.col("source") == "history").select(
+        F.col("id_new").alias("id")
+    )
+    dead_vs_new = pairs.filter(F.col("source") == "new").select(
+        F.col("id_other").alias("id")
+    )
+    dead = dead_vs_history.union(dead_vs_new).distinct()
+    survivors = new_df.join(
+        dead.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    surviving_index = new_index.join(dead, "id", "left_anti")
+    return survivors, history_index.unionAll(surviving_index)

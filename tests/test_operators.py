@@ -2519,6 +2519,60 @@ def test_video_neardup_frame_phash(spark):
     assert n_match >= 5  # all 5 truncated frames match their originals
 
 
+def test_incremental_dedup_against_history_index(spark):
+    """The production increment loop: new batches dedup against a
+    signature-only historical index (no historical text ever re-read).
+    Exact-duplicate and heavy-overlap newcomers die, within-increment
+    dups keep the min id, novel docs survive and extend the index; the
+    MinHash estimate tracks exact Jaccard on clear-cut fixtures."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the old river bank today",
+        "pack my box with five dozen liquor jugs before the long winter arrives again",
+        "a completely different document about distributed systems and shuffle behavior",
+    ]
+    hist = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+    hist_index = dd.minhash_index(hist, "doc_id", "text").localCheckpoint()
+    assert hist_index.count() == 3
+    sig_len = len(hist_index.collect()[0]["signature"])
+    assert sig_len == 32
+
+    new_rows = [
+        (100, base[0]),  # exact dup of history → dies
+        (101, base[1] + " arrives again"),  # heavy overlap with history → dies
+        (102, "entirely novel content with words that appear nowhere else at all ok"),
+        (103, "entirely novel content with words that appear nowhere else at all ok"),
+        # ^ exact dup WITHIN the increment → 103 dies, 102 survives
+        (104, "another genuinely fresh document concerning perceptual hashing of images"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    new_index = dd.minhash_index(new, "doc_id", "text")
+    pairs = dd.incremental_minhash_pairs(new_index, hist_index, threshold=0.5).collect()
+    by = {(r["id_new"], r["id_other"], r["source"]): r["est_jaccard"] for r in pairs}
+    assert by[(100, 0, "history")] == 1.0  # exact dup: every component matches
+    assert by[(102, 103, "new")] == 1.0
+    assert any(k[0] == 101 and k[2] == "history" for k in by)
+    assert not any(k[0] in (102, 104) and k[2] == "history" for k in by)
+
+    survivors, updated = dd.incremental_dedup(new, hist_index, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in survivors.collect())
+    assert ids == [102, 104]
+    assert updated.count() == 3 + 2  # history + surviving increment
+    # next increment deduped against the UPDATED index: a dup of doc 102
+    # (which entered the index last round) now dies without its text
+    nxt = spark.createDataFrame(
+        [(200, new_rows[2][1]), (201, "wholly new third wave text about nothing shared")],
+        "doc_id long, text string",
+    )
+    s2, u2 = dd.incremental_dedup(nxt, updated.localCheckpoint(), threshold=0.5)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [201]
+    assert u2.count() == 6
+
+
 def test_heavy_hitters_guarantee_and_exact_counts(spark):
     """Misra–Gries + exact recount: every value above the n/(k+1)
     guarantee threshold is present with its EXACT count (equal to a

@@ -1,7 +1,7 @@
 """Extra TPC-H optimizer shapes, pytest-verified beyond the 50-query cap.
 
 The driver registry is capped at 50 rows (plans/__init__.py), so these
-five canonical shapes — the ones the registered q1/q3/q5/q6/q10 +
+eleven canonical shapes — the ones the registered q1/q3/q5/q6/q10 +
 subquery suite do NOT yet exercise — live outside it and are verified
 by ``tests/test_oracle_parity.py::test_tpch_shape_matches_oracle``
 instead, with the SAME compare (rowcount + schema + order-insensitive
@@ -33,6 +33,25 @@ schema, which lacks partsupp/shipmode/commitdate):
                            order": in the synthetic data every customer
                            has orders, so q22's literal "no orders"
                            form would be vacuously empty.
+- ``q7_volume_shipping`` — six-table snowflake with a symmetric
+                           nation-pair disjunction and year extraction
+                           (q7): join-order freedom across two nation
+                           roles of the same dim.
+- ``q8_market_share``    — agg-over-agg CASE ratio inside a
+                           seven-table join, region filter via a
+                           scalar subquery (q8's shape).
+- ``q9_profit_by_nation_year`` — LIKE-filtered part join + per
+                           (nation, year) rollup (q9 minus
+                           ps_supplycost).
+- ``q13_custdist``       — LEFT OUTER join with an ON-clause filter +
+                           two-level aggregation (count distribution —
+                           q13 verbatim in shape).
+- ``q15_top_supplier``   — CTE revenue view joined back + scalar MAX
+                           subquery over the SAME CTE (q15): exercises
+                           CTE reuse and decimal-exact equality.
+- ``q21_waiting_supplier``— EXISTS and NOT EXISTS both correlated to
+                           the same fact row (q21's double
+                           correlation), adapted to returnflag.
 
 Scale notes: every shape is a filtered fact join a dim (broadcast-able)
 or a self-contained agg; no shape introduces a shuffle the registered
@@ -112,9 +131,108 @@ SHAPES: dict[str, str] = {
               )
         GROUP BY SUBSTRING(c.c_name, 10, 1)
     """,
+    # --- r7 additions: the remaining canonical shapes the schema can
+    # express (no partsupp/shipmode/commitdate in the test tables) -----
+    "q7_volume_shipping": f"""
+        SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+                 {_NET} AS volume
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": f"""
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        FROM (
+          SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                 {_NET} AS volume,
+                 n2.n_name AS nation
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n1.n_regionkey
+          JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+          WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+            AND p.p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    "q9_profit_by_nation_year": f"""
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation,
+                 EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                 {_NET} AS amount
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE p.p_name LIKE '%e%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    "q13_custdist": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no, SUM({_NET}) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "q21_waiting_supplier": """
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R'
+              )
+        GROUP BY s.s_name
+    """,
 }
 
-_SHAPE_TABLES = ("orders", "lineitem", "part", "customer")
+_SHAPE_TABLES = ("orders", "lineitem", "part", "customer", "supplier", "nation", "region")
 
 
 def run_shape(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

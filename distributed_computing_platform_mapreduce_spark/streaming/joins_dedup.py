@@ -104,3 +104,21 @@ def stream_interval_join_outer(
         ),
         "leftOuter",
     ).select("c_user", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
+def stream_enrich_static(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: the streaming fact joined to a batch
+    dimension table — THE production lookup shape (events × users,
+    clicks × catalog). Spark plans the static side as a broadcast per
+    micro-batch (re-resolved each batch, so slowly-changing dims pick
+    up storage updates between batches without restarting the query);
+    no state store is involved and no watermark is needed because the
+    static side never grows. Stream-STREAM joins (see
+    ``stream_interval_join``) are the stateful cousin; reach for this
+    form whenever one side is a table."""
+    return events.join(dim, on, how)

@@ -146,6 +146,16 @@ def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir):
     q19 = plan_of("q19_disjunctive")
     assert "HashJoin" in q19 or "SortMergeJoin" in q19
     assert "NestedLoop" not in q19 and "CartesianProduct" not in q19
+    # r7 shapes: q21's double correlation must yield BOTH a LeftSemi
+    # (EXISTS) and a LeftAnti (NOT EXISTS) hash join over the same fact
+    q21 = plan_of("q21_waiting_supplier")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "CartesianProduct" not in q21
+    # and no shape anywhere may plan a cartesian product or per-row
+    # subquery loop over a fact table
+    for name in tpch_shapes.SHAPES:
+        p = plan_of(name)
+        assert "CartesianProduct" not in p, name
 
 
 def test_join_strategy_hints_are_honored(spark, sf_dir):

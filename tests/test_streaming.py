@@ -461,3 +461,38 @@ def test_stream_interval_join_outer_equals_batch(spark, sf_dir):
     # the outer rows are non-vacuous: some clicks really are unmatched
     n_null = streamed.filter(F.col("purchase_id").isNull()).count()
     assert n_null > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir):
+    """Stream-static join: streamed events enriched with the customer
+    dim drain (availableNow) to exactly the batch join's rows — nulls
+    preserved for facts without a dim row under the left form."""
+    from distributed_computing_platform_mapreduce_spark.streaming.joins_dedup import (
+        stream_enrich_static,
+    )
+    from distributed_computing_platform_mapreduce_spark.streaming.windows import run_to_memory, stream_events
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_enrich_static(
+        stream_events(spark, sf_dir).select("event_id", "user_id", "value"),
+        dim,
+        on="user_id",
+    )
+    # append mode: a stream-static join is stateless row-wise output
+    # (run_to_memory's complete mode is for aggregations)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_static_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_static_enrich")
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    want = events.join(dim, "user_id", "left")
+    cols = ["event_id", "user_id", "value", "c_mktsegment"]
+    assert _rows(got.select(*cols), cols) == _rows(want.select(*cols), cols)
+    assert got.count() == events.count()  # left join keeps every fact

@@ -165,3 +165,50 @@ def train_valid_split(
     cut = F.lit(int(valid_frac * _P))
     pr = _priority(id_col, seed)
     return df.filter(pr >= cut), df.filter(pr < cut)
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str = "bin",
+    relative_error: float = 1e-3,
+) -> tuple[DataFrame, list[float]]:
+    """Equi-population binning of a numeric column → ``(df + out_col
+    int, cut_points)`` — the step that turns a continuous quality/score
+    column into the low-cardinality stratum the samplers
+    (``stratified_sample_exact``, ``mixture_sample``) and partition
+    layouts want.
+
+    Scale shape: cut points come from ``approxQuantile`` (the
+    Greenwald–Khanna sketch — one pass, mergeable per partition,
+    driver collect bounded at n_bins−1 doubles), and the bin assignment
+    is a pure JVM expression (sum of ``col > cut`` over the broadcast
+    cut list — codegen-friendly at sane n_bins). The exact alternative
+    (``ntile`` window) is a GLOBAL sort — the n_bins-quantile answer no
+    100 TB plan should buy when a sketch with 1e-3 relative error costs
+    one scan.
+
+    Rows with NULL get bin −1. Returns the cut points so callers can
+    bin FUTURE increments identically (apply ``assign_bins``) instead
+    of re-sketching a moving corpus."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be ≥ 2, got {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.approxQuantile(col, probs, relative_error)
+    return assign_bins(df, col, cuts, out_col), cuts
+
+
+def assign_bins(
+    df: DataFrame, col: str, cut_points: list[float], out_col: str = "bin"
+) -> DataFrame:
+    """Assign ``out_col`` = number of ``cut_points`` strictly below
+    ``col`` (NULL → −1). Pure expression over a broadcast constant
+    list; used by :func:`quantile_bins` and directly on later
+    increments with the SAME cuts for consistent strata over time."""
+    expr = F.lit(0)
+    for c in cut_points:
+        expr = expr + F.when(F.col(col) > F.lit(float(c)), 1).otherwise(0)
+    return df.withColumn(
+        out_col, F.when(F.col(col).isNull(), F.lit(-1)).otherwise(expr).cast("int")
+    )

@@ -3316,3 +3316,47 @@ def test_bpe_merges_txt_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df, merges).collect()}
     b = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe.bpe_encode(df, loaded).collect()}
     assert a == b
+
+
+def test_quantile_bins_equipopulation_and_increments(spark, sf_dir):
+    """Quantile binning: bins are monotone in the column, populations
+    are near-equal (sketch-tolerance), NULLs land in -1, and a later
+    increment binned with the SAME cuts gets consistent strata."""
+    from distributed_computing_platform_mapreduce_spark.operators.sampling import (
+        assign_bins,
+        quantile_bins,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_bins = 8
+    binned, cuts = quantile_bins(orders, "o_totalprice", n_bins)
+    assert len(cuts) == n_bins - 1 and cuts == sorted(cuts)
+    rows = binned.collect()
+    n = len(rows)
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault(r["bin"], []).append(r["o_totalprice"])
+    assert set(by_bin) <= set(range(n_bins))
+    # near-equal populations (GK sketch at 1e-3 is near-exact here)
+    for b, vals in by_bin.items():
+        assert abs(len(vals) - n / n_bins) <= max(5, 0.05 * n), (b, len(vals))
+    # monotone: every value in bin b <= every value in bin b+2
+    maxs = {b: max(v) for b, v in by_bin.items()}
+    mins = {b: min(v) for b, v in by_bin.items()}
+    for b in range(n_bins - 2):
+        if b in maxs and (b + 2) in mins:
+            assert maxs[b] <= mins[b + 2]
+
+    # nulls -> -1; increments binned with the same cuts agree
+    withnull = spark.createDataFrame([(1, None), (2, 5.0)], "id long, v double")
+    nb = {r["id"]: r["bin"] for r in assign_bins(withnull, "v", cuts).collect()}
+    assert nb[1] == -1
+    inc = orders.limit(50)
+    a = {r["o_orderkey"]: r["bin"] for r in assign_bins(inc, "o_totalprice", cuts).collect()}
+    b = {r["o_orderkey"]: r["bin"] for r in binned.collect() if r["o_orderkey"] in a}
+    assert a == b
+    try:
+        quantile_bins(orders, "o_totalprice", 1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

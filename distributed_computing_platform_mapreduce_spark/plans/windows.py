@@ -20,13 +20,20 @@ from distributed_computing_platform_mapreduce_spark.sources.catalog import load_
 @query(
     "window_ranking_suite",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk, quartile
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk, quartile,
+           pct_rnk, cdist, sum_nearby
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER w AS rn,
-             rank()       OVER w AS rnk,
-             dense_rank() OVER w AS drnk,
-             ntile(4)     OVER w AS quartile
+             row_number()   OVER w AS rn,
+             rank()         OVER w AS rnk,
+             dense_rank()   OVER w AS drnk,
+             ntile(4)       OVER w AS quartile,
+             percent_rank() OVER w AS pct_rnk,
+             cume_dist()    OVER w AS cdist,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                        RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS sum_nearby
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     )
@@ -34,11 +41,20 @@ from distributed_computing_platform_mapreduce_spark.sources.catalog import load_
     """,
 )
 def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four ranking functions over one window + per-group top-k — the
-    distributed replacement for the reference's global-only sort (E10).
-    One shuffle on the group key; the four functions share a single sort."""
+    """Every SQL ranking/distribution function over one window
+    (row_number/rank/dense_rank/ntile + percent_rank/cume_dist, r7) +
+    per-group top-k + a genuine value-based RANGE frame (100 orderkeys
+    back — gaps matter, unlike ROWS) — the distributed replacement for
+    the reference's global-only sort (E10). One shuffle on the group
+    key; the six ranking functions share a single sort, the RANGE frame
+    adds one more sort on the same partitioning (no extra exchange).
+    percent_rank/cume_dist are exact small-int ratios in double — both
+    engines compute them bit-identically, so they hash-compare."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    nearby = (
+        Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, 0)
+    )
     return (
         o.select(
             "o_custkey",
@@ -48,6 +64,9 @@ def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
             F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.sum(money("o_totalprice")).over(nearby).cast("double").alias("sum_nearby"),
         )
         .filter(F.col("rn") <= 3)
     )

@@ -7,6 +7,7 @@ All built-in expressions — no per-row Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -212,4 +213,97 @@ def bigram_lm_scores(
         .crossJoin(F.broadcast(vocab))
         .groupBy("id")
         .agg(F.count("*").alias("n_bigrams"), F.avg(logp).alias("avg_logp"))
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFKC",
+    lower: bool = False,
+    strip_accents: bool = False,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode-normalize a text column — the preprocessing step web
+    corpora need BEFORE dedup/tokenization (NFC-vs-NFD twins of the
+    same visible text otherwise hash apart, full-width forms miss
+    ASCII-keyed vocab, etc.). Spark has no built-in Unicode
+    normalization, so this is an Arrow-batched ``unicodedata`` pass —
+    one scan, no shuffle, composing with every downstream operator.
+
+    ``strip_accents`` decomposes to NFD and drops combining marks
+    (then re-applies ``form``); ``collapse_whitespace`` maps runs of
+    Unicode whitespace to single spaces and trims. Applied in the
+    deterministic order normalize → strip_accents → lower → whitespace,
+    so the output is a pure function of (text, flags)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC|NFD|NFKC|NFKD, got {form!r}")
+    ensure_shipped(df.sparkSession)
+    out = out_col or text_col
+
+    def one(t: str) -> str:
+        s = unicodedata.normalize(form, t)
+        if strip_accents:
+            s = unicodedata.normalize(
+                form,
+                "".join(
+                    c for c in unicodedata.normalize("NFD", s)
+                    if not unicodedata.combining(c)
+                ),
+            )
+        if lower:
+            s = s.lower()
+        if collapse_whitespace:
+            s = " ".join(s.split())
+        return s
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: one(t) if t is not None else None)
+
+    return df.withColumn(out, norm(F.col(text_col)))
+
+
+#: URL pattern: scheme://host[:port][/path][?query][#fragment] — RE2-safe
+#: (no backtracking constructs), anchored, case-normalized host.
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/:?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+
+
+def extract_url_parts(
+    df: DataFrame, url_col: str = "url", prefix: str = ""
+) -> DataFrame:
+    """Split a URL column into typed parts — ``scheme``, ``host``,
+    ``registered_domain`` (last two host labels — the statistical
+    workhorse for per-site caps/dedup; a full public-suffix list is a
+    deployment swap-in), ``port`` (int, −1 if absent), ``path``,
+    ``query``, ``fragment``. Pure JVM ``regexp_extract`` — one scan,
+    codegen, no Python; malformed URLs yield empty strings (and −1
+    port), never an error row."""
+    c = F.col(url_col)
+    host = F.lower(F.regexp_extract(c, _URL_RE, 2))
+    p = prefix
+    labels = F.split(host, r"\.")
+    nlab = F.size(labels)
+    regdom = F.when(
+        nlab >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+    return df.select(
+        "*",
+        F.regexp_extract(c, _URL_RE, 1).alias(f"{p}scheme"),
+        host.alias(f"{p}host"),
+        regdom.alias(f"{p}registered_domain"),
+        F.when(F.regexp_extract(c, _URL_RE, 3) != "", F.regexp_extract(c, _URL_RE, 3).cast("int"))
+        .otherwise(F.lit(-1))
+        .alias(f"{p}port"),
+        F.regexp_extract(c, _URL_RE, 4).alias(f"{p}path"),
+        F.regexp_extract(c, _URL_RE, 5).alias(f"{p}query"),
+        F.regexp_extract(c, _URL_RE, 6).alias(f"{p}fragment"),
     )

@@ -3318,6 +3318,87 @@ def test_bpe_merges_txt_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_normalize_text_unicode_forms(spark):
+    """Unicode normalization: NFC/NFD twins converge, full-width forms
+    fold under NFKC, accents strip to base letters, whitespace
+    collapses — and the normalized twins then dedup EXACTLY (the
+    motivating composition)."""
+    import unicodedata
+
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+    from distributed_computing_platform_mapreduce_spark.operators.text import normalize_text
+
+    nfc = unicodedata.normalize("NFC", "café résumé")
+    nfd = unicodedata.normalize("NFD", "café résumé")
+    assert nfc != nfd  # the problem being solved
+    rows = [
+        (0, nfc),
+        (1, nfd),
+        (2, "ＨＥＬＬＯ world"),  # full-width HELLO
+        (3, "HELLO   world"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(
+            df, lower=True, strip_accents=True, collapse_whitespace=True
+        ).collect()
+    }
+    assert out[0] == out[1] == "cafe resume"
+    assert out[2] == out[3] == "hello world"
+    assert out[4] is None
+    # composition: normalized twins dedup exactly (min id survives)
+    survivors = dd.dedup_exact(
+        normalize_text(df.filter(F.col("text").isNotNull()), lower=True,
+                       strip_accents=True, collapse_whitespace=True),
+        ["text"], "doc_id",
+    )
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [0, 2]
+    try:
+        normalize_text(df, form="XXX")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_extract_url_parts(spark):
+    """URL parsing as pure JVM regex: parts round out, hosts lowercase,
+    registered domain = last two labels, malformed rows never error."""
+    from distributed_computing_platform_mapreduce_spark.operators.text import extract_url_parts
+
+    rows = [
+        (0, "https://WWW.Example.COM/a/b?x=1&y=2#frag"),
+        (1, "http://sub.deep.example.co:8080/path"),
+        (2, "ftp://files.archive.org"),
+        (3, "not a url at all"),
+        (4, "https://localhost/x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r for r in extract_url_parts(df).collect()}
+    assert out[0]["scheme"] == "https"
+    assert out[0]["host"] == "www.example.com"
+    assert out[0]["registered_domain"] == "example.com"
+    assert out[0]["path"] == "/a/b" and out[0]["query"] == "x=1&y=2"
+    assert out[0]["fragment"] == "frag" and out[0]["port"] == -1
+    assert out[1]["port"] == 8080 and out[1]["registered_domain"] == "example.co"
+    assert out[2]["path"] == "" and out[2]["registered_domain"] == "archive.org"
+    assert out[3]["scheme"] == "" and out[3]["host"] == "" and out[3]["port"] == -1
+    assert out[4]["registered_domain"] == "localhost"
+    # per-domain capping composition: strata = registered_domain
+    from distributed_computing_platform_mapreduce_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    capped = stratified_sample_exact(
+        extract_url_parts(df), ["registered_domain"], "id", 1
+    )
+    assert (
+        capped.count()
+        == extract_url_parts(df).select("registered_domain").distinct().count()
+    )
+
+
 def test_quantile_bins_equipopulation_and_increments(spark, sf_dir):
     """Quantile binning: bins are monotone in the column, populations
     are near-equal (sketch-tolerance), NULLs land in -1, and a later

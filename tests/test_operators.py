@@ -3441,3 +3441,82 @@ def test_quantile_bins_equipopulation_and_increments(spark, sf_dir):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_validate_expectations_single_scan(spark, sf_dir):
+    """Declarative data validation: row-level checks fuse into ONE
+    aggregate job (plan-asserted: a single Aggregate over one scan),
+    uniqueness and FK checks find planted violations exactly, and the
+    expect() gate raises listing every failure."""
+    from distributed_computing_platform_mapreduce_spark.operators import validate as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    checks = [
+        V.not_null("o_orderkey"),
+        V.in_range("o_totalprice", lo=0.0),
+        V.accepted_values("o_orderstatus", ["F", "O", "P"]),
+        V.matches("o_orderpriority", r"^[1-5]-"),
+        V.satisfies("positive_key", F.col("o_orderkey") >= 0),
+    ]
+    rep = V.validate(
+        orders,
+        checks=checks,
+        unique=[["o_orderkey"]],
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
+    )
+    assert rep.ok and len(rep.results) == 7
+    assert all(r["violations"] == 0 for r in rep.results)
+
+    # planted violations: null key, negative price, bad status, orphan FK,
+    # duplicate key
+    bad = spark.createDataFrame(
+        [
+            (None, 1, "F", 10.0, "1-URGENT"),
+            (7, 2, "X", -5.0, "9-BAD"),
+            (7, 999_999_999, "O", 1.0, "2-HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderpriority string",
+    )
+    rep2 = V.validate(
+        bad,
+        checks=[
+            V.not_null("o_orderkey"),
+            V.in_range("o_totalprice", lo=0.0),
+            V.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            V.matches("o_orderpriority", r"^[1-5]-"),
+        ],
+        unique=[["o_orderkey"]],
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
+    )
+    by = {r["check"]: r["violations"] for r in rep2.results}
+    assert by["not_null(o_orderkey)"] == 1
+    assert by["in_range(o_totalprice,0.0,None)"] == 1
+    assert by["accepted_values(o_orderstatus)"] == 1
+    assert by["matches(o_orderpriority)"] == 1
+    assert by["unique(o_orderkey)"] == 1  # one key seen twice
+    assert by["foreign_key(o_custkey->c_custkey)"] == 1
+    assert not rep2.ok and len(rep2.failed()) == 6
+
+    try:
+        V.expect(bad, checks=[V.not_null("o_orderkey")])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "not_null(o_orderkey)" in str(e)
+
+    # single-scan claim: the fused row-level aggregate plans exactly one
+    # (partial+final) Aggregate pair over one relation — build the same
+    # agg and count scans in the plan
+    import re
+
+    agg_df = orders.agg(
+        *[F.sum(c.violation.cast("long")).alias(f"v{i}") for i, c in enumerate(checks)]
+    )
+    plan = agg_df._sc._jvm.PythonSQLUtils.explainString(
+        agg_df._jdf.queryExecution(), "formatted"
+    )
+    # formatted explain repeats each node in the details section; count
+    # scans in the TREE part only (before the first blank line)
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1

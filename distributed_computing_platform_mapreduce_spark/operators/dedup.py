@@ -766,6 +766,7 @@ def hamming_pairs(
     hash_col: str = "simhash",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs among 64-bit fingerprints by hamming distance,
     block-LSH (pigeonhole) style — the shared candidate machinery behind
@@ -775,7 +776,18 @@ def hamming_pairs(
     and we cut into ``blocks`` ≥ max_hamming+1 equal blocks, at least
     one block matches exactly → candidates join on (block_idx,
     block_value), then verify popcount of XOR. Avoids the O(n²) cross
-    join; the shuffle carries blocks·n rows keyed by block value."""
+    join; the shuffle carries blocks·n rows keyed by block value.
+
+    ``max_bucket_size`` is the mega-bucket guard for degenerate prints
+    (blank images, empty documents, boilerplate hashing to one value):
+    a single (block, value) bucket holding k rows contributes O(k²)
+    candidate pairs, so one degenerate value can turn the banded join
+    quadratic. When set, buckets larger than the bound are EXCLUDED
+    (one extra groupBy on the same key the join shuffles on) — the
+    pigeonhole recall guarantee then holds only for pairs with at least
+    one matching block in a surviving bucket; content frequent enough
+    to blow the bound is near-identical boilerplate a curation pipeline
+    drops wholesale anyway (the Dolma/RefinedWeb policy)."""
     if 64 % blocks != 0:
         raise ValueError(f"blocks must divide 64, got {blocks}")
     if blocks < max_hamming + 1:
@@ -802,6 +814,16 @@ def hamming_pairs(
             )
         ).alias("bb"),
     ).select("id", "__h", "bb.blk", "bb.blkval")
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError(f"max_bucket_size must be ≥ 1, got {max_bucket_size}")
+        ok_buckets = (
+            blocked.groupBy("blk", "blkval")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("blk", "blkval")
+        )
+        blocked = blocked.join(ok_buckets, ["blk", "blkval"], "left_semi")
     a = blocked.alias("a")
     b = blocked.alias("b")
     return (

@@ -3318,6 +3318,33 @@ def test_bpe_merges_txt_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_hamming_pairs_mega_bucket_guard(spark):
+    """max_bucket_size excludes degenerate buckets (one print value held
+    by half the corpus would make the banded join quadratic) while
+    normal near-dup pairs keep full pigeonhole recall."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    rows = [(i, 0) for i in range(50)]  # 50 degenerate all-zero prints
+    rows += [(100, 0x0123456789ABCDE0), (101, 0x0123456789ABCDE1)]  # true pair, hamming 1
+    rows += [(200, -0x7123456789ABCDE0)]
+    df = spark.createDataFrame(rows, "id long, h long")
+
+    unguarded = dd.hamming_pairs(df, hash_col="h", max_hamming=3, blocks=8)
+    assert unguarded.filter("id_a < 100").count() == 50 * 49 // 2  # quadratic blowup
+
+    guarded = dd.hamming_pairs(
+        df, hash_col="h", max_hamming=3, blocks=8, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert (100, 101) in got  # real pair survives every guard
+    assert not any(a < 100 and b < 100 for a, b in got)  # degenerates dropped
+    try:
+        dd.hamming_pairs(df, hash_col="h", max_bucket_size=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_normalize_text_unicode_forms(spark):
     """Unicode normalization: NFC/NFD twins converge, full-width forms
     fold under NFKC, accents strip to base letters, whitespace

@@ -213,6 +213,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     cache_shingles: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, verified exactly.
 
@@ -296,6 +297,21 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        # mega-bucket guard (same policy + shape as hamming_pairs): a
+        # band bucket holding k docs yields O(k^2) candidates — mass
+        # duplication that verification would only confirm pair by
+        # pair; over-full buckets drop wholesale, recall holds for
+        # pairs sharing any surviving band
+        if max_bucket_size < 1:
+            raise ValueError(f"max_bucket_size must be ≥ 1, got {max_bucket_size}")
+        ok_b = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok_b, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (

@@ -3547,3 +3547,26 @@ def test_validate_expectations_single_scan(spark, sf_dir):
     # scans in the TREE part only (before the first blank line)
     tree = plan.split("\n\n")[0]
     assert len(re.findall(r"Scan parquet", tree)) == 1
+
+
+def test_minhash_lsh_mega_bucket_guard(spark):
+    """max_bucket_size on the MinHash-LSH banding: a 40-way exact-dup
+    cluster (every band bucket holds all 40) drops wholesale, while an
+    ordinary near-dup pair in the same corpus keeps its pairs; default
+    behavior (None) is unchanged quadratic-verify."""
+    boiler = "the same boilerplate footer text repeated on every single page " * 3
+    rows = [(i, boiler) for i in range(40)]
+    rows += [
+        (100, "a genuinely unique document about spark plans and shuffles today ok"),
+        (101, "a genuinely unique document about spark plans and shuffles today yes"),
+        (200, "completely unrelated text mentioning nothing from the others at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5, cache_shingles=False)
+    assert base.filter("id_a < 100").count() == 40 * 39 // 2
+    guarded = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, cache_shingles=False, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)

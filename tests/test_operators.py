@@ -3570,3 +3570,43 @@ def test_minhash_lsh_mega_bucket_guard(spark):
     got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
     assert (100, 101) in got
     assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_hll_sketch_tables_incremental_distinct(spark, sf_dir):
+    """Mergeable HLL sketch tables: per-group estimates within the
+    documented error band vs exact distinct counts; two increments
+    sketched separately then merged equal (within band) the one-shot
+    sketch of the union — the incremental-statistics contract."""
+    from distributed_computing_platform_mapreduce_spark.operators import sketches as S
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    sk = S.hll_sketch_table(e, ["event_type"], "user_id")
+    est = {r["event_type"]: r["n_distinct"] for r in S.hll_estimate(sk, ["event_type"]).collect()}
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, est[k], exact[k])
+
+    # incremental: sketch two disjoint halves, merge, compare to one-shot
+    a = e.filter(F.col("user_id") % 2 == 0)
+    b = e.filter(F.col("user_id") % 2 == 1)
+    merged = S.hll_merge_tables(
+        [S.hll_sketch_table(a, ["event_type"], "user_id"),
+         S.hll_sketch_table(b, ["event_type"], "user_id")],
+        ["event_type"],
+    )
+    est_m = {r["event_type"]: r["n_distinct"] for r in S.hll_estimate(merged, ["event_type"]).collect()}
+    assert est_m == est  # same sketch algebra → identical estimates
+
+    # whole-corpus rollup scalar
+    total_exact = e.select(F.countDistinct("user_id")).collect()[0][0]
+    assert abs(S.hll_total(sk) - total_exact) <= max(2, 0.05 * total_exact)
+
+    try:
+        S.hll_merge_tables([], ["event_type"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

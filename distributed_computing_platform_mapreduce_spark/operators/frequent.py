@@ -73,22 +73,35 @@ def heavy_hitters(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     ensure_shipped(df.sparkSession)
-    col_dtype = dict(df.select(col).dtypes)[col]
+
+    # The candidate pass runs over a STRING cast of the column: Arrow→
+    # pandas converts a nullable int64 batch to float64, which (a) turns
+    # nulls into NaN values `v is not None` would mis-count (each float
+    # NaN is a distinct dict key) and (b) rounds integer values above
+    # 2^53 so the recount join would MISS a guaranteed heavy hitter.
+    # Strings survive the round-trip exactly for every atomic type; the
+    # recount joins on the same cast, so final counts key the ORIGINAL
+    # column values.
+    as_str = df.select(F.col(col).cast("string").alias(col))
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[col]:
-                if v is not None:
-                    _misra_gries_update(counters, v, k)
+            for v in pdf[col].dropna():
+                _misra_gries_update(counters, v, k)
         yield pd.DataFrame({col: list(counters.keys())}, dtype=object)
 
     candidates = (
-        df.select(col).mapInPandas(summarize, f"{col} {col_dtype}").distinct()
+        as_str.mapInPandas(summarize, f"{col} string").distinct()
     )  # ≤ partitions·k rows — broadcast-bounded by construction
+    cand = candidates.select(F.col(col).alias("__cand"))
     counted = (
         df.select(col)
-        .join(F.broadcast(candidates), col, "left_semi")
+        .join(
+            F.broadcast(cand),
+            F.col(col).cast("string") == F.col("__cand"),
+            "left_semi",
+        )
         .groupBy(col)
         .agg(F.count("*").alias("count"))
     )

@@ -882,6 +882,8 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-INDEX sampling plumbing: one row per sampled frame index
     (JVM-side explode, no decode — cheap fan-out when only indices are
     needed). ``sample_frames`` below is the decoding form."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be ≥ 1, got {every_n}")
     return media.select(
         "media_id",
         "kind",
@@ -1104,6 +1106,8 @@ def frame_phash(
 
     if method not in ("dhash", "phash"):
         raise ValueError(f"method must be dhash|phash, got {method!r}")
+    if every_n < 1:
+        raise ValueError(f"every_n must be ≥ 1, got {every_n}")
     ensure_shipped(media.sparkSession)
     fn = dhash64 if method == "dhash" else phash64
     id_dtype = dict(media.select(id_col).dtypes)[id_col]
@@ -1229,9 +1233,13 @@ def ahash64(samples: np.ndarray, rate: int) -> int:
     collapsed from mean ~28 to ~14 with sums)."""
     mono = samples.astype(np.float64).mean(axis=1) if samples.ndim == 2 else samples.astype(np.float64)
     n = len(mono)
-    if n < 16:
-        mono = np.pad(mono, (0, 16 - n))
-        n = 16
+    # pad short clips to 512 samples (64/segment → 33 rFFT bins): below
+    # that the 10 log-spaced band edges outrun the bin count, the empty
+    # band slices mean to NaN, and every short clip degenerates to the
+    # same constant-bit fingerprint (false near-dup pairs + warning spam)
+    if n < 512:
+        mono = np.pad(mono, (0, 512 - n))
+        n = 512
     seg_len = n // 8
     mono = mono[: seg_len * 8].reshape(8, seg_len)
     spec = np.abs(np.fft.rfft(mono, axis=1)) ** 2  # (8, seg_len//2+1)
@@ -1251,11 +1259,7 @@ def ahash64(samples: np.ndarray, rate: int) -> int:
         axis=1,
     )  # (8, 9)
     bits = (energies[:, :-1] > energies[:, 1:]).ravel()  # (8, 8) → 64
-    v = 0
-    for i, b in enumerate(bits[:64]):
-        if b:
-            v |= 1 << i
-    return v - (1 << 64) if v >= (1 << 63) else v
+    return _pack_bits64(bits)
 
 
 def audio_phash(

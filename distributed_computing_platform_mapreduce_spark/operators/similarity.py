@@ -756,16 +756,20 @@ def _pq_train_distributed(
         for it in range(iters):
             bks = books  # rebind for closure capture per round
 
-            @F.pandas_udf("array<tinyint>")
+            # smallint, NOT tinyint: ivf_train runs this path at
+            # n_centroids ≫ 127 (the 32k-centroid regime the IVF
+            # docstring recommends); int8 codes would wrap negative and
+            # silently scatter the centroid update across wrong rows
+            @F.pandas_udf("array<smallint>")
             def assign(s: pd.Series) -> pd.Series:
                 if len(s) == 0:
                     return pd.Series([], dtype=object)
                 mat = np.array(list(s), dtype=np.float64)
-                codes = np.empty((len(mat), m), dtype=np.int8)
+                codes = np.empty((len(mat), m), dtype=np.int16)
                 for j in range(m):
                     x = mat[:, j * sub : (j + 1) * sub]
                     d2 = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
-                    codes[:, j] = d2.argmin(axis=1).astype(np.int8)
+                    codes[:, j] = d2.argmin(axis=1).astype(np.int16)
                 return pd.Series(list(codes))
 
             agg_df = (
@@ -807,6 +811,13 @@ def pq_assign(
     from pyspark.sql.functions import pandas_udf
 
     books = codebooks
+    if np.asarray(books).shape[1] > 127:
+        raise ValueError(
+            "pq_assign stores codes as tinyint (the 32-64x compression "
+            f"contract); k={np.asarray(books).shape[1]} > 127 cannot be "
+            "represented — use k <= 127 subspace centroids (PQ quality "
+            "comes from more subspaces m, not bigger k)"
+        )
 
     @pandas_udf("array<tinyint>")
     def assign(s: pd.Series) -> pd.Series:

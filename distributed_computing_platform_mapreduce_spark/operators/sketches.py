@@ -60,4 +60,5 @@ def hll_total(table: DataFrame) -> int:
     row = table.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n")
     ).collect()[0]
-    return int(row["n"])
+    # an EMPTY sketch table unions to NULL — zero distinct, not a crash
+    return int(row["n"]) if row["n"] is not None else 0

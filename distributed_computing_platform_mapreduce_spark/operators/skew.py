@@ -130,9 +130,16 @@ def read_values_bucketed(
     not the corpus."""
     df = spark.read.parquet(path)
     if key is not None:
+        # CAST the literal to the stored key column's type before
+        # hashing: xxhash64 is type-sensitive (xxhash64(int 5) !=
+        # xxhash64(bigint 5)), so an untyped literal of a different
+        # width would compute the WRONG bucket and silently return an
+        # empty read for a key that exists on disk
+        key_dtype = dict(df.select(key_col).dtypes)[key_col]
+        lit = F.lit(key).cast(key_dtype)
         b = (
             spark.range(1)
-            .select(F.pmod(F.xxhash64(F.lit(key)), F.lit(n_buckets)).alias("b"))
+            .select(F.pmod(F.xxhash64(lit), F.lit(n_buckets)).alias("b"))
             .collect()[0]["b"]
         )
         df = df.filter((F.col("__kb") == b) & (F.col(key_col) == key))

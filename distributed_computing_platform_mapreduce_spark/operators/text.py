@@ -273,7 +273,9 @@ def normalize_text(
 
 #: URL pattern: scheme://host[:port][/path][?query][#fragment] — RE2-safe
 #: (no backtracking constructs), anchored, case-normalized host.
-_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/:?#]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+#: Optional userinfo (user[:pass]@) is consumed before the host so
+#: credentials never leak into host/domain columns.
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:[^/?#@]*@)?([^/:?#@]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
 
 
 def extract_url_parts(
@@ -300,9 +302,18 @@ def extract_url_parts(
         F.regexp_extract(c, _URL_RE, 1).alias(f"{p}scheme"),
         host.alias(f"{p}host"),
         regdom.alias(f"{p}registered_domain"),
-        F.when(F.regexp_extract(c, _URL_RE, 3) != "", F.regexp_extract(c, _URL_RE, 3).cast("int"))
-        .otherwise(F.lit(-1))
-        .alias(f"{p}port"),
+        # cast through long, then range-check: a silly \d+ run larger
+        # than int (port spam) must yield -1, not an overflow NULL
+        F.coalesce(
+            F.when(
+                F.regexp_extract(c, _URL_RE, 3) != "",
+                F.when(
+                    F.regexp_extract(c, _URL_RE, 3).cast("long").between(0, 65535),
+                    F.regexp_extract(c, _URL_RE, 3).cast("long").cast("int"),
+                ),
+            ),
+            F.lit(-1),
+        ).alias(f"{p}port"),
         F.regexp_extract(c, _URL_RE, 4).alias(f"{p}path"),
         F.regexp_extract(c, _URL_RE, 5).alias(f"{p}query"),
         F.regexp_extract(c, _URL_RE, 6).alias(f"{p}fragment"),

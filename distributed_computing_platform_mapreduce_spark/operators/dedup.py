@@ -1113,3 +1113,31 @@ def incremental_dedup(
     )
     surviving_index = new_index.join(dead, "id", "left_anti")
     return survivors, history_index.unionAll(surviving_index)
+
+
+def bucket_stats(df: DataFrame, key_cols: list[str]) -> dict:
+    """Candidate-cost advisor for any banded/bucketed join: one
+    aggregate over the bucket keys → ``{n_rows, n_buckets,
+    max_bucket, est_candidate_pairs}`` where est_candidate_pairs =
+    Σ n·(n−1)/2 over buckets — the EXACT pair count the self-join would
+    emit. Run it on the blocked/banded table BEFORE ``hamming_pairs`` /
+    ``minhash_lsh_pairs`` to size ``max_bucket_size`` (or decide the
+    corpus is mass-duplicated) for the cost of one groupBy instead of
+    discovering the blowup mid-join."""
+    row = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("__n"))
+        .agg(
+            F.sum("__n").alias("rows"),
+            F.count("*").alias("buckets"),
+            F.max("__n").alias("mx"),
+            F.sum(F.col("__n") * (F.col("__n") - 1) / 2).alias("pairs"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_rows": int(row["rows"] or 0),
+        "n_buckets": int(row["buckets"] or 0),
+        "max_bucket": int(row["mx"] or 0),
+        "est_candidate_pairs": int(row["pairs"] or 0),
+    }

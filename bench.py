@@ -400,6 +400,48 @@ def _canary_verdict(pre: dict[str, float], post: dict[str, float]) -> dict:
     return {"drift_pct": drift, "load_contaminated": g is not None and g > 10.0}
 
 
+def _media_times(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+    """Image near-dedup wall time: synthesize one PPM image per document
+    (deterministic pixels — part of the honest cost, like the reference
+    reading its corpus), perceptual-hash every payload, and run the
+    hamming block join + a transform-twin recall probe. Times the whole
+    r7 media-dedup path end to end at sf scale."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+
+    def run():
+        # the tiny doc-id scan arrives in ~2 partitions; spread the
+        # Python-side synthesis/decode across all cores (the production
+        # media table would already be many files)
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id")
+            .repartition(32)
+        )
+        base = mm.media_from_documents(docs, width=32, height=32)
+        # resized twins for half the docs: pairs the join must find
+        twins = mm.resize_images(
+            base.filter(F.pmod("media_id", F.lit(2)) == 0), 64, 64
+        ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+        media = base.unionAll(twins)
+        pairs = mm.image_neardup_pairs(media, max_hamming=6, blocks=8)
+        assert pairs.count() >= 0
+
+    try:
+        run()  # warm plan shape
+        med, lo, hi = _timed_median(run)
+        times["image_neardup"] = med
+        spread["image_neardup"] = [lo, hi]
+    except Exception as exc:  # noqa: BLE001
+        errors["image_neardup"] = _error_line(exc)
+    return times, spread, errors
+
+
 def _error_line(exc: BaseException) -> str:
     """One-line error summary for the JSON report (no newlines — the
     report must stay a single JSON line)."""
@@ -463,6 +505,14 @@ def main() -> None:
         errors.update(sk_errors)
     except Exception as exc:  # noqa: BLE001
         errors["skew"] = _error_line(exc)
+
+    try:
+        m_times, m_spread, m_errors = _media_times(spark, sf_dir)
+        times.update(m_times)
+        spread.update(m_spread)
+        errors.update(m_errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["media"] = _error_line(exc)
 
     try:
         canary_post = _measure_canary(spark)

@@ -830,6 +830,12 @@ def hamming_pairs(
             )
         ).alias("bb"),
     ).select("id", "__h", "bb.blk", "bb.blkval")
+    # The self-join consumes `blocked` twice, and upstream print
+    # pipelines are expensive (simhash's vote aggregation; perceptual
+    # hashes DECODE the media). Cut the lineage so the prints compute
+    # once — the checkpoint is bounded at blocks·n 16-byte rows (lazy:
+    # materializes inside the join's first job).
+    blocked = blocked.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         if max_bucket_size < 1:
             raise ValueError(f"max_bucket_size must be ≥ 1, got {max_bucket_size}")

@@ -694,3 +694,75 @@ def test_hamming_pairs_match_bruteforce(spark, prints, max_hamming, blocks):
             if d <= max_hamming:
                 want[(i, j)] = d
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.text("abcdef", min_size=1, max_size=4)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_capped_collect_matches_python(spark, rows, cap):
+    """capped_collect_sorted == per-key sorted-prefix in plain Python on
+    arbitrary (key, value) multisets — including duplicate values and
+    keys at/over/under the cap."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import capped_collect_sorted
+
+    df = spark.createDataFrame(
+        [(f"k{k}", v) for k, v in rows] or [("never", "x")], "k string, v string"
+    )
+    if not rows:
+        df = df.filter("k <> 'never'")
+    got = {
+        r["k"]: list(r["vals"])
+        for r in capped_collect_sorted(df, "k", "v", max_values=cap, out_col="vals", as_string=False).collect()
+    }
+    want: dict = {}
+    for k, v in rows:
+        want.setdefault(f"k{k}", []).append(v)
+    want = {k: sorted(vs)[:cap] for k, vs in want.items()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=-3, max_value=3), min_size=0, max_size=120),
+    st.integers(min_value=1, max_value=8),
+)
+def test_heavy_hitters_guarantee_property(spark, values, k):
+    """Misra–Gries + recount property: every value with frequency >
+    n/(k+1) is present, and every reported count equals the exact
+    count — on arbitrary generated multisets and any k."""
+    from distributed_computing_platform_mapreduce_spark.operators.frequent import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in values] or [(99,)], "v int")
+    if not values:
+        df = df.filter("v <> 99")
+    got = {r["v"]: r["count"] for r in heavy_hitters(df, "v", k=k).collect()}
+    exact = collections.Counter(values)
+    n = len(values)
+    for v, c in exact.items():
+        if c > n / (k + 1):
+            assert v in got, (v, c, n, k)
+    for v, c in got.items():
+        assert c == exact[v], (v, c, exact[v])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=20))
+def test_normalize_text_idempotent_property(spark, texts):
+    """normalize_text is idempotent under every flag combination tested
+    (Unicode normal forms are projections; strip/lower/collapse are
+    too) — normalizing twice equals normalizing once, on arbitrary
+    Unicode input including surrogune-adjacent and combining chars."""
+    from distributed_computing_platform_mapreduce_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    once = normalize_text(df, lower=True, strip_accents=True, collapse_whitespace=True)
+    twice = normalize_text(once, lower=True, strip_accents=True, collapse_whitespace=True)
+    a = {r["id"]: r["text"] for r in once.collect()}
+    b = {r["id"]: r["text"] for r in twice.collect()}
+    assert a == b

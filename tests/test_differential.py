@@ -757,7 +757,7 @@ def test_normalize_text_idempotent_property(spark, texts):
     """normalize_text is idempotent under every flag combination tested
     (Unicode normal forms are projections; strip/lower/collapse are
     too) — normalizing twice equals normalizing once, on arbitrary
-    Unicode input including surrogune-adjacent and combining chars."""
+    Unicode input including surrogate-adjacent and combining chars."""
     from distributed_computing_platform_mapreduce_spark.operators.text import normalize_text
 
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")

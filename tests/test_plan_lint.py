@@ -191,3 +191,48 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         assert joined["broadcast"] == joined["merge"] == joined["shuffle_hash"]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """The AQE runtime-bloom-filter lever a 100 TB fact-dim join leans
+    on: with the optimizer conf enabled and broadcast disabled (the
+    big-cluster SMJ regime), a selective join injects a bloom built
+    from one side as a might_contain predicate on the other side's
+    scan — rows drop BEFORE the shuffle. Results must equal the
+    filter-free plan."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(200_000).selectExpr("id AS k", "id % 997 AS payload").write.parquet(fact_p)
+    spark.range(100).selectExpr("id * 13 AS k").write.parquet(dim_p)
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter("k % 2 = 0")
+        j = fact.join(dim, "k")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        with_bloom = sorted(tuple(r) for r in j.collect())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # same answer without the runtime filter
+    plain = sorted(
+        tuple(r)
+        for r in spark.read.parquet(fact_p)
+        .join(spark.read.parquet(dim_p).filter("k % 2 = 0"), "k")
+        .collect()
+    )
+    assert with_bloom == plain and len(plain) == 50

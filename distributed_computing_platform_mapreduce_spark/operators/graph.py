@@ -101,3 +101,43 @@ def pagerank(
             # cut lineage before plans stack n_iter joins deep
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED reading of the edge
+    list → ``(id, triangles long)`` (nodes in no triangle omitted —
+    left-join a node table for zeros).
+
+    The classical shuffle-efficient shape: canonicalize each edge to
+    (lo, hi) and dedup (direction and multiplicity must not double-
+    count), then join the oriented edge list with itself on the shared
+    low endpoint to enumerate wedges (lo→a, lo→b with a < b), and
+    close each wedge by joining the (a, b) pair back against the edge
+    set. Orienting low→high bounds the wedge fan-out by each node's
+    LOW-degree, the standard mitigation that keeps a power-law hub
+    from exploding the wedge join (its wedges are generated from its
+    lower-degree neighbors instead). Every stage is an equi-join —
+    no cross product anywhere; self-loops are dropped."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed three times below
+    )
+    w1 = e.select(F.col("lo").alias("p"), F.col("hi").alias("a"))
+    w2 = e.select(F.col("lo").alias("p"), F.col("hi").alias("b"))
+    wedges = w1.join(w2, "p").filter(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("b")), ["a", "b"]
+    )
+    per_corner = (
+        closed.select(F.col("p").alias("id"))
+        .unionAll(closed.select(F.col("a").alias("id")))
+        .unionAll(closed.select(F.col("b").alias("id")))
+    )
+    return per_corner.groupBy("id").agg(F.count("*").alias("triangles"))

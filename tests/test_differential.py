@@ -766,3 +766,39 @@ def test_normalize_text_idempotent_property(spark, texts):
     a = {r["id"]: r["text"] for r in once.collect()}
     b = {r["id"]: r["text"] for r in twice.collect()}
     assert a == b
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=50
+    )
+)
+def test_triangle_count_matches_python(spark, edge_list):
+    """triangle_count vs a straight-line Python enumerator on arbitrary
+    generated graphs — self-loops, parallel and reversed duplicate
+    edges must not double-count."""
+    from distributed_computing_platform_mapreduce_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edge_list or [(99, 99)], "src int, dst int")
+    if not edge_list:
+        df = df.filter("src <> 99")
+    got = {r["id"]: r["triangles"] for r in triangle_count(df).collect()}
+
+    adj: dict = {}
+    for s, d in edge_list:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want: dict = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    for x in (u, v, w):
+                        want[x] = want.get(x, 0) + 1
+    assert got == want

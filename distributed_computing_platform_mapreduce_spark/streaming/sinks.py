@@ -67,3 +67,37 @@ def run_foreach_batch(
 def read_sink(spark: SparkSession, out_path: str) -> DataFrame:
     """Read the sink back, dropping the bookkeeping column."""
     return spark.read.parquet(out_path).drop("__batch_id")
+
+
+def topk_per_window_sink(path: str, k: int, window_col: str = "window_start", order_col: str = "n_events"):
+    """``foreachBatch`` writer maintaining the TOP-``k`` rows per event
+    window: streaming aggregations cannot rank in-query (no window
+    functions over a streaming agg), so the documented pattern is
+    update-mode counts → foreachBatch ranks the batch's UPDATED windows
+    and overwrites just those windows' partitions (dynamic overwrite —
+    a later update or a replay of the same batch REPLACES a window's
+    top-k, never duplicates it). The readout is always the current
+    top-k per window; at 100 TB the idempotence/commit unit is one
+    window directory."""
+    from pyspark.sql.window import Window
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy(window_col).orderBy(
+            F.col(order_col).desc(), *[F.col(c) for c in batch_df.columns if c not in (window_col, order_col)]
+        )
+        top = (
+            batch_df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            top.write.mode("overwrite").partitionBy(window_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return write_batch

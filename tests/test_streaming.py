@@ -496,3 +496,55 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
     cols = ["event_id", "user_id", "value", "c_mktsegment"]
     assert _rows(got.select(*cols), cols) == _rows(want.select(*cols), cols)
     assert got.count() == events.count()  # left join keeps every fact
+
+
+def test_streaming_windowed_topk_equals_batch(spark, tmp_path):
+    """Streaming windowed top-k through the foreachBatch rank+overwrite
+    pattern: drained availableNow in update mode, the sink holds
+    exactly the batch query's per-window top-3 event types."""
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import topk_per_window_sink
+    from distributed_computing_platform_mapreduce_spark.streaming.windows import stream_events
+
+    sf_dir = "/root/testdata/sf0.01"
+    counts = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "event_type", "n_events")
+    )
+    out = str(tmp_path / "topk")
+    q = (
+        counts.writeStream.foreachBatch(topk_per_window_sink(out, k=3))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        # partition-column inference reads the string dir back as a
+        # timestamp; normalize for the compare
+        .select(F.col("window_start").cast("string"), "event_type", "n_events")
+        .collect()
+    )
+
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "event_type", "n_events")
+    )
+    wspec = W.partitionBy("window_start").orderBy(F.col("n_events").desc(), "event_type")
+    want = sorted(
+        tuple(r)
+        for r in batch.withColumn("rk", F.row_number().over(wspec))
+        .filter("rk <= 3")
+        .drop("rk")
+        .collect()
+    )
+    assert got == want and len(want) > 0

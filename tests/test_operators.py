@@ -3724,3 +3724,26 @@ def test_bucket_stats_advisor(spark):
     assert stats["est_candidate_pairs"] == want_pairs
     empty = dd.bucket_stats(blocked.filter("id < 0"), ["blk", "blkval"])
     assert empty == {"n_rows": 0, "n_buckets": 0, "max_bucket": 0, "est_candidate_pairs": 0}
+
+
+def test_dedup_exact_on_binary_payloads(spark):
+    """Byte-identical media dedup is just dedup_exact over the binary
+    column (xxhash64 accepts binary): re-uploaded identical payloads
+    collapse to the min id, distinct payloads survive."""
+    import pandas as pd
+
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    p0 = mm.encode_ppm(_block_img(1))
+    p1 = mm.encode_ppm(_block_img(2))
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, "image", bytearray(p), -1, -1, 1) for i, p in
+             [(0, p0), (1, p1), (2, p0), (3, p0)]],
+            columns=["media_id", "kind", "payload", "width", "height", "n_frames"],
+        ),
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = sorted(r["media_id"] for r in dd.dedup_exact(media, ["payload"], "media_id").collect())
+    assert out == [0, 1]

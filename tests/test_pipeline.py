@@ -152,3 +152,44 @@ def test_pipeline_end_to_end_composes_and_is_deterministic(spark):
     ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
     assert ids2 == [501]
     assert u2.count() == len(ids) + 1
+
+
+def test_retrieval_pipeline_chunk_embed_pool_ann(spark):
+    """The retrieval composition: chunk_tokens → embed_texts per chunk →
+    mean_pool_embeddings back to one vector per doc → cosine_topk_exact.
+    A doc REUSING another's text must rank as its own nearest neighbor;
+    the pooled corpus also flows through the LSH path unchanged."""
+    from distributed_computing_platform_mapreduce_spark.operators import similarity
+    from distributed_computing_platform_mapreduce_spark.operators.text import chunk_tokens
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank while "
+        "herons wade through shallow water hunting silver fish at dawn",
+        "distributed query engines exchange shuffle blocks between executors and "
+        "spill sorted runs to local disk under memory pressure during wide joins",
+        "a sourdough starter needs regular feeding with equal parts flour and "
+        "water kept warm until bubbles double the volume overnight",
+    ]
+    rows = [(i, t * 3) for i, t in enumerate(base)]
+    # doc 10 = doc 1's text with a short suffix — its nearest neighbor
+    # through the whole pipeline must be doc 1
+    rows.append((10, base[1] * 3 + " with adaptive execution enabled"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    chunks = chunk_tokens(docs, "doc_id", "text", chunk_size=16, overlap=4)
+    assert chunks.count() > len(rows)  # genuinely chunked
+    emb = similarity.embed_texts(
+        chunks.withColumnRenamed("chunk_text", "text"), id_col="doc_id", dim=64
+    )
+    pooled = similarity.mean_pool_embeddings(emb, "id").withColumnRenamed(
+        "id", "vec_id"
+    )
+    nn = similarity.cosine_topk_exact(
+        pooled, pooled.filter(F.col("vec_id") == 10), k=1
+    ).collect()
+    assert len(nn) == 1 and nn[0]["neighbor_id"] == 1 and nn[0]["cos"] > 0.9
+
+    lsh = similarity.cosine_topk_lsh(
+        pooled, pooled.filter(F.col("vec_id") == 10), dim=64, k=1, n_planes=4, bands=8
+    ).collect()
+    assert lsh and lsh[0]["neighbor_id"] == 1

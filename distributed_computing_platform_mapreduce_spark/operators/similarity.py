@@ -45,9 +45,11 @@ def cosine_topk_exact(
 
     Broadcast the query set (queries ≪ corpus), compute cosine per
     (query, corpus) pair map-side, then per-query top-k via ranking
-    window (shuffles only the query-id-keyed scored rows; with k small,
-    a per-partition pre-truncation would bound it further — AQE handles
-    the residual skew).
+    window. The ``row_number ≤ k`` filter plans as WindowGroupLimit
+    (plan-verified), so each map partition pre-truncates to its local
+    top-k per query BEFORE the exchange — the shuffle carries
+    O(partitions·|Q|·k) rows, not the scored corpus; AQE handles the
+    residual skew.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -211,6 +211,7 @@ def knn_classify(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    search=None,
 ) -> DataFrame:
     """k-NN classification by cosine: majority label among each
     target's ``k`` nearest labeled vectors (ties → smaller label, so
@@ -234,7 +235,12 @@ def knn_classify(
     # neighbors come from the labeled set only (an unlabeled neighbor
     # carries no vote); cosine_topk_exact's self-exclusion keeps a
     # target that also appears in `labeled` from voting for itself
-    nn = similarity.cosine_topk_exact(
+    # `search` makes the swap-in concrete: any callable with the
+    # (corpus, queries, id_col=…, vec_col=…, k=…) → (query_id,
+    # neighbor_id, rank, cos) contract — cosine_topk_lsh / _ivf /
+    # _int8 — replaces the exact scan for unbounded target sets
+    search_fn = search or similarity.cosine_topk_exact
+    nn = search_fn(
         labeled.select(F.col(id_col), vec_col),
         targets,
         id_col=id_col,

@@ -449,20 +449,34 @@ def _error_line(exc: BaseException) -> str:
     return " ".join(msg.split())[:400]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("distributed-computing-platform-mapreduce-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def _wait_for_idle(max_wait_sec: float, load_bar: float = 1.0) -> float:
+    """Block (bounded) until loadavg_1m drops below `load_bar`.
 
+    BENCH_r06 and BENCH_r07 were both produced while something else held
+    cores (r07's own canary flagged it: GEMM drift 38.9%, loadavg 4.38 at
+    sweep start). The repo rule is "if flagged, rerun rather than argue" —
+    this gate turns the first half of that discipline into code: don't
+    START a sweep on a visibly-loaded machine. Returns seconds waited.
+    """
+    waited = 0.0
+    try:
+        while waited < max_wait_sec and os.getloadavg()[0] >= load_bar:
+            time.sleep(10)
+            waited += 10
+    except OSError:  # pragma: no cover — platform without getloadavg
+        pass
+    return waited
+
+
+def _run_sweep(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+    """One full query sweep (registered headline queries + reference-scale
+    corpora + skew A/B + media dedup). Extracted from main() so a
+    red-canary attempt can discard its numbers and rerun the whole sweep."""
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-
-    try:
-        canary_pre = _measure_canary(spark)
-    except Exception as exc:  # noqa: BLE001
-        canary_pre = None
-        errors["canary_pre"] = _error_line(exc)
 
     # Per-query fault isolation (round-4 lesson: one query throwing at
     # plan-analysis time zeroed the ENTIRE round's numbers). Each query
@@ -514,16 +528,72 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["media"] = _error_line(exc)
 
-    try:
-        canary_post = _measure_canary(spark)
-    except Exception as exc:  # noqa: BLE001
-        canary_post = None
-        errors["canary_post"] = _error_line(exc)
-    canary = (
-        _canary_verdict(canary_pre, canary_post)
-        if canary_pre and canary_post
-        else {"drift_pct": None, "load_contaminated": None}
-    )
+    return times, spread, errors
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Contamination policy, turned into code after BENCH_r07 shipped with
+    # load_contaminated=true: (1) wait (bounded) for the machine to look
+    # idle before the first sweep; (2) if the post-sweep GEMM canary
+    # disagrees with the pre-sweep one by >10%, DISCARD the attempt and
+    # rerun the entire sweep, up to SPARK_GRAFT_BENCH_MAX_ATTEMPTS times.
+    # The record that gets written is the first canary-clean attempt (or,
+    # if every attempt is red, the last one — the driver must still get a
+    # record, but it arrives flagged and with the discarded-attempt
+    # history attached so "flagged ⇒ rerun" has already happened).
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3")))
+    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "300"))
+
+    spark = get_spark("distributed-computing-platform-mapreduce-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    discarded: list[dict] = []
+    idle_waited_total = 0.0
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    canary_pre = canary_post = None
+    canary: dict = {"drift_pct": None, "load_contaminated": None}
+    attempt = 0
+
+    for attempt in range(1, max_attempts + 1):
+        idle_waited_total += _wait_for_idle(idle_wait)
+        errors = {}
+        try:
+            canary_pre = _measure_canary(spark)
+        except Exception as exc:  # noqa: BLE001
+            canary_pre = None
+            errors["canary_pre"] = _error_line(exc)
+
+        times, spread, sweep_errors = _run_sweep(spark, sf_dir)
+        errors.update(sweep_errors)
+
+        try:
+            canary_post = _measure_canary(spark)
+        except Exception as exc:  # noqa: BLE001
+            canary_post = None
+            errors["canary_post"] = _error_line(exc)
+        canary = (
+            _canary_verdict(canary_pre, canary_post)
+            if canary_pre and canary_post
+            else {"drift_pct": None, "load_contaminated": None}
+        )
+        if not canary["load_contaminated"]:
+            break
+        discarded.append(
+            {
+                "attempt": attempt,
+                "canary_pre": canary_pre,
+                "canary_post": canary_post,
+                "drift_pct": canary["drift_pct"],
+            }
+        )
+        print(
+            f"# attempt {attempt} canary-red "
+            f"(gemm drift {canary['drift_pct']['gemm_sec']}%) — discarding and rerunning",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -542,6 +612,9 @@ def main() -> None:
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
                 "canary": canary,
+                "attempt": attempt,
+                "discarded_attempts": discarded,
+                "idle_wait_sec": round(idle_waited_total, 1),
             }
         )
     )

@@ -959,10 +959,28 @@ def minhash_index(
     ~300 bytes/doc regardless of document size; a production pipeline
     materializes this once per corpus increment and never re-reads
     historical TEXT to dedup against it (see
-    :func:`incremental_minhash_pairs`)."""
+    :func:`incremental_minhash_pairs`).
+
+    Docs with fewer than ``n`` tokens produce ZERO shingles and would
+    otherwise vanish from the index — an exact duplicate of a short doc
+    would then pass every future increment undetected, silently breaking
+    the "survivors ∪ index" invariant. They are indexed with one
+    sentinel shingle = the raw text's hash: identical short texts get
+    identical signatures (collide in every band, est_jaccard 1.0),
+    distinct ones almost surely share no component. The short-doc branch
+    is a JVM-side token-count filter over the same scan — no extra
+    shuffle."""
     rnd = _lcg_params(num_hashes)
     sh = shingle_rows(df, id_col, text_col, n)
     hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
+    c = F.col(text_col)
+    ntok = F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+    sentinel = df.filter(ntok < n).select(
+        F.col(id_col).alias("id"), F.pmod(F.xxhash64(c), F.lit(_P)).alias("h")
+    )
+    hashed = hashed.unionAll(sentinel)
     mins = hashed.groupBy("id").agg(
         F.count("*").alias("sz"),
         *[

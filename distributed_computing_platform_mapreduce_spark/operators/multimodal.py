@@ -1230,7 +1230,15 @@ def ahash64(samples: np.ndarray, rate: int) -> int:
     log-spaced bands widen with frequency, so summed energies bias
     every comparison toward the wider band and broadband noise drowns
     the discriminative tones (measured: distinct-clip distances
-    collapsed from mean ~28 to ~14 with sums)."""
+    collapsed from mean ~28 to ~14 with sums).
+
+    Band edges are ABSOLUTE frequencies — log-spaced 100 Hz →
+    min(4 kHz, Nyquist) — converted to rFFT bins using ``rate``, so the
+    same content resampled to a different rate lands in the same bands
+    and a resampled near-dup fingerprints close to its source (for
+    clips of comparable duration; the 8-segment split is relative to
+    clip length). Below 8 kHz sampling the top edge clamps to Nyquist
+    and prints are only comparable among equally-clamped rates."""
     mono = samples.astype(np.float64).mean(axis=1) if samples.ndim == 2 else samples.astype(np.float64)
     n = len(mono)
     # pad short clips to 512 samples (64/segment → 33 rFFT bins): below
@@ -1244,10 +1252,18 @@ def ahash64(samples: np.ndarray, rate: int) -> int:
     mono = mono[: seg_len * 8].reshape(8, seg_len)
     spec = np.abs(np.fft.rfft(mono, axis=1)) ** 2  # (8, seg_len//2+1)
     n_bins = spec.shape[1]
-    # 9 log-spaced band edges over [1, n_bins) — skip DC (bin 0: pure
-    # offset, no perceptual content)
+    # absolute log-spaced band edges mapped to bins via the sample rate
+    # (bin k covers frequency k·rate/seg_len); floor at bin 1 — skip DC
+    # (bin 0: pure offset, no perceptual content)
+    nyq = rate / 2.0
+    f_hi = min(4000.0, nyq)
+    f_lo = min(100.0, f_hi / 8.0)
     edges = np.unique(
-        np.rint(np.geomspace(1, n_bins - 1, 10)).astype(int)
+        np.clip(
+            np.rint(np.geomspace(f_lo, f_hi, 10) * seg_len / rate).astype(int),
+            1,
+            n_bins - 1,
+        )
     )
     while len(edges) < 10:  # tiny clips: pad with the top bin
         edges = np.append(edges, edges[-1] + 1)

@@ -665,8 +665,12 @@ def pq_train(
 
     if not distributed:
         rows = samp.collect()
-        if not rows:  # tiny corpus + aggressive rate: fall back to all rows
-            rows = base.collect()
+        if not rows:
+            # tiny corpus + aggressive rate: retry without sampling, but
+            # CAPPED — the escape hatch must preserve the bounded-collect
+            # contract (an uncapped base.collect() here would be the one
+            # path able to pull the whole corpus to the driver)
+            rows = base.limit(sample_rows).collect()
         rows.sort(key=lambda r: r[id_col])  # layout-independent order
         mat = np.array([r["v"] for r in rows], dtype=np.float64)
         nn_, dim = mat.shape

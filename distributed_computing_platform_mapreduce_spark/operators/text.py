@@ -271,11 +271,14 @@ def normalize_text(
     return df.withColumn(out, norm(F.col(text_col)))
 
 
-#: URL pattern: scheme://host[:port][/path][?query][#fragment] — RE2-safe
-#: (no backtracking constructs), anchored, case-normalized host.
-#: Optional userinfo (user[:pass]@) is consumed before the host so
-#: credentials never leak into host/domain columns.
-_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:[^/?#@]*@)?([^/:?#@]+)(?::(\d+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+#: URL pattern: scheme://host[:port][/path][?query][#fragment] —
+#: anchored, case-normalized host. Optional userinfo (user[:pass]@) is
+#: consumed before the host so credentials never leak into host/domain
+#: columns. The ``(?=[/?#]|$)`` lookahead after the port pins the digit
+#: run to a component boundary: without it, a malformed authority like
+#: ``http://h:8a/p`` backtracks into port=8, path="a/p" instead of
+#: failing whole (documented contract: malformed → empty parts, port −1).
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:[^/?#@]*@)?([^/:?#@]+)(?::(\d+))?(?=[/?#]|$)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
 
 
 def extract_url_parts(

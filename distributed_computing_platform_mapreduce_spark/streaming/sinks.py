@@ -73,26 +73,60 @@ def topk_per_window_sink(path: str, k: int, window_col: str = "window_start", or
     """``foreachBatch`` writer maintaining the TOP-``k`` rows per event
     window: streaming aggregations cannot rank in-query (no window
     functions over a streaming agg), so the documented pattern is
-    update-mode counts → foreachBatch ranks the batch's UPDATED windows
-    and overwrites just those windows' partitions (dynamic overwrite —
-    a later update or a replay of the same batch REPLACES a window's
-    top-k, never duplicates it). The readout is always the current
-    top-k per window; at 100 TB the idempotence/commit unit is one
-    window directory."""
+    update-mode counts → foreachBatch merge-and-rank → dynamic overwrite
+    of just the affected windows' partitions.
+
+    An update-mode micro-batch contains ONLY the ``(window, key)`` groups
+    that changed in that trigger, so ranking the batch alone and
+    overwriting the window partition would silently delete top-k rows
+    whose keys did not update (batch 1 writes a=10, b=9; batch 2 updates
+    only c=5 → the window must still hold a and b). The writer therefore
+    reads the sink's existing rows for the batch's distinct windows
+    (≤ k rows per window — the read is bounded by the sink's own output,
+    and partition pruning keys it to the affected windows), keeps the
+    batch's row wherever both sides have the same key (update-mode counts
+    are cumulative, the batch is newer), re-ranks the union, and
+    overwrites those windows. A replay of the same batch_id re-derives
+    the identical merge, so the sink stays idempotent; at 100 TB the
+    commit unit is one window directory and the merge traffic is
+    O(k · windows-updated-per-trigger), independent of stream volume."""
     from pyspark.sql.window import Window
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        spark = batch_df.sparkSession
+        cols = list(batch_df.columns)
+        key_cols = [c for c in cols if c not in (window_col, order_col)]
+        merged = batch_df
+        try:
+            existing = spark.read.parquet(path).select(*cols)
+        except Exception:  # noqa: BLE001 — first trigger: sink dir absent
+            existing = None
+        if existing is not None:
+            wins = batch_df.select(window_col).distinct()
+            prior = existing.join(F.broadcast(wins), on=window_col, how="left_semi")
+            # batch wins on key collision: update-mode counts are cumulative
+            prior_only = prior.join(
+                F.broadcast(batch_df.select(window_col, *key_cols)),
+                on=[window_col, *key_cols],
+                how="left_anti",
+            )
+            merged = batch_df.unionByName(prior_only)
         w = Window.partitionBy(window_col).orderBy(
-            F.col(order_col).desc(), *[F.col(c) for c in batch_df.columns if c not in (window_col, order_col)]
+            F.col(order_col).desc(), *[F.col(c) for c in key_cols]
         )
         top = (
-            batch_df.withColumn("__rk", F.row_number().over(w))
+            merged.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .drop("__rk")
         )
-        spark = batch_df.sparkSession
+        if existing is not None:
+            # the write below overwrites partitions the plan also READS;
+            # materialize the (bounded: ≤ k rows per affected window)
+            # result first so no file-source lineage survives into the
+            # overwrite job
+            top = top.localCheckpoint(eager=True)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

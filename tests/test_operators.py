@@ -2581,6 +2581,31 @@ def test_incremental_dedup_against_history_index(spark):
     assert sorted(r["doc_id"] for r in s2.collect()) == [201]
     assert u2.count() == 6
 
+    # r8 review fix: docs SHORTER than the shingle width (zero word
+    # 3-grams) must still be indexed — via the sentinel raw-text-hash
+    # signature — or their exact duplicates pass every future increment
+    short_hist = spark.createDataFrame(
+        [(0, "ok bye"), (1, "hello")], "doc_id long, text string"
+    )
+    short_index = dd.minhash_index(short_hist, "doc_id", "text").localCheckpoint()
+    assert short_index.count() == 2  # neither doc vanished
+    short_new = spark.createDataFrame(
+        [(300, "ok bye"),        # exact dup of short history doc → dies
+         (301, "hi"),           # novel short doc → survives, gets indexed
+         (302, "hi")],          # exact dup WITHIN increment → dies
+        "doc_id long, text string",
+    )
+    s3, u3 = dd.incremental_dedup(short_new, short_index, threshold=0.5)
+    assert sorted(r["doc_id"] for r in s3.collect()) == [301]
+    assert u3.count() == 3
+    # and the updated index catches a dup of the short survivor next round
+    s4, _ = dd.incremental_dedup(
+        spark.createDataFrame([(400, "hi")], "doc_id long, text string"),
+        u3.localCheckpoint(),
+        threshold=0.5,
+    )
+    assert s4.count() == 0
+
 
 def test_heavy_hitters_guarantee_and_exact_counts(spark):
     """Misra–Gries + exact recount: every value above the n/(k+1)
@@ -3465,6 +3490,18 @@ def test_extract_url_parts(spark):
     assert eo[10]["registered_domain"] == "example.com"
     assert eo[10]["path"] == "/path"
     assert eo[11]["port"] == -1
+    # r8 review fix: a malformed authority must fail WHOLE, not backtrack
+    # into port=8, path="a/p" — the port digit run is pinned to a
+    # component boundary by lookahead
+    bad = spark.createDataFrame(
+        [(20, "http://h:8a/p"), (21, "http://h:8/p"), (22, "http://h:8")],
+        "id long, url string",
+    )
+    bo = {r["id"]: r for r in extract_url_parts(bad).collect()}
+    assert bo[20]["scheme"] == "" and bo[20]["host"] == ""
+    assert bo[20]["port"] == -1 and bo[20]["path"] == ""
+    assert bo[21]["port"] == 8 and bo[21]["path"] == "/p"
+    assert bo[22]["port"] == 8 and bo[22]["path"] == ""
     # per-domain capping composition: strata = registered_domain
     from distributed_computing_platform_mapreduce_spark.operators.sampling import (
         stratified_sample_exact,

@@ -548,3 +548,48 @@ def test_streaming_windowed_topk_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_topk_sink_merges_partial_updates_across_triggers(spark, tmp_path):
+    """The update-mode hazard the sink must survive: a later micro-batch
+    contains ONLY the (window, key) groups that changed, so the sink has
+    to merge with its own prior rows for the window — ranking the batch
+    alone and overwriting would delete top-k keys that didn't update.
+    Drives the foreachBatch writer directly (it is a plain function)
+    across four triggers: partial update, exact replay (idempotence),
+    displacement by a new key, and an untouched-window check."""
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import topk_per_window_sink
+
+    out = str(tmp_path / "topk_merge")
+    sink = topk_per_window_sink(out, k=3)
+    schema = "window_start string, event_type string, n_events long"
+
+    def read_back():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("window_start", "event_type", "n_events")
+            .collect()
+        )
+
+    # trigger 1: window w1 seeds a=10, b=9, c=8, d=1 → top-3 = a, b, c
+    sink(spark.createDataFrame(
+        [("w1", "a", 10), ("w1", "b", 9), ("w1", "c", 8), ("w1", "d", 1)], schema), 0)
+    assert read_back() == [("w1", "a", 10), ("w1", "b", 9), ("w1", "c", 8)]
+
+    # trigger 2: ONLY c updates — a and b must survive the overwrite
+    sink(spark.createDataFrame([("w1", "c", 12)], schema), 1)
+    assert read_back() == [("w1", "a", 10), ("w1", "b", 9), ("w1", "c", 12)]
+
+    # replay of trigger 2 (same batch_id, same rows): idempotent
+    sink(spark.createDataFrame([("w1", "c", 12)], schema), 1)
+    assert read_back() == [("w1", "a", 10), ("w1", "b", 9), ("w1", "c", 12)]
+
+    # trigger 3: new key e=50 displaces b from the top-3
+    sink(spark.createDataFrame([("w1", "e", 50)], schema), 2)
+    assert read_back() == [("w1", "a", 10), ("w1", "c", 12), ("w1", "e", 50)]
+
+    # trigger 4: a different window updates; w1's rows are untouched
+    sink(spark.createDataFrame([("w2", "x", 1)], schema), 3)
+    assert read_back() == [
+        ("w1", "a", 10), ("w1", "c", 12), ("w1", "e", 50), ("w2", "x", 1)]

@@ -185,6 +185,11 @@ def _ref_scale_times(
             wc.write.format("noop").mode("overwrite").save()
 
         def run_rwlg():
+            # UNCAPPED salted collect, deliberately: the BASELINE.md
+            # ratio must compare equal work (the reference's RWLG keeps
+            # every source). The registered `rwlg` query's DEFAULT policy
+            # caps at plans.maplejuice.RWLG_MAX_SOURCES since r8 — that
+            # path is what rwlg_1gb_capped times below.
             edges = spark.read.parquet(edges_path).select(
                 F.col("user_id").cast("string").alias("dst"),
                 F.col("event_id").cast("string").alias("src"),
@@ -201,22 +206,22 @@ def _ref_scale_times(
             rw.write.format("noop").mode("overwrite").save()
 
         def run_rwlg_capped():
-            # the capped layout (skew.capped_collect_sorted): top-128
-            # sources per page via WindowGroupLimit — the policy answer
-            # for the group-concat growth regime; same-answer-checked
-            # against the uncapped variant on under-cap keys in pytest
-            from distributed_computing_platform_mapreduce_spark.operators.skew import (
-                capped_collect_sorted,
+            # the DEFAULT registered-query policy since r8
+            # (plans.maplejuice.rwlg_collect, cap = RWLG_MAX_SOURCES =
+            # 1000 via WindowGroupLimit): measures what the default path
+            # costs at the 1 GB volume where the cap actually binds
+            # (~8·10⁵ values/key → smallest 1000). r7's bench-only
+            # max_values=128 point is superseded — the policy is now
+            # code, so the bench times the policy.
+            from distributed_computing_platform_mapreduce_spark.plans.maplejuice import (
+                rwlg_collect,
             )
 
             edges = spark.read.parquet(edges_path).select(
                 F.col("user_id").cast("string").alias("dst"),
                 F.col("event_id").cast("string").alias("src"),
             )
-            out = capped_collect_sorted(
-                edges, "dst", "src", max_values=128, out_col="sources"
-            )
-            out.write.format("noop").mode("overwrite").save()
+            rwlg_collect(edges).write.format("noop").mode("overwrite").save()
 
         points = [(f"wordcount_{label}", run_wc), (f"rwlg_{label}", run_rwlg)]
         if label == "1gb":
@@ -486,6 +491,14 @@ def _run_sweep(
 
         def run(q=name):
             df = QUERIES[q](spark, sf_dir)
+            if q == "dedup_minhash_lsh":
+                # r8 fold added an exact all-pairs 'ngram' leg to the
+                # registered query; the headline number stays the scale
+                # path — the filter folds lit('ngram')='lsh' to false and
+                # Catalyst prunes that union branch from the plan.
+                from pyspark.sql import functions as F
+
+                df = df.filter(F.col("leg") == "lsh")
             # wordcount/rwlg materialize fully: their output IS the concat/
             # sort work, which a count()-only action would let Catalyst prune.
             n = df.count() if q not in ("wordcount", "rwlg") else len(df.collect())

@@ -263,3 +263,53 @@ def knn_classify(
             "votes",
         )
     )
+
+
+def knn_classify_batched(
+    labeled: DataFrame,
+    targets: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    batch_rows: int = 50_000,
+    search=None,
+) -> DataFrame:
+    """:func:`knn_classify` for UNBOUNDED target sets — the r7 docstring
+    mitigation ("propagate in bounded target batches") as code.
+
+    Targets hash-partition into ``ceil(n / batch_rows)`` deterministic
+    batches (``xxhash64(id) mod n_batches`` — expected ``batch_rows``
+    rows each, no global sort, no row_number over an unpartitioned
+    window); each batch runs the ordinary :func:`knn_classify`, whose
+    query-side broadcast is now bounded by the batch — the exact
+    backend's closure matrix is ``batch_rows × dim`` doubles regardless
+    of total target count. Per-target output is IDENTICAL to the
+    single-shot call (each target's neighbors depend only on the
+    labeled corpus — pinned in
+    ``test_knn_classify_batched_equals_single_shot``).
+
+    Cost shape: the labeled corpus is re-scanned once per batch — the
+    deliberate trade for a bounded query side. With an ANN ``search``
+    backend the per-batch corpus work is the bucketed candidate join
+    only; at extreme batch counts a deployment materializes each
+    batch's output to the sink instead of holding one union plan (the
+    one driver-side count() here is the usual bounded scalar)."""
+    n = targets.count()  # one bounded-scalar job (the CC-checksum pattern)
+    n_batches = max(1, -(-n // batch_rows))
+    out = None
+    for b in range(n_batches):
+        part = targets.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches)) == b
+        )
+        res = knn_classify(
+            labeled,
+            part,
+            id_col=id_col,
+            vec_col=vec_col,
+            label_col=label_col,
+            k=k,
+            search=search,
+        )
+        out = res if out is None else out.unionAll(res)
+    return out

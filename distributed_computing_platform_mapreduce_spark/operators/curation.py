@@ -180,3 +180,113 @@ def curation_recipe(
             out, strata_cols or ["lang"], id_col, sample_per_stratum, seed=sample_seed
         )
     return out
+
+
+def media_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+    image_max_hamming: int = 6,
+    audio_max_hamming: int = 7,
+    video_max_hamming: int = 6,
+    video_every_n: int = 2,
+    video_min_frame_matches: int = 1,
+    blocks: int = 8,
+) -> DataFrame:
+    """Cross-modality near-dup pairs ``(id_a, id_b)`` over one mixed
+    media table: images → bidirectional dHash, audio → band-energy
+    fingerprints, video → sampled-frame dHash rollups — three print
+    pipelines feeding the SAME ``dedup.hamming_pairs`` pigeonhole block
+    join, unioned. Pairs never cross modalities (each leg sees only its
+    ``kind``), undecodable payloads drop leg-side; media in no pair
+    survive any downstream CC trivially. Scale shape unchanged from the
+    single-modality operators: payloads are decoded once per leg and
+    everything that shuffles is 16-byte print rows."""
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    imgs = media.filter(F.col(kind_col) == "image")
+    auds = media.filter(F.col(kind_col) == "audio")
+    vids = media.filter(F.col(kind_col) == "video")
+    return (
+        mm.image_neardup_pairs(
+            imgs, max_hamming=image_max_hamming, blocks=blocks, id_col=id_col
+        )
+        .select("id_a", "id_b")
+        .unionAll(
+            mm.audio_neardup_pairs(
+                auds, max_hamming=audio_max_hamming, blocks=blocks, id_col=id_col
+            ).select("id_a", "id_b")
+        )
+        .unionAll(
+            mm.video_neardup_pairs(
+                vids,
+                max_hamming=video_max_hamming,
+                every_n=video_every_n,
+                min_frame_matches=video_min_frame_matches,
+                blocks=blocks,
+                id_col=id_col,
+            ).select("id_a", "id_b")
+        )
+    )
+
+
+def multimodal_curation_recipe(
+    docs: DataFrame,
+    media: DataFrame,
+    link: DataFrame | None = None,
+    id_col: str = "doc_id",
+    media_id_col: str = "media_id",
+    text_col: str = "text",
+    image_max_hamming: int = 6,
+    audio_max_hamming: int = 7,
+    video_max_hamming: int = 6,
+    video_every_n: int = 2,
+    video_min_frame_matches: int = 1,
+    blocks: int = 8,
+    **text_kwargs,
+) -> DataFrame:
+    """:func:`curation_recipe` extended across modalities — the full
+    composition a multimodal training corpus runs: every text stage
+    (gates, decontamination, LM floors, exact + transitive text dedup)
+    PLUS media near-dedup (image/audio/video prints →
+    ``hamming_pairs`` → connected components → min-id survivor).
+
+    Policy, consistent with the text side: one min-id survivor per
+    media near-dup component; a document survives iff its text survives
+    every text stage AND none of its media is a dropped (non-survivor)
+    member of a media component. ``link`` maps docs to media as
+    ``(id_col, media_id_col)`` rows; None means ``media_id == doc_id``
+    (the synthesized-fixture convention). Docs with no media pass the
+    media stage vacuously; media in no pair drop nothing.
+
+    Scale shape: the text recipe keeps its per-stage shuffle structure;
+    the media stage adds one decode pass per modality, the shared
+    16-byte-print block join, and a CC whose edge set is the candidate
+    pairs — the doc-level verdict is two semi/anti joins on ids."""
+    text_kept = curation_recipe(
+        docs, id_col=id_col, text_col=text_col, **text_kwargs
+    )
+    pairs = media_neardup_pairs(
+        media,
+        id_col=media_id_col,
+        image_max_hamming=image_max_hamming,
+        audio_max_hamming=audio_max_hamming,
+        video_max_hamming=video_max_hamming,
+        video_every_n=video_every_n,
+        video_min_frame_matches=video_min_frame_matches,
+        blocks=blocks,
+    )
+    media_ids = media.select(media_id_col).distinct()
+    surviving_media = dedup.dedup_survivors_cc(media_ids, pairs, media_id_col)
+    dropped_media = media_ids.join(surviving_media, media_id_col, "left_anti")
+    lnk = (
+        link
+        if link is not None
+        else media.select(
+            F.col(media_id_col).alias(id_col), F.col(media_id_col)
+        ).distinct()
+    )
+    dropped_docs = (
+        lnk.join(dropped_media, media_id_col, "left_semi").select(id_col).distinct()
+    )
+    return text_kept.join(dropped_docs, id_col, "left_anti")

@@ -54,60 +54,61 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS s
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.s, b.s))::DOUBLE
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s))::DOUBLE
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
-    """,
-)
-def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard ≥ 0.5 via shingle inverted index."""
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-
-
-@query(
     "dedup_minhash_lsh",
+    # One exact-Jaccard CTE feeds BOTH legs: the two operators are
+    # contractually equal on this corpus (LSH recall 100% at the
+    # operating point), so the oracle is the same pair set tagged twice.
     oracle="""
     WITH sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS s
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+    ),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_intersect(a.s, b.s))::DOUBLE
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.s, b.s))::DOUBLE
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+    SELECT 'lsh' AS leg, id_a, id_b, jaccard FROM exact
+    UNION ALL
+    SELECT 'ngram' AS leg, id_a, id_b, jaccard FROM exact
     """,
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32)+LSH(8 bands) near-dup pairs, exact-verified at ≥ 0.5.
+    """Near-dup pairs ≥ 0.5 Jaccard, two tagged legs (r8 fold — one
+    registry row, both operators still hash-checked):
 
-    Oracle-backed since r4: every emitted pair is exact-verified
+    - ``lsh``: MinHash(32)+LSH(8 bands), banded candidates, exact
+      verify — the scale path (O(n·bands) shuffle, never all-pairs).
+    - ``ngram``: exact all-pairs 3-gram Jaccard via the shingle
+      inverted index — the verify arithmetic the LSH leg reuses,
+      formerly registered as ``dedup_ngram_jaccard``.
+
+    Oracle-backed since r4: every LSH-emitted pair is exact-verified
     (precision 1.0 by construction) and candidate recall is 100% on
     this corpus (dup groups sit far above the j=0.5 S-curve knee —
-    pinned by ``test_minhash_lsh_equals_exact_jaccard``), so the output
-    EQUALS the exact all-pairs Jaccard twin, jaccard doubles included
+    pinned by ``test_minhash_lsh_equals_exact_jaccard``), so BOTH legs
+    equal the exact all-pairs Jaccard twin, jaccard doubles included
     (count/(a+b-c) is the same IEEE division on both engines). On
     adversarial corpora with mass exactly at the threshold the
     equality would be probabilistic — that's a property of the corpus,
     not the operator; the LSH plan itself stays O(n·bands).
+
+    bench.py times ``filter(leg = 'lsh')`` — Catalyst prunes the other
+    union branch entirely, so the headline number still measures the
+    scale path alone.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(
+    lsh = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
-    )
+    ).select(F.lit("lsh").alias("leg"), "id_a", "id_b", "jaccard")
+    ng = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select(F.lit("ngram").alias("leg"), "id_a", "id_b", "jaccard")
+    return lsh.unionAll(ng)
 
 
 @query(
@@ -591,6 +592,60 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_full_features(spark, sf_dir).select(
         "media_id", "kind", "decoded", "px_width", "px_height", "duration_s"
     )
+
+
+@query(
+    "image_neardup",
+    # Constants-replay partial oracle (the multimodal_features pattern
+    # applied to PAIR STRUCTURE): every twin is a re-encode of the SAME
+    # synthesized pixels, so the expected pair set is exactly the twin
+    # relation — replayable as id arithmetic. NOT circular: the Spark
+    # side decodes three real codecs and block-joins real 64-bit prints;
+    # a broken decoder/hash either drops pairs (rows mismatch) or admits
+    # cross-image pairs (hash mismatch).
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+    FROM documents WHERE doc_id >= 2 AND doc_id < 500
+    """,
+)
+def image_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup, driver-checked end to end (r8): synthesize PPM
+    images, pair each with a re-encoded twin — PNG (lossless) for even
+    ids, baseline JPEG q95 (lossy requant) for odd — then decode →
+    bidirectional dHash → ``dedup.hamming_pairs`` pigeonhole block join
+    at hamming ≤ 6.
+
+    The operating corpus pins ``doc_id ∈ [2, 500)`` so the margin is a
+    measured INVARIANT across every sf dir (all three ship docs 0–499+):
+    twin distances ≤ 3 (369/500 at 0), nearest non-twin pair at 11 —
+    the threshold 6 sits mid-gap, making the emitted pair set EXACTLY
+    the twin relation the oracle replays. ``doc_id < 2`` is excluded
+    because ``synth_pixels`` seeds 0 and 1 identically (``seed or 1``) —
+    a fixture degeneracy, not an operator property. Full-scale evidence
+    (5000 docs × resize twins at sf0.1) is the bench's ``image_neardup``
+    point; transform recall (resize/JPEG/PNG families) is pinned in
+    pytest. Scale shape: prints are 16 B/image after one Arrow decode
+    pass — the block join shuffles blocks·n short rows, never pixels."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 2) & (F.col("doc_id") < 500))
+        .repartition(32)  # spread Python-side decode across cores
+    )
+    base = multimodal.media_from_documents(docs, width=32, height=32)
+    png = multimodal.media_from_documents(
+        docs.filter(F.col("doc_id") % 2 == 0), width=32, height=32, codec="png"
+    )
+    jpg = multimodal.media_from_documents(
+        docs.filter(F.col("doc_id") % 2 == 1), width=32, height=32, codec="jpeg"
+    )
+    twins = png.unionAll(jpg).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000_000)
+    )
+    pairs = multimodal.image_neardup_pairs(
+        base.unionAll(twins), max_hamming=6, blocks=8
+    )
+    return pairs.select("id_a", "id_b")
 
 
 @query(

@@ -53,6 +53,52 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize(docs).groupBy("word").agg(F.count("*").alias("cnt")).orderBy("word")
 
 
+#: Default cap for the rwlg collect (r8, SCALE.md policy made code): the
+#: group-concat OUTPUT ROW is the scale bottleneck past ~10⁶ values/key,
+#: salted or not, so the default path bounds it. 1000 is chosen twice
+#: over: it is 10× the widest key in any sf dir (measured max fan-in 99
+#: at sf0.001/0.01/0.1 — every oracle-checked answer stays exact,
+#: headroom asserted in pytest), AND it is Spark's default
+#: ``spark.sql.optimizer.windowGroupLimitThreshold`` — the largest cap
+#: for which a default-config session (the driver's plain
+#: SparkSession included) still plans the WindowGroupLimit map-side
+#: pre-truncation; one more and the rank filter runs post-shuffle,
+#: silently giving up the bounded-fan-in property. The cap binds only
+#: in the replica-scale regime (bench's 1 GB corpus, ~8·10⁵
+#: values/key) where truncation is the documented policy. ``None``
+#: selects the exact uncapped collect (the reference's semantics —
+#: bench's baseline-comparison points use it so the BASELINE.md ratio
+#: compares equal work).
+RWLG_MAX_SOURCES = 1000
+
+
+def rwlg_collect(
+    edges: DataFrame,
+    max_values: int | None = RWLG_MAX_SOURCES,
+    n_salts: int = 16,
+) -> DataFrame:
+    """The rwlg collect policy switch over ``(dst, src)`` edges.
+
+    - ``max_values=None``: exact salted two-phase collect
+      (``skew.salted_collect_sorted``) — every source kept; the hot
+      key's single-task array merge is the accepted cost.
+    - ``max_values=k`` (default ``RWLG_MAX_SOURCES``): capped layout
+      (``skew.capped_collect_sorted``) — a WindowGroupLimit prunes each
+      map partition to its local smallest-k before the exchange, so the
+      hot key's shuffle fan-in is bounded at k·partitions however hot
+      the key. Equals the uncapped output on every under-cap key
+      (pinned in ``test_rwlg_default_cap_is_exact_under_cap``).
+    """
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        capped_collect_sorted,
+        salted_collect_sorted,
+    )
+
+    if max_values is None:
+        return salted_collect_sorted(edges, "dst", "src", n_salts=n_salts, out_col="sources")
+    return capped_collect_sorted(edges, "dst", "src", max_values=max_values, out_col="sources")
+
+
 @query(
     "rwlg",
     oracle="""
@@ -67,21 +113,15 @@ def rwlg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``events(user_id, event_id)`` has the same shape as the reference's
     ``src,dst`` edge corpus (FIXTURES.md F2): ~skewed fan-in per key.
-    Deterministic variant of ``rwlg-juice.py``: sources sorted then joined.
-    """
-    from distributed_computing_platform_mapreduce_spark.operators.skew import salted_collect_sorted
-
+    Deterministic variant of ``rwlg-juice.py``: sources sorted then
+    joined. Runs the DEFAULT collect policy (capped at
+    ``RWLG_MAX_SOURCES`` — exact at every sf dir, bounded at scale)."""
     events = load_table(spark, sf_dir, "events")
     edges = events.select(
         F.col("user_id").cast("string").alias("dst"),
         F.col("event_id").cast("string").alias("src"),
     )
-    # Two-phase salted aggregation (operators/skew.py): a Zipf-hot dst
-    # key at 100 TB would otherwise funnel its entire fan-in through one
-    # task's collect_list.
-    return salted_collect_sorted(
-        edges, "dst", "src", n_salts=16, out_col="sources"
-    ).orderBy("dst")
+    return rwlg_collect(edges).orderBy("dst")
 
 
 @query(

@@ -193,3 +193,105 @@ def test_retrieval_pipeline_chunk_embed_pool_ann(spark):
         pooled, pooled.filter(F.col("vec_id") == 10), dim=64, k=1, n_planes=4, bands=8
     ).collect()
     assert lsh and lsh[0]["neighbor_id"] == 1
+
+
+def test_multimodal_curation_recipe_cross_modality(spark):
+    """r7 verdict item 7: the FULL multimodal curation composition in one
+    call — text gates + exact/near text dedup PLUS media near-dedup
+    (image dHash, audio band-energy prints, video frame prints → the
+    shared hamming block join → CC → min-id survivors), down to one
+    survivor table. Fixture carries a pathology per stage: an exact text
+    dup, a transitive text near-dup, a gate-fail doc, a JPEG re-encode
+    image twin, an amplitude-scaled audio twin, and a truncated video
+    twin — each must die through ITS stage, everything else survives."""
+    import numpy as np
+    import pandas as pd
+
+    from distributed_computing_platform_mapreduce_spark.operators import curation
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+    from distributed_computing_platform_mapreduce_spark.operators.jpeg import encode_jpeg
+
+    def block_img(seed, w=64, h=64, grid=8):
+        x = np.arange(grid * grid * 3, dtype=np.uint64) + np.uint64(
+            (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+        )
+        with np.errstate(over="ignore"):
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+        b = (x & np.uint64(0xFF)).astype(np.uint8).reshape(grid, grid, 3)
+        return mm.resize_nearest(b, w, h)
+
+    def melody(seed, n=8000, rate=8000):
+        seg = n // 8
+        out = np.zeros(n)
+        for k in range(8):
+            t = np.arange(seg) / rate
+            f1 = 150 + ((seed * 131 + k * 379) % 1700)
+            f2 = 300 + ((seed * 241 + k * 523) % 3300)
+            out[k * seg : (k + 1) * seg] = 9000 * np.sin(
+                2 * np.pi * f1 * t
+            ) + 5000 * np.sin(2 * np.pi * f2 * t)
+        return np.clip(out, -32768, 32767).astype(np.int16)
+
+    a_text = (
+        "the quick brown fox jumps over the lazy dog near the old river bank today"
+    )
+    texts = {
+        0: a_text,
+        1: a_text,                     # exact text dup → dies (0 survives)
+        2: a_text + " and tomorrow",   # text near-dup of A → dies via CC
+        3: "pack my box with five dozen liquor jugs before the long winter arrives",
+        4: "xx yy",                    # fails the min_tokens gate
+        5: "distributed systems shuffle data between executors during wide stages",
+        6: "tokenizers learn merge tables from word frequency counts at corpus scale",
+        7: "sequence packing concatenates documents into fixed length training windows",
+    }
+    docs = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+
+    img3 = block_img(12)
+    frames0 = np.stack([block_img(100 + f, 32, 32)[:, :, 0] for f in range(8)])
+    media_rows = [
+        # images: docs 0, 3 distinct; doc 5 = JPEG re-encode twin of doc 3
+        (0, "image", mm.encode_ppm(block_img(11))),
+        (3, "image", mm.encode_ppm(img3)),
+        (5, "image", encode_jpeg(img3, quality=85)),
+        # audio: doc 6; doc 7 = amplitude-scaled twin of 6
+        (6, "audio", mm.encode_wav(melody(1), 8000)),
+        (7, "audio", mm.encode_wav((melody(1) * 0.4).astype(np.int16), 8000)),
+        # video: doc 0; doc 2 = truncated twin of 0 (pairs, min-id 0 wins)
+        (0, "video", mm.encode_y4m(frames0)),
+        (2, "video", mm.encode_y4m(frames0[:5])),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, k, bytearray(p), -1, -1, 1) for i, k, p in media_rows],
+            columns=["media_id", "kind", "payload", "width", "height", "n_frames"],
+        ),
+        schema=mm.MEDIA_SCHEMA,
+    )
+
+    out = curation.multimodal_curation_recipe(
+        docs,
+        media,
+        lm_percentile_floor=0,  # skip the LM floor: stage deaths stay attributable
+    )
+    survivors = sorted(r["doc_id"] for r in out.collect())
+    # 1 exact-dup, 2 text-near-dup (and video twin), 4 gate-fail,
+    # 5 image twin of 3, 7 audio twin of 6 → survivors 0, 3, 6
+    assert survivors == [0, 3, 6]
+
+    # stage attribution: with media dedup OFF (text recipe alone),
+    # 5 and 7 would have survived — the media stage is what kills them
+    text_only = sorted(
+        r["doc_id"]
+        for r in curation.curation_recipe(docs, lm_percentile_floor=0).collect()
+    )
+    assert text_only == [0, 3, 5, 6, 7]
+
+    # media pair legs each fired on their own modality
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in curation.media_neardup_pairs(media).collect()
+    }
+    assert (3, 5) in pairs and (6, 7) in pairs and (0, 2) in pairs

@@ -274,11 +274,13 @@ def normalize_text(
 #: URL pattern: scheme://host[:port][/path][?query][#fragment] —
 #: anchored, case-normalized host. Optional userinfo (user[:pass]@) is
 #: consumed before the host so credentials never leak into host/domain
-#: columns. The ``(?=[/?#]|$)`` lookahead after the port pins the digit
-#: run to a component boundary: without it, a malformed authority like
-#: ``http://h:8a/p`` backtracks into port=8, path="a/p" instead of
-#: failing whole (documented contract: malformed → empty parts, port −1).
-_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:[^/?#@]*@)?([^/:?#@]+)(?::(\d+))?(?=[/?#]|$)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+#: columns. The path group ``((?:/[^?#]*)?)`` requires a leading ``/``
+#: (or is empty), which pins the port digit run to a component boundary:
+#: a malformed authority like ``http://h:8a/p`` fails WHOLE instead of
+#: backtracking into port=8, path="a/p" (documented contract: malformed
+#: → empty parts, port −1). Deliberately RE2-compatible (no lookahead):
+#: DuckDB replays the identical pattern in the driver oracle.
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:[^/?#@]*@)?([^/:?#@]+)(?::(\d+))?((?:/[^?#]*)?)(?:\?([^#]*))?(?:#(.*))?$"
 
 
 def extract_url_parts(

@@ -85,7 +85,11 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_outer_suite",
+    "join_variants_suite",
+    # r8 fold of join_outer_suite + join_semi_anti (slot freed for the
+    # r8 registry additions; all four join variants' oracles intact
+    # under the normalized (side, left_key, right_key, right_label)
+    # schema — semi/anti legs carry NULL right columns by construction).
     oracle="""
     SELECT 'left' AS side, c.c_custkey AS left_key,
            o.o_orderkey AS right_key, o.o_orderpriority AS right_label
@@ -93,23 +97,37 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN orders o
       ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000.0
     UNION ALL
-    SELECT 'full' AS side, s.s_suppkey AS left_key,
-           t.n_nationkey AS right_key, t.n_name AS right_label
+    SELECT 'full', s.s_suppkey, t.n_nationkey, t.n_name
     FROM supplier s
     FULL OUTER JOIN (SELECT * FROM nation WHERE n_nationkey < 20) t
       ON s.s_nationkey = t.n_nationkey
+    UNION ALL
+    SELECT 'semi', c_custkey, CAST(NULL AS BIGINT), c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+    UNION ALL
+    SELECT 'anti', c_custkey, CAST(NULL AS BIGINT), c_name
+    FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
     """,
 )
-def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-outer + full-outer under one driver row (folded in r6 to
-    free a registry slot for ``sequence_packing`` — both checks remain
-    intact, tagged by ``side``; the pattern ``join_semi_anti`` set).
+def join_variants_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer, full-outer, left-semi and left-anti joins as tagged
+    legs under one driver row (r8 fold of ``join_outer_suite`` — itself
+    the r6 fold — and ``join_semi_anti``; all four checks intact).
 
     Left leg: join-side predicate kept in ON, not WHERE — semantics
     differ; unmatched customers are preserved with NULL order columns.
     Full leg: nation filtered below key 20 so BOTH null sides are
     non-vacuous (suppliers of filtered-out nations, nations with no
-    supplier)."""
+    supplier). Semi leg: EXISTS/IN rewrite; never duplicates the probe
+    side. Anti leg: customers with no high-value order (NOT IN,
+    non-null keys); its lower 300k threshold keeps the anti side
+    non-empty at every SF — every customer has *some* order in this
+    corpus. Semi/anti legs put the customer name in ``right_label`` (a
+    label slot, not a join output — those variants produce no right
+    columns by definition)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     left = c.join(
@@ -128,43 +146,27 @@ def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("right_key"),
         F.col("n_name").alias("right_label"),
     )
-    return left.unionAll(full)
-
-
-@query(
-    "join_semi_anti",
-    oracle="""
-    SELECT 'semi' AS side, c_custkey, c_name
-    FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
-    UNION ALL
-    SELECT 'anti' AS side, c_custkey, c_name
-    FROM customer
-    WHERE c_custkey NOT IN
-      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
-    """,
-)
-def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi + left-anti under one driver row (folded in r5 to free
-    a registry slot for ``ranking_bm25`` — both checks remain intact,
-    tagged by ``side``).
-
-    Semi: EXISTS/IN rewrite; never duplicates the probe side. Anti:
-    customers with no high-value order (NOT IN, non-null keys); its
-    lower 300k threshold keeps the anti side non-empty at every SF —
-    every customer has *some* order in this corpus."""
-    c = load_table(spark, sf_dir, "customer")
     semi = c.join(
         load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0),
         c.c_custkey == F.col("o_custkey"),
         "left_semi",
-    ).select(F.lit("semi").alias("side"), "c_custkey", "c_name")
+    ).select(
+        F.lit("semi").alias("side"),
+        F.col("c_custkey").alias("left_key"),
+        F.lit(None).cast("long").alias("right_key"),
+        F.col("c_name").alias("right_label"),
+    )
     anti = c.join(
         load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0),
         c.c_custkey == F.col("o_custkey"),
         "left_anti",
-    ).select(F.lit("anti").alias("side"), "c_custkey", "c_name")
-    return semi.unionAll(anti)
+    ).select(
+        F.lit("anti").alias("side"),
+        F.col("c_custkey").alias("left_key"),
+        F.lit(None).cast("long").alias("right_key"),
+        F.col("c_name").alias("right_label"),
+    )
+    return left.unionAll(full).unionAll(semi).unionAll(anti)
 
 
 @query(
@@ -244,72 +246,75 @@ def agg_full_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_rollup_having",
+    "agg_grouping_suite",
+    # r8 fold of agg_rollup_having + agg_cube_grouping_sets (one registry
+    # row frees a slot at the 50 cap for heavy_hitters; every leg's
+    # oracle survives intact under the normalized (tag, g1, g2, cnt,
+    # total) schema — grouping columns as nullable strings, one metric
+    # column per aggregate family).
     oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+    SELECT 'rollup_having' AS tag, o_orderstatus AS g1, o_orderpriority AS g2,
+           CAST(count(*) AS DOUBLE) AS cnt,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     HAVING count(*) > (SELECT count(*) FROM orders) / 10.0
-    """,
-)
-def agg_rollup_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy ((status,priority) → (status) → ()) + HAVING with
-    a scalar-subquery threshold (count > 10% of all orders): drops every
-    leaf cell and keeps the subtotal/grand rows, so the HAVING filters
-    non-vacuously at every SF. The threshold joins in as a broadcast
-    single-row aggregate — no driver-side count."""
-    o = load_table(spark, sf_dir, "orders")
-    total = o.agg(F.count("*").alias("__total"))
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "total"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") > F.col("__total") / 10.0)
-        .drop("__total")
-    )
-
-
-@query(
-    "agg_cube_grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS value,
-           'gsets' AS tag
+    UNION ALL
+    SELECT 'gsets', l_returnflag, l_linestatus,
+           CAST(count(*) AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     UNION ALL
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value,
-           'pivot_roundtrip' AS tag
+    SELECT 'pivot_roundtrip', l_returnflag, l_linestatus, CAST(NULL AS DOUBLE),
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
 )
-def agg_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE + GROUPING SETS + PIVOT/UNPIVOT in one tagged query.
+def agg_grouping_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP+HAVING, CUBE-as-GROUPING-SETS, and PIVOT/UNPIVOT as tagged
+    legs under one registry row (r8 fold — formerly ``agg_rollup_having``
+    and ``agg_cube_grouping_sets``, both oracles intact):
 
-    Leg ``gsets``: the Spark side enumerates the cube as explicit
-    GROUPING SETS ((f,s),(f),(s),()) while the oracle uses CUBE — their
-    equality is exactly the algebraic identity the two operators share.
-    Physical plan is a single Expand + one shuffle.
+    - ``rollup_having``: the hierarchy ((status,priority) → (status) →
+      ()) with a scalar-subquery HAVING (count > 10% of all orders) that
+      drops every leaf cell, so the filter is non-vacuous at every SF;
+      the threshold joins in as a broadcast single-row aggregate — no
+      driver-side count.
+    - ``gsets``: the Spark side enumerates the cube as explicit GROUPING
+      SETS ((f,s),(f),(s),()) while the oracle uses CUBE — their
+      equality is exactly the algebraic identity the two operators
+      share. Physical plan is a single Expand + one shuffle.
+    - ``pivot_roundtrip``: ``groupBy(l_returnflag).pivot(l_linestatus,
+      [explicit values]).sum(l_quantity)`` — the real Pivot logical
+      operator, value list pinned so the planner never runs the hidden
+      distinct-collect job (the 100 TB rule for pivot) — then
+      ``unpivot`` (melt) back to long form, algebraically a plain GROUP
+      BY on both keys, which is what the oracle states. Null cells
+      (absent combinations) are filtered after the melt; money sums
+      stay DECIMAL until the final DOUBLE cast on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    total = o.agg(F.count("*").alias("__total"))
+    rollup_leg = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("__cnt"), dsum("o_totalprice", "__tot"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("__cnt") > F.col("__total") / 10.0)
+        .select(
+            F.lit("rollup_having").alias("tag"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            F.col("__cnt").cast("double").alias("cnt"),
+            F.col("__tot").alias("total"),
+        )
+    )
 
-    Leg ``pivot_roundtrip`` (r6): ``groupBy(l_returnflag).pivot(
-    l_linestatus, [explicit values]).sum(l_quantity)`` — the real Pivot
-    logical operator, with the value list pinned so the planner never
-    runs the hidden distinct-collect job (the 100 TB rule for pivot) —
-    then ``unpivot`` (melt) back to long form. The roundtrip is
-    algebraically a plain GROUP BY on both keys, which is what the
-    oracle states, so a pivot that mislabels columns or an unpivot that
-    drops/duplicates cells cannot hash-match. Null cells (absent
-    combinations) are filtered after the melt, matching the GROUP BY's
-    absence of those rows. Money sums stay DECIMAL until the final
-    DOUBLE cast on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("_gs_lineitem")
     gsets = spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, CAST(count(*) AS DOUBLE) AS value,
-               'gsets' AS tag
+        SELECT 'gsets' AS tag, l_returnflag AS g1, l_linestatus AS g2,
+               CAST(count(*) AS DOUBLE) AS cnt, CAST(NULL AS DOUBLE) AS total
         FROM _gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), (l_linestatus), ())
@@ -324,13 +329,14 @@ def agg_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("l_returnflag", ["F", "O"], "l_linestatus", "__q")
         .filter(F.col("__q").isNotNull())
         .select(
-            "l_returnflag",
-            "l_linestatus",
-            F.col("__q").cast("double").alias("value"),
             F.lit("pivot_roundtrip").alias("tag"),
+            F.col("l_returnflag").alias("g1"),
+            F.col("l_linestatus").alias("g2"),
+            F.lit(None).cast("double").alias("cnt"),
+            F.col("__q").cast("double").alias("total"),
         )
     )
-    return gsets.unionByName(pivot_rt)
+    return rollup_leg.unionByName(gsets).unionByName(pivot_rt)
 
 
 # --- distinct / dedup / set ops / sort / limit ------------------------------

@@ -30,23 +30,32 @@ from distributed_computing_platform_mapreduce_spark.plans import QUERIES
 
 # Queries whose semantics justify an Arrow-batched Python stage: the
 # compat layer exists to run user callables (reference's exe contract),
-# multimodal decode is Python by nature.
+# multimodal decode/synthesis and perceptual hashing are Python by
+# nature (pure-numpy codecs over binary payloads).
 ARROW_PYTHON_OK = {
     "mj_compat_suite",
     "multimodal_features",
+    # Misra–Gries needs per-partition dict state — a streaming summary no
+    # JVM aggregate expresses; the recount stays JVM-side.
+    "heavy_hitters",
+    # NOT listed: image_neardup — its decode/phash MapInPandas sits above
+    # hamming_pairs' localCheckpoint, so the registered query's plan
+    # shows Scan ExistingRDD (the checkpoint cut), not the Python stage;
+    # the whitelist-honesty check below would (rightly) flag a stale
+    # entry that exhibits no pattern.
 }
 
 # Non-equi joins where the inner side is a broadcast-safe cardinality:
 # join_cross (5-row region × 25-row nation), join_theta_range (band
-# predicate vs broadcast dim), agg_rollup_having (scalar-subquery
-# HAVING → broadcast of a 1-row aggregate), similarity_topk_suite
-# (tiny query set broadcast against the corpus in its exact leg), ranking_bm25 (the
-# corpus constants N/avgdl — a broadcast 1-row aggregate crossJoined
-# onto the postings).
+# predicate vs broadcast dim), agg_grouping_suite (scalar-subquery
+# HAVING → broadcast of a 1-row aggregate, in its rollup leg),
+# similarity_topk_suite (tiny query set broadcast against the corpus in
+# its exact leg), ranking_bm25 (the corpus constants N/avgdl — a
+# broadcast 1-row aggregate crossJoined onto the postings).
 BNLJ_OK = {
     "join_cross",
     "join_theta_range",
-    "agg_rollup_having",
+    "agg_grouping_suite",
     "similarity_topk_suite",
     # knn_label_propagation's neighbor search is cosine_topk_exact:
     # the bounded target batch broadcast against the corpus — the same

@@ -20,6 +20,7 @@ from pyspark.sql.types import (
 
 from distributed_computing_platform_mapreduce_spark.plans import QUERIES
 from distributed_computing_platform_mapreduce_spark.plans.streaming_batch import (
+    window_session,
     window_sliding,
     window_tumbling,
 )
@@ -56,7 +57,7 @@ def _rows(df, cols):
         ),
         (
             sessionized_stream,
-            "window_session",
+            window_session,
             ["user_id", "session_start", "n_events", "total_value"],
         ),
     ],

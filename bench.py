@@ -48,15 +48,55 @@ BENCH_QUERIES = [
 ]
 
 # Historical bench labels whose registry rows were folded into tagged
-# suites (r8): label -> (registered suite, tag column, kept tag values).
-# The timed plan is the original query's — other legs prune under the
-# literal filter — so the numbers stay comparable across rounds.
-BENCH_LEGS = {
-    "dedup_minhash_lsh": ("dedup_minhash_lsh", "leg", ["lsh"]),
-    "window_session": ("window_time_suite", "side", ["session"]),
-    "dedup_cc_survivors": ("dedup_survivors_suite", "policy", ["cc"]),
-    "similarity_topk_suite": ("similarity_topk_suite", "method", ["exact", "lsh"]),
-}
+# suites (r8). The bench keeps timing the PRE-FOLD pipelines, built
+# directly from the operators (exactly the plans the labels always
+# measured): filtering the folded suite would keep the executed plan
+# identical (the tag filter prunes the other branches — verified), but
+# plan CONSTRUCTION of the full suite is not free per timed run — the
+# ivf leg collects centroids and the cc leg runs its CC rounds at
+# build time — and that overhead polluted the first r8 sweep's numbers
+# by +15–50% on these points.
+def _bench_plain_queries(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from distributed_computing_platform_mapreduce_spark.operators import dedup, similarity
+    from distributed_computing_platform_mapreduce_spark.plans.streaming_batch import (
+        window_session,
+    )
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+    def minhash_lsh():
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+        )
+
+    def cc_survivors():
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+        )
+        return dedup.dedup_survivors_cc(docs, pairs, "doc_id").select(
+            "doc_id", "lang", "source"
+        )
+
+    def topk_exact_lsh():
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = similarity.cosine_topk_exact(emb, queries, k=5).select(
+            F.lit("exact").alias("method"), "query_id", "neighbor_id", "rank", "cos"
+        )
+        lsh = similarity.cosine_topk_lsh(
+            emb, queries, dim=64, k=5, n_planes=4, bands=8, multiprobe=True
+        ).select(F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos")
+        return exact.unionAll(lsh)
+
+    return {
+        "dedup_minhash_lsh": minhash_lsh,
+        "window_session": lambda: window_session(spark, sf_dir),
+        "dedup_cc_survivors": cc_survivors,
+        "similarity_topk_suite": topk_exact_lsh,
+    }
 
 # Reference-scale comparison points: BASELINE.md measures MapleJuice
 # wordcount and RWLG over 50–200 MB corpora on a 10-VM cluster (WC
@@ -498,22 +538,11 @@ def _run_sweep(
     # plan-analysis time zeroed the ENTIRE round's numbers). Each query
     # warms and times inside its own try/except; a broken query becomes
     # an `errors` entry and the rest still report.
+    plain = _bench_plain_queries(spark, sf_dir)
     for name in BENCH_QUERIES:
 
         def run(q=name):
-            if q in BENCH_LEGS:
-                # r8 registry folds: the bench keeps its historical point
-                # labels by timing the NAMED LEG of the folded suite — the
-                # literal tag filter folds the other branches' predicates
-                # to false and Catalyst prunes them from the plan
-                # (verified: the filtered minhash plan is join-for-join
-                # identical to the pre-fold standalone query).
-                from pyspark.sql import functions as F
-
-                reg, col, vals = BENCH_LEGS[q]
-                df = QUERIES[reg](spark, sf_dir).filter(F.col(col).isin(vals))
-            else:
-                df = QUERIES[q](spark, sf_dir)
+            df = plain[q]() if q in plain else QUERIES[q](spark, sf_dir)
             # wordcount/rwlg materialize fully: their output IS the concat/
             # sort work, which a count()-only action would let Catalyst prune.
             n = df.count() if q not in ("wordcount", "rwlg") else len(df.collect())

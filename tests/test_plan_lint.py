@@ -25,6 +25,7 @@ onto the whitelist here — the diff makes the trade-off reviewable.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from distributed_computing_platform_mapreduce_spark.plans import QUERIES
 
@@ -245,3 +246,65 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
         .collect()
     )
     assert with_bloom == plain and len(plain) == 50
+
+
+def test_bench_plain_pipelines_match_registry_legs(spark, sf_dir):
+    """bench.py times PRE-FOLD pipelines for labels whose registry rows
+    became tagged suites in r8 (building the full suite per timed run is
+    not free — the ivf leg collects centroids, the cc leg runs CC rounds
+    at plan-build). This pins the two forms same-answer: each plain
+    pipeline must equal the corresponding leg of its folded suite row,
+    so a drift between what the bench times and what the driver checks
+    cannot go unnoticed."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    plain = bench._bench_plain_queries(spark, sf_dir)
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    # minhash: the lsh leg minus its tag column
+    got = rows(plain["dedup_minhash_lsh"](), ["id_a", "id_b", "jaccard"])
+    want = rows(
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir).filter(F.col("leg") == "lsh"),
+        ["id_a", "id_b", "jaccard"],
+    )
+    assert got == want
+
+    # session windows: suite leg carries (window_start, key-as-string)
+    got = rows(
+        plain["window_session"]().select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("session_start").alias("window_start"),
+            "n_events",
+            "total_value",
+        ),
+        ["key", "window_start", "n_events", "total_value"],
+    )
+    want = rows(
+        QUERIES["window_time_suite"](spark, sf_dir).filter(F.col("side") == "session"),
+        ["key", "window_start", "n_events", "total_value"],
+    )
+    assert got == want and len(want) > 0
+
+    # cc survivors: the cc policy leg
+    got = rows(plain["dedup_cc_survivors"](), ["doc_id", "lang", "source"])
+    want = rows(
+        QUERIES["dedup_survivors_suite"](spark, sf_dir).filter(F.col("policy") == "cc"),
+        ["doc_id", "lang", "source"],
+    )
+    assert got == want and len(want) > 0
+
+    # similarity: exact+lsh legs, tags included on both sides
+    cols = ["method", "query_id", "neighbor_id", "rank", "cos"]
+    got = rows(plain["similarity_topk_suite"](), cols)
+    want = rows(
+        QUERIES["similarity_topk_suite"](spark, sf_dir).filter(
+            F.col("method").isin(["exact", "lsh"])
+        ),
+        cols,
+    )
+    assert got == want and len(want) > 0

@@ -948,6 +948,206 @@ def remove_repeated_paragraphs(
     )
 
 
+def _gram_start_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """``(id, pos, gh)`` — one row per token ``k``-gram start position,
+    with a deterministic 61-bit polynomial rolling hash of the gram.
+    One Arrow pass, O(tokens) per document (the rolling update touches
+    each token twice); tokens themselves never leave the pass — only
+    8-byte gram hashes shuffle downstream."""
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    id_dtype = dict(df.select(id_col).dtypes)[id_col]
+    M = (1 << 61) - 1
+    B = 1_099_511_628_211  # FNV prime as the polynomial base
+    Bk = pow(B, k, M)
+
+    def fnv1a64(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in s.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h % M
+
+    def run(batches):
+        for pdf in batches:
+            ids, poss, ghs = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split()
+                if len(toks) < k:
+                    continue
+                th = [fnv1a64(t) for t in toks]
+                h = 0
+                for i, t in enumerate(th):
+                    h = (h * B + t) % M
+                    if i >= k:
+                        h = (h - th[i - k] * Bk) % M
+                    if i >= k - 1:
+                        ids.append(rid)
+                        poss.append(i - k + 1)
+                        ghs.append(h)
+            yield pd.DataFrame({id_col: ids, "pos": poss, "gh": ghs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_dtype}, pos int, gh long"
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-SUBSTRING removal — the ExactSubstr policy of Lee
+    et al. ACL'22 ("Deduplicating Training Data Makes Language Models
+    Better"): any run of ≥ ``k`` tokens occurring at least ``min_count``
+    times ANYWHERE in the corpus (across documents or within one) is cut
+    from EVERY occurrence; non-repeated text is preserved in order. The
+    span granularity catches what document- and paragraph-level dedup
+    both miss: licenses, templated headers and quoted passages embedded
+    mid-document.
+
+    Returns ``df`` with ``text_col`` rebuilt (whitespace canonicalized
+    to single spaces — the operator tokenizes on whitespace) plus
+    ``n_tokens_removed``.
+
+    Scale shape, stage by stage (no suffix array needed for the
+    fixed-k policy):
+
+    1. gram hashes: one Arrow pass emits ``(id, pos, gh)`` per k-gram
+       start via a rolling polynomial hash — O(tokens)/doc, and only
+       8-byte hashes shuffle.
+    2. repeated grams: ``groupBy(gh).count() ≥ min_count`` — partial
+       aggregation, shuffle keyed on the 61-bit hash, never text.
+    3. coverage: each repeated start covers ``[pos, pos+k)``; instead
+       of a per-token range join (O(tokens·spans)), starts become ±1
+       DIFFERENCE-ARRAY deltas and one running-sum window per document
+       (delta rows sort before token rows at equal pos) marks covered
+       tokens — O(tokens log tokens) per doc, all JVM, state bounded
+       by one document.
+    4. rebuild: kept tokens re-join per doc through the same
+       sort_array(collect_list(struct(pos, tok))) pattern as
+       :func:`remove_repeated_paragraphs` — per-group state is one
+       document.
+
+    Hash collisions (two distinct grams sharing a 61-bit hash) would
+    wrongly mark a span repeated at ~n²/2⁶¹ pair probability —
+    birthday-bounded like every digest op here."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be ≥ 2, got {min_count}")
+    grams = _gram_start_rows(df, id_col, text_col, k)
+    repeated = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("gh")
+    )
+    starts = grams.join(repeated, "gh", "left_semi").select(
+        F.col(id_col).alias("__rs_id"), "pos"
+    )
+    return _cut_spans(df, starts, id_col, text_col, k)
+
+
+def _cut_spans(
+    df: DataFrame, starts: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Cut every ``[pos, pos+k)`` token span named by ``starts``
+    (``(__rs_id, pos)`` rows) out of ``df``'s text — the shared tail of
+    :func:`remove_repeated_spans` and :func:`decontaminate_spans`.
+    Coverage via difference-array deltas + one running-sum window per
+    document (delta rows sort before token rows at equal pos), then the
+    bounded per-doc rebuild; adds ``n_tokens_removed``."""
+    deltas = starts.select("__rs_id", "pos", F.lit(1).alias("__d")).unionAll(
+        starts.select("__rs_id", (F.col("pos") + k).alias("pos"), F.lit(-1).alias("__d"))
+    )
+    toks = df.select(
+        F.col(id_col).alias("__rs_id"),
+        F.posexplode(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    merged = toks.select(
+        "__rs_id", "pos", F.lit(0).alias("__d"), F.lit(1).alias("__is_tok"), "tok"
+    ).unionAll(
+        deltas.select(
+            "__rs_id", "pos", "__d", F.lit(0).alias("__is_tok"), F.lit(None).alias("tok")
+        )
+    )
+    w = (
+        Window.partitionBy("__rs_id")
+        .orderBy("pos", "__is_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        merged.withColumn("__cov", F.sum("__d").over(w))
+        .filter((F.col("__is_tok") == 1) & (F.col("__cov") == 0))
+        .select("__rs_id", "pos", "tok")
+    )
+    rebuilt = kept.groupBy("__rs_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("__rebuilt"),
+        F.count("*").alias("__kept"),
+    )
+    ntok = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
+    return (
+        df.withColumn("__ntok", ntok)
+        .join(rebuilt, F.col(id_col) == F.col("__rs_id"), "left")
+        .drop("__rs_id")
+        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
+        .withColumn(
+            "n_tokens_removed", F.col("__ntok") - F.coalesce(F.col("__kept"), F.lit(0))
+        )
+        .drop("__rebuilt", "__kept", "__ntok")
+    )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    k: int = 13,
+) -> DataFrame:
+    """SURGICAL decontamination: cut every ``k``-token run that also
+    appears in the eval corpus, keeping the rest of the document —
+    the span-level alternative to ``quality.decontaminate``'s
+    drop-the-whole-doc policy (the standard trade: dropping loses the
+    doc's clean majority; cutting keeps it while still removing every
+    eval-overlapping window, GPT-3-style 13-gram granularity by
+    default).
+
+    Reuses the ExactSubstr machinery end to end: eval grams hash through
+    the SAME rolling polynomial (one Arrow pass over the eval corpus —
+    typically tiny next to training data), training-side gram starts
+    left-semi join the eval hash set, and :func:`_cut_spans` does the
+    difference-array coverage + bounded per-doc rebuild. Shuffle
+    carries 8-byte hashes only; the eval side is one scan."""
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+    grams = _gram_start_rows(df, id_col, text_col, k)
+    eval_ghs = (
+        _gram_start_rows(eval_df, eval_id_col, eval_text_col, k)
+        .select("gh")
+        .distinct()
+    )
+    starts = grams.join(eval_ghs, "gh", "left_semi").select(
+        F.col(id_col).alias("__rs_id"), "pos"
+    )
+    return _cut_spans(df, starts, id_col, text_col, k)
+
+
 # --- incremental dedup (new batch vs historical index) ----------------------
 
 

@@ -802,3 +802,45 @@ def test_triangle_count_matches_python(spark, edge_list):
                     for x in (u, v, w):
                         want[x] = want.get(x, 0) + 1
     assert got == want
+
+
+def _py_remove_spans(docs, k, min_count=2):
+    """Straight-line twin of dedup.remove_repeated_spans: count every
+    token k-gram, mark covered positions, rebuild."""
+    toks = {i: t.split() for i, t in docs.items()}
+    counts = collections.Counter(
+        tuple(ts[s : s + k]) for ts in toks.values() for s in range(len(ts) - k + 1)
+    )
+    out = {}
+    for i, ts in toks.items():
+        cov = [False] * len(ts)
+        for s in range(len(ts) - k + 1):
+            if counts[tuple(ts[s : s + k])] >= min_count:
+                for j in range(s, s + k):
+                    cov[j] = True
+        kept = [t for t, c in zip(ts, cov) if not c]
+        out[i] = (" ".join(kept), len(ts) - len(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=1), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sampled_from([2, 3]),
+)
+def test_remove_repeated_spans_matches_python(spark, texts, k):
+    """ExactSubstr span removal vs the straight-line twin: tiny alphabet
+    + short docs force heavy k-gram repetition (within AND across docs),
+    so coverage merging, whole-doc erasure and under-k docs all occur
+    across examples."""
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in dedup.remove_repeated_spans(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == _py_remove_spans(docs, k)

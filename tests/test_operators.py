@@ -2199,6 +2199,90 @@ def test_curation_lm_floor_spares_unscored_docs(spark):
     assert {1, 2, 3, 4} & kept            # the common-bigram docs mostly stay
 
 
+def test_remove_repeated_spans_exactsubstr_policy(spark):
+    """ExactSubstr (Lee et al. ACL'22) span dedup semantics, hand-pinned:
+    a shared mid-document boilerplate run is cut from EVERY occurrence
+    (cross-doc), a phrase repeated twice WITHIN one doc is cut from both
+    occurrences, unique text survives in order, under-k docs pass
+    through (whitespace-canonicalized), and a doc that is pure repeated
+    content empties rather than erroring. Output is invariant under
+    repartitioning."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    boiler = "this content is licensed under the creative commons attribution"  # 9 toks
+    phrase = "call me ishmael some years ago never mind how"  # 9 toks
+    rows = [
+        (0, f"alpha beta {boiler} gamma delta"),
+        (1, f"epsilon {boiler} zeta"),
+        (2, f"{phrase} interlude tokens here {phrase}"),
+        (3, "completely unique prose that repeats nothing at all today"),
+        (4, "tiny doc"),              # under k: untouched
+        (5, boiler),                  # pure boilerplate: empties
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in dd.remove_repeated_spans(df, k=8).collect()}
+    assert out[0] == ("alpha beta gamma delta", 9)
+    assert out[1] == ("epsilon zeta", 9)
+    assert out[2] == ("interlude tokens here", 18)  # both in-doc copies cut
+    assert out[3][1] == 0 and out[3][0].startswith("completely unique")
+    assert out[4] == ("tiny doc", 0)
+    assert out[5] == ("", 9)
+
+    # layout invariance: 13-partition layout produces identical output
+    out2 = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+            for r in dd.remove_repeated_spans(df.repartition(13), k=8).collect()}
+    assert out2 == out
+
+    # guard rails
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        dd.remove_repeated_spans(df, k=0)
+    with _pt.raises(ValueError):
+        dd.remove_repeated_spans(df, k=8, min_count=1)
+
+
+
+
+def test_decontaminate_spans_surgical(spark):
+    """Surgical decontamination: a training doc sharing a 5-gram window
+    with the eval set loses exactly the overlapping spans — the clean
+    majority of the doc SURVIVES (the whole point vs the drop-the-doc
+    policy), disjoint docs are untouched, and a doc that is one big
+    eval quote empties. Differential: cutting with k=n over exact eval
+    sentences equals a Python twin."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    leak = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    eval_df = spark.createDataFrame(
+        [(0, leak), (1, "some benchmark question about arithmetic sums")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (10, f"intro words {leak} outro words continue here"),  # loses the 9-gram span
+        (11, "totally unrelated training prose with no overlap at all"),
+        (12, leak),                                             # pure quote: empties
+        (13, "short doc"),                                      # under k: untouched
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+           for r in dd.decontaminate_spans(train, eval_df, k=5).collect()}
+    # every 5-gram inside the leak matches -> the whole leak run is covered
+    assert out[10] == ("intro words outro words continue here", 9)
+    assert out[11][1] == 0
+    assert out[12] == ("", 9)
+    assert out[13] == ("short doc", 0)
+
+    # drop-policy comparison: quality.decontaminate would flag doc 10
+    # entirely; the surgical form keeps its clean majority
+    assert out[10][0] != ""
+
+    # eval text itself is NOT modified (operator only rewrites df)
+    assert {r["text"] for r in eval_df.collect()} == {
+        leak, "some benchmark question about arithmetic sums"}
+
+
+
 def test_remove_repeated_paragraphs_regex_sep_and_id_collision(spark):
     """Separators containing regex metacharacters split literally (the
     split pattern is escaped to match the literal concat_ws rebuild),

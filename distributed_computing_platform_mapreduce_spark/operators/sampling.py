@@ -212,3 +212,45 @@ def assign_bins(
     return df.withColumn(
         out_col, F.when(F.col(col).isNull(), F.lit(-1)).otherwise(expr).cast("int")
     )
+
+
+def cluster_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    per_cluster: int = 10,
+    seed: int = 11,
+    iters: int = 3,
+    centroids=None,
+    cell_col: str = "cluster_cell",
+) -> DataFrame:
+    """DIVERSITY-aware sampling over an embedding column: Lloyd-trained
+    k-means cells become sampling strata, and each cell contributes
+    exactly ``per_cluster`` rows (fewer iff the cell is smaller) via the
+    deterministic GF(2³¹−1) draw — so a 90%-dominant mode cannot crowd
+    the sample the way any uniform-rate draw lets it, and rare modes
+    are guaranteed representation. The standard recipe for seeding
+    curation/eval sets from a skewed corpus.
+
+    Pure composition, nothing new to trust: codebook =
+    ``similarity.ivf_train`` (sort-free hash-priority sampling +
+    distributed Lloyd — pass ``centroids`` to reuse a trained one),
+    assignment = one Arrow GEMM pass (``similarity._ivf_assign_udf``,
+    the IVF cell assignment), quota draw =
+    :func:`stratified_sample_exact` on the cell id (per-stratum top-k
+    via WindowGroupLimit — no global sort). Output keeps ``cell_col``
+    for per-cell audits. Scale shape: centroid table is
+    n_clusters·dim doubles in a closure; the only shuffle is the
+    per-cell ranking window, keyed by cell."""
+    from distributed_computing_platform_mapreduce_spark.operators import similarity
+
+    if centroids is None:
+        centroids = similarity.ivf_train(
+            df, id_col=id_col, vec_col=vec_col, n_centroids=n_clusters, iters=iters
+        )
+    assigned = df.withColumn(
+        cell_col,
+        F.element_at(similarity._ivf_assign_udf(centroids, 1)(F.col(vec_col)), 1),
+    )
+    return stratified_sample_exact(assigned, [cell_col], id_col, per_cluster, seed=seed)

@@ -3639,6 +3639,54 @@ def test_extract_url_parts(spark):
     )
 
 
+
+
+def test_cluster_sample_diversity_quotas(spark):
+    """Cluster-quota sampling: on a corpus where ONE mode owns 90% of
+    rows, every k-means cell still contributes its exact per_cluster
+    quota (small cells: all their rows), so rare modes are guaranteed
+    representation a uniform-rate draw would lose; deterministic across
+    layouts; a reused codebook gives identical cells."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import similarity
+    from distributed_computing_platform_mapreduce_spark.operators.sampling import cluster_sample
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(5, 12)) * 4
+    rows = []
+    for i in range(1000):
+        c = 0 if i < 900 else 1 + (i % 4)   # 90% mode 0; 4 rare modes
+        v = centers[c] + 0.2 * rng.normal(size=12)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_sample(df, n_clusters=5, per_cluster=8, iters=4).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cluster_cell"], []).append(r["vec_id"])
+    # every cell hit, exact quota (all cells here have >= 8 members)
+    assert len(by_cell) == 5
+    assert all(len(v) == 8 for v in by_cell.values()), {k: len(v) for k, v in by_cell.items()}
+    # diversity: rare modes (ids >= 900, 10% of corpus) hold 2 of the 5
+    # cells = 40% of the sample (Lloyd spends 3 cells carving the
+    # dominant mode) - a uniform draw would give them ~10%
+    n_rare = sum(1 for r in out if r["vec_id"] >= 900)
+    assert n_rare >= 16, n_rare
+
+    # determinism under layout + codebook reuse
+    cb = similarity.ivf_train(df, n_centroids=5, iters=4)
+    s1 = {(r["vec_id"], r["cluster_cell"]) for r in out}
+    s2 = {
+        (r["vec_id"], r["cluster_cell"])
+        for r in cluster_sample(
+            df.repartition(13), n_clusters=5, per_cluster=8, centroids=cb
+        ).collect()
+    }
+    assert s1 == s2
+
+
+
 def test_quantile_bins_equipopulation_and_increments(spark, sf_dir):
     """Quantile binning: bins are monotone in the column, populations
     are near-equal (sketch-tolerance), NULLs land in -1, and a later

@@ -135,3 +135,77 @@ def topk_per_window_sink(path: str, k: int, window_col: str = "window_start", or
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return write_batch
+
+
+def incremental_dedup_sink(
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+):
+    """``foreachBatch`` writer running the production increment loop as
+    a stream: each micro-batch near-dedups against the PERSISTED
+    signature index (``dedup.incremental_dedup`` — historical text is
+    never re-read, only ~300 B/doc signatures), survivors land under
+    ``__batch_id=`` partitions (the idempotent-sink layout), and the
+    index parquet is rewritten as history ∪ the batch's surviving
+    signatures.
+
+    Replay safety — the subtlety this sink exists to encode: the index
+    update is NOT naively idempotent. After a crash-replay of batch N,
+    the index already holds batch N's survivors, so deduping the replay
+    against it would kill every doc as an exact dup OF ITSELF and lose
+    the batch. The writer therefore excludes the batch's own ids from
+    the history view before deduping (an anti-join on the id — correct
+    in the normal path too, since a live batch's ids cannot already be
+    history), making the whole step a pure function of (prior-batches
+    index, batch): replays re-derive identical survivors AND an
+    identical index. The index read is bounded by the index itself
+    (signatures, not text); at 100 TB the index is the only state that
+    ever rereads, exactly as in the batch-mode increment loop."""
+    from distributed_computing_platform_mapreduce_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_index,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        try:
+            hist = spark.read.parquet(index_path)
+        except Exception:  # noqa: BLE001 — first trigger: no index yet
+            hist = minhash_index(
+                batch_df.filter(F.lit(False)), id_col, text_col, n, num_hashes
+            )
+        hist = hist.join(
+            batch_df.select(F.col(id_col).alias("id")), "id", "left_anti"
+        ).localCheckpoint(eager=True)  # pin: the index file is overwritten below
+        survivors, updated = incremental_dedup(
+            batch_df,
+            hist,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.withColumn("__batch_id", F.lit(int(batch_id)).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        updated.write.mode("overwrite").parquet(index_path)
+
+    return write_batch

@@ -594,3 +594,61 @@ def test_topk_sink_merges_partial_updates_across_triggers(spark, tmp_path):
     sink(spark.createDataFrame([("w2", "x", 1)], schema), 3)
     assert read_back() == [
         ("w1", "a", 10), ("w1", "c", 12), ("w1", "e", 50), ("w2", "x", 1)]
+
+
+def test_incremental_dedup_sink_stream_with_replay(spark, tmp_path):
+    """The nightly-increment loop as a stream: three micro-batches flow
+    through foreachBatch incremental dedup against the persisted
+    signature index — cross-batch near-dups die WITHOUT historical text
+    ever being re-read, within-batch dups keep the min id, and a
+    crash-replay of a batch re-derives identical survivors and an
+    identical index (the self-dedup trap the sink's anti-join exists
+    for). Final state equals the batch-mode incremental_dedup chain."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import (
+        incremental_dedup_sink,
+    )
+
+    idx = str(tmp_path / "sig_index")
+    out = str(tmp_path / "survivors")
+    sink = incremental_dedup_sink(idx, out)
+    schema = "doc_id long, text string"
+
+    b0 = [
+        (0, "the quick brown fox jumps over the lazy dog near the old river bank"),
+        (1, "pack my box with five dozen liquor jugs before the long winter arrives"),
+    ]
+    b1 = [
+        (10, b0[0][1]),                    # exact dup of batch-0 doc -> dies
+        (11, "entirely novel second wave content about distributed shuffle behavior"),
+        (12, "entirely novel second wave content about distributed shuffle behavior"),
+        # ^ within-batch dup -> 12 dies, 11 survives
+    ]
+    b2 = [
+        (20, b1[1][1]),                    # dup of a batch-1 SURVIVOR -> dies
+        (21, "third wave text sharing nothing with anything seen before now"),
+    ]
+
+    sink(spark.createDataFrame(b0, schema), 0)
+    sink(spark.createDataFrame(b1, schema), 1)
+    # crash-replay of batch 1: same batch_id, same rows — must not lose
+    # the batch to self-dedup, must not grow the index
+    sink(spark.createDataFrame(b1, schema), 1)
+    sink(spark.createDataFrame(b2, schema), 2)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == [0, 1, 11, 21]
+    index_ids = sorted(r["id"] for r in spark.read.parquet(idx).select("id").collect())
+    assert index_ids == [0, 1, 11, 21]
+
+    # equivalence with the batch-mode chain
+    hist = dd.minhash_index(spark.createDataFrame(b0, schema), "doc_id", "text")
+    s1, u1 = dd.incremental_dedup(spark.createDataFrame(b1, schema), hist.localCheckpoint())
+    s2, u2 = dd.incremental_dedup(spark.createDataFrame(b2, schema), u1.localCheckpoint())
+    batch_mode = sorted(
+        [r["doc_id"] for r in s1.collect()] + [r["doc_id"] for r in s2.collect()]
+        + [d for d, _ in b0]
+    )
+    assert batch_mode == got

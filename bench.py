@@ -91,11 +91,16 @@ def _bench_plain_queries(spark, sf_dir: str):
         ).select(F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank", "cos")
         return exact.unionAll(lsh)
 
+    from distributed_computing_platform_mapreduce_spark.plans.timeseries import (
+        interval_join_q,
+    )
+
     return {
         "dedup_minhash_lsh": minhash_lsh,
         "window_session": lambda: window_session(spark, sf_dir),
         "dedup_cc_survivors": cc_survivors,
         "similarity_topk_suite": topk_exact_lsh,
+        "interval_join": lambda: interval_join_q(spark, sf_dir),
     }
 
 # Reference-scale comparison points: BASELINE.md measures MapleJuice

@@ -730,9 +730,13 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_cc_survivors`` point times ``filter(policy = 'cc')`` — the
     pair leg's branch prunes under the literal filter."""
     docs = load_table(spark, sf_dir, "documents")
+    # the LSH banded join + verify feeds BOTH legs; a lazy checkpoint
+    # (materialized once by the CC leg's plan-build rounds) keeps the
+    # pair leg from re-running the whole candidate/verify pipeline —
+    # the checkpoint is bounded at the near-dup pair count
     pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
-    )
+    ).localCheckpoint(eager=False)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     pair_leg = docs.join(losers, "doc_id", "left_anti").select(
         F.lit("pair").alias("policy"), "doc_id", "lang", "source"
@@ -1384,4 +1388,69 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank(edges, n_iter=5, damping=0.85).select(
         "id", F.round("rank", 8).alias("rank")
+    )
+
+
+@query(
+    "dedup_spans",
+    # The oracle recomputes ExactSubstr from first principles: token
+    # lists, every k-gram materialized as its STRING (the Spark side
+    # matches 61-bit rolling hashes — equivalence is exact up to a
+    # ~n²/2⁶² collision probability, deterministic per corpus), repeat
+    # counts, covered positions, per-doc rebuild via ordered string_agg.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+      FROM documents
+    ),
+    positions AS (
+      SELECT doc_id, ts, unnest(range(1, greatest(len(ts) - 4 + 2, 1))) AS pos FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(ts[pos : pos + 4 - 1], ' ') AS g FROM positions
+    ),
+    rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    starts AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM rep)),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + unnest(range(0, 4)) AS p FROM starts
+    ),
+    tokpos AS (
+      SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS p FROM toks
+    ),
+    tokrows AS (SELECT doc_id, p, ts[p] AS tok FROM tokpos),
+    kept AS (
+      SELECT tr.doc_id, tr.p, tr.tok
+      FROM tokrows tr LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.p = c.p
+      WHERE c.p IS NULL
+    )
+    SELECT t.doc_id,
+           coalesce(ka.txt, '') AS text,
+           len(t.ts) - coalesce(ka.n, 0) AS n_tokens_removed
+    FROM toks t LEFT JOIN (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt, count(*) AS n
+      FROM kept GROUP BY doc_id
+    ) ka ON t.doc_id = ka.doc_id
+    """,
+)
+def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring removal (ExactSubstr, Lee et al. ACL'22)
+    under the full driver gate (r8; slot freed by the temporal-join
+    fold): every 4-token run occurring ≥ 2 times anywhere in the corpus
+    is cut from EVERY occurrence and the documents are rebuilt. On this
+    corpus the operating point is richly non-vacuous — 369 of 500 docs
+    lose at least one span at sf0.01 (birthday collisions over the
+    small synthetic vocabulary), so the rebuilt texts AND the
+    per-document removal counts both carry signal.
+
+    The Spark plan (``dedup.remove_repeated_spans``) matches grams by
+    61-bit rolling polynomial hash — 8-byte shuffle keys, never text —
+    while the oracle compares gram STRINGS; agreement therefore also
+    certifies the rolling hash's injectivity on this corpus (a
+    collision would cut a span the oracle keeps and hash-mismatch).
+    Production k is ~50 (the paper's operating point); k=4 here only
+    because the driver corpus must exercise the repeat machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_repeated_spans(docs, "doc_id", "text", k=4).select(
+        "doc_id", "text", "n_tokens_removed"
     )

@@ -39,6 +39,10 @@ ARROW_PYTHON_OK = {
     # Misra–Gries needs per-partition dict state — a streaming summary no
     # JVM aggregate expresses; the recount stays JVM-side.
     "heavy_hitters",
+    # ExactSubstr's k-gram rolling hash is one Arrow pass (O(tokens)/doc
+    # with per-token state); the repeat count, coverage sweep and
+    # rebuild are all JVM.
+    "dedup_spans",
     # NOT listed: image_neardup — its decode/phash MapInPandas sits above
     # hamming_pairs' localCheckpoint, so the registered query's plan
     # shows Scan ExistingRDD (the checkpoint cut), not the Python stage;
@@ -306,5 +310,21 @@ def test_bench_plain_pipelines_match_registry_legs(spark, sf_dir):
             F.col("method").isin(["exact", "lsh"])
         ),
         cols,
+    )
+    assert got == want and len(want) > 0
+
+    # interval join: the suite's interval leg carries the pair under
+    # (id_a, id_b)
+    got = rows(
+        plain["interval_join"]().select(
+            F.col("err_id").alias("id_a"), F.col("click_id").alias("id_b")
+        ),
+        ["id_a", "id_b"],
+    )
+    want = rows(
+        QUERIES["temporal_join_suite"](spark, sf_dir).filter(
+            F.col("leg") == "interval"
+        ),
+        ["id_a", "id_b"],
     )
     assert got == want and len(want) > 0

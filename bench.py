@@ -428,6 +428,19 @@ def _measure_canary(spark) -> dict[str, float]:
         t0 = time.perf_counter()
         spark.range(1_000_000_000).selectExpr("sum(id)").collect()
         sp.append(time.perf_counter() - t0)
+    # Pinned parquet scan+agg over the (cached-on-disk) skew corpus:
+    # context-only like the range-sum, but IO/page-cache sensitive where
+    # GEMM is not — recorded because four canary-clean r8 sweeps of
+    # identical code spread 54–74 s total purely on JVM/page-cache state
+    # the pure-CPU leg couldn't see. Absent corpus (first ever run) → -1.
+    scan = []
+    skew_path = os.path.join(BENCH_CORPUS_DIR, "edges_skew.parquet")
+    if os.path.exists(skew_path):
+        spark.read.parquet(skew_path).count()  # warm
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.read.parquet(skew_path).selectExpr("count(*)", "min(src)").collect()
+            scan.append(time.perf_counter() - t0)
     try:
         load1, load5, _ = os.getloadavg()
     except OSError:  # pragma: no cover — platform without getloadavg
@@ -438,6 +451,7 @@ def _measure_canary(spark) -> dict[str, float]:
     return {
         "gemm_sec": round(min(gemm), 4),
         "spark_range_sum_sec": round(min(sp), 4),
+        "spark_scan_sec": round(min(scan), 4) if scan else -1.0,
         "loadavg_1m": round(load1, 2),
         "loadavg_5m": round(load5, 2),
     }
@@ -454,8 +468,8 @@ def _canary_verdict(pre: dict[str, float], post: dict[str, float]) -> dict:
     load, and a canary that flags JVM warmup as contamination would cry
     wolf on every clean run."""
     drift = {}
-    for key in ("gemm_sec", "spark_range_sum_sec"):
-        lo, hi = sorted((pre[key], post[key]))
+    for key in ("gemm_sec", "spark_range_sum_sec", "spark_scan_sec"):
+        lo, hi = sorted((pre.get(key, -1.0), post.get(key, -1.0)))
         drift[key] = round((hi / lo - 1.0) * 100, 1) if lo > 0 else None
     g = drift["gemm_sec"]
     return {"drift_pct": drift, "load_contaminated": g is not None and g > 10.0}

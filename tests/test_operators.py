@@ -4082,3 +4082,46 @@ def test_knn_batched_ann_routing_past_broadcast_bound(spark):
     assert len(iv) >= 0.995 * len(ex_sub)
     agree_ivf = sum(1 for k2, v in iv.items() if ex_sub.get(k2) == v) / len(iv)
     assert agree_ivf >= 0.995, agree_ivf
+
+
+def test_audio_fingerprint_rate_aware_resampling(spark):
+    """r8 review fix exercised end-to-end: ahash64 derives its band
+    edges from ABSOLUTE frequencies via the sample rate, so the same
+    melodic content rendered at 8 kHz, 16 kHz and 44.1 kHz fingerprints
+    nearly identically (before the fix, bands were bin-relative and a
+    resampled twin produced an unrelated print). Distinct melodies stay
+    far apart at any rate."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    def melody(seed, rate, dur=1.0):
+        n = int(dur * rate)
+        seg = n // 8
+        out = np.zeros(seg * 8)
+        for k in range(8):
+            t = np.arange(seg) / rate
+            f1 = 150 + ((seed * 131 + k * 379) % 1700)
+            f2 = 300 + ((seed * 241 + k * 523) % 3300)
+            out[k * seg : (k + 1) * seg] = 9000 * np.sin(
+                2 * np.pi * f1 * t
+            ) + 5000 * np.sin(2 * np.pi * f2 * t)
+        return np.clip(out, -32768, 32767).astype(np.int16)
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    prints8, twin_d = {}, []
+    for s in range(1, 11):
+        p8 = mm.ahash64(melody(s, 8000), 8000)
+        p16 = mm.ahash64(melody(s, 16000), 16000)
+        p44 = mm.ahash64(melody(s, 44100), 44100)
+        prints8[s] = p8
+        twin_d += [ham(p8, p16), ham(p8, p44), ham(p16, p44)]
+    cross = [
+        ham(prints8[a], prints8[b]) for a in range(1, 11) for b in range(a + 1, 11)
+    ]
+    # measured: twins 0-7 (most 0-1), distinct clips min 7, mean ~18.6
+    assert max(twin_d) <= 7, twin_d
+    assert sum(1 for d in twin_d if d <= 3) >= 0.8 * len(twin_d), twin_d
+    assert min(cross) >= 7 and sum(cross) / len(cross) > 15, (min(cross), sum(cross) / len(cross))

@@ -263,6 +263,12 @@ def multimodal_curation_recipe(
     the media stage adds one decode pass per modality, the shared
     16-byte-print block join, and a CC whose edge set is the candidate
     pairs — the doc-level verdict is two semi/anti joins on ids."""
+    if link is None and id_col == media_id_col:
+        raise ValueError(
+            "multimodal_curation_recipe: with link=None the default doc↔media "
+            f"mapping aliases media's {media_id_col!r} to {id_col!r} — equal "
+            "names would produce a duplicate column; pass an explicit link"
+        )
     text_kept = curation_recipe(
         docs, id_col=id_col, text_col=text_col, **text_kwargs
     )

@@ -970,11 +970,21 @@ def _gram_start_rows(
             h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         return h % M
 
+    import re
+
     def run(batches):
         for pdf in batches:
             ids, poss, ghs = [], [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").split()
+                # ASCII \s+ split, NOT str.split(): positions here must
+                # index the SAME token array the JVM coverage/rebuild
+                # stage builds with Java's \s+ (ASCII-only) — Python's
+                # default split also breaks on Unicode whitespace (NBSP
+                # etc.), which would silently misalign span positions on
+                # non-ASCII corpora
+                toks = [
+                    t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t
+                ]
                 if len(toks) < k:
                     continue
                 th = [fnv1a64(t) for t in toks]

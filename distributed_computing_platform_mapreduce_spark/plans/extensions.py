@@ -1143,6 +1143,12 @@ def text_normalize_url_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       composes, lowercase maps É→é, whitespace collapses; the oracle is
       DuckDB ``nfc_normalize``/``lower``/``regexp_replace``, i.e. two
       INDEPENDENT Unicode implementations agreeing byte-for-byte.
+      Scope note: the whitespace-collapse equivalence holds for ASCII
+      whitespace (this corpus) — the operator's Python ``str.split``
+      also collapses UNICODE whitespace (NBSP etc.), which RE2's
+      ASCII ``\\s`` in the oracle would keep; the operator's unicode
+      behavior is the intended contract, the oracle checks it where
+      the two definitions coincide.
 
     Scale shape: the URL leg is a pure scan-side projection; the
     normalize leg is one Arrow pass — neither shuffles (the melt is an

@@ -2234,6 +2234,20 @@ def test_remove_repeated_spans_exactsubstr_policy(spark):
             for r in dd.remove_repeated_spans(df.repartition(13), k=8).collect()}
     assert out2 == out
 
+    # NBSP alignment: the gram pass (Python) and coverage/rebuild (JVM)
+    # must tokenize identically — Java \\s+ is ASCII-only, so a token
+    # containing non-breaking spaces is ONE token on both sides; a dup
+    # pair containing it still dedups and positions stay aligned
+    nb = "alpha\u00a0beta gamma one two three four five six seven"
+    dfn = spark.createDataFrame(
+        [(0, nb), (1, nb), (2, "unrelated filler text that repeats nothing here")],
+        "doc_id long, text string",
+    )
+    outn = {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+            for r in dd.remove_repeated_spans(dfn, k=8).collect()}
+    assert outn[0] == ("", 9) and outn[1] == ("", 9)
+    assert outn[2][1] == 0
+
     # guard rails
     import pytest as _pt
     with _pt.raises(ValueError):

@@ -93,6 +93,39 @@ def test_no_cartesian_product_anywhere(plans):
     assert offenders == [], f"shuffle cross product: {offenders}"
 
 
+def test_single_partition_exchange_only_carries_combined_rows(plans):
+    """``Exchange SinglePartition`` funnels its entire input through ONE
+    task — the classic scale-killer when the input is raw data (a global
+    Window with no PARTITION BY, a one-partition sort, a whole-table
+    collect_list). It is *fine* when the rows crossing it are already
+    map-side combined: a global scalar aggregate ships one partial row
+    per upstream partition, so the single task reduces ~thousands of
+    tiny rows no matter how big the table is.
+
+    Lint: every SinglePartition exchange in every registered plan must
+    be fed by either (a) a partial aggregate (combiner output — the
+    five global-scalar cases: tpch_q6 revenue, BM25 N/avgdl, ngram-LM
+    vocab size, curation's LM floor, agg_grouping_suite's HAVING
+    scalar), or (b) an aggregate keyed by the synthetic partition id
+    ``__pid`` (sequence_packing's two-phase prefix scan — exactly one
+    row per upstream partition by construction). Anything else is a
+    one-task funnel of unbounded rows and fails here."""
+    offenders = []
+    for name, p in plans.items():
+        lines = p.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            combined = (
+                ("Aggregate" in child and "partial_" in child)
+                or ("Aggregate" in child and "keys=[__pid" in child)
+            )
+            if not combined:
+                offenders.append((name, child.strip()[:120]))
+    assert offenders == [], f"SinglePartition exchange over raw rows: {offenders}"
+
+
 def test_arrow_python_only_where_semantically_needed(plans):
     offenders = [
         n

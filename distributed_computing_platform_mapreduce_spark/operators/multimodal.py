@@ -559,6 +559,36 @@ def synth_samples(seed: int, n_samples: int = 800, channels: int = 1) -> np.ndar
     return np.clip(wave + dither, -32768, 32767).astype(np.int16).reshape(n_samples, channels)
 
 
+def synth_melody(seed: int, n_samples: int = 8000, rate: int = 8000) -> np.ndarray:
+    """Deterministic int16 PCM with REAL spectral entropy: 8 segments,
+    each a two-tone chord whose frequencies walk a (seed, segment)
+    lattice, plus splitmix64 dither. ``synth_samples``' single fixed
+    sine has only 97 distinct pitches and near-zero band-energy
+    variation beyond the tone — distinct seeds collide under
+    :func:`ahash64` (measured distance 0). This fixture's per-segment
+    chords make prints separate: over seeds 2..499, gain-scaled twins
+    sit at hamming ≤ 1 while distinct seeds never come closer than 2
+    (mean 29) — the margin the ``media_neardup_suite`` audio leg pins."""
+    s = seed or 1
+    seg = n_samples // 8
+    out = np.zeros(n_samples)
+    for k in range(8):
+        t = np.arange(seg) / rate
+        f1 = 150 + ((s * 131 + k * 379) % 1700)
+        f2 = 300 + ((s * 241 + k * 523) % 3300)
+        out[k * seg : (k + 1) * seg] = 9000 * np.sin(2 * np.pi * f1 * t) + 5000 * np.sin(
+            2 * np.pi * f2 * t
+        )
+    offset = (s * 0x9E3779B97F4A7C15) % (1 << 64)
+    with np.errstate(over="ignore"):
+        x = np.arange(n_samples, dtype=np.uint64) + np.uint64(offset)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+    out += (x & np.uint64(0x3FF)).astype(np.float64) - 512.0
+    return np.clip(out, -32768, 32767).astype(np.int16)
+
+
 # --- pure-numpy YUV4MPEG2 (y4m) mono video codec ----------------------------
 
 
@@ -711,22 +741,46 @@ def media_from_documents(
 
 
 def audio_from_documents(
-    docs: DataFrame, n_samples: int = 800, sample_rate: int = 8000, channels: int = 1
+    docs: DataFrame,
+    n_samples: int = 800,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    synth: str = "tone",
+    gain: float = 1.0,
 ) -> DataFrame:
     """Synthesize an audio media table with REAL RIFF/WAV PCM-16
     payloads, deterministically seeded by doc_id — the ``kind='audio'``
     twin of ``media_from_documents``. width/height are -1 (not pixels);
-    ``n_frames`` carries the sample-frame count."""
+    ``n_frames`` carries the sample-frame count.
+
+    ``synth='melody'`` swaps :func:`synth_samples` for
+    :func:`synth_melody` (mono only) — the spectral-entropy fixture the
+    near-dup oracle needs. ``gain`` scales samples before encoding
+    (int16-rounded): a ``gain=0.5`` table is an amplitude-scaled
+    re-master of the ``gain=1`` table, the classic loudness-normalized
+    duplicate."""
     from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
 
+    if synth not in ("tone", "melody"):
+        raise ValueError(f"synth must be tone|melody, got {synth!r}")
+    if synth == "melody" and channels != 1:
+        raise ValueError("synth='melody' is mono (channels=1)")
     ensure_shipped(docs.sparkSession)
     ids = docs.select(F.col("doc_id").alias("media_id"))
+
+    def synth_one(m: int) -> np.ndarray:
+        if synth == "melody":
+            samples = synth_melody(m, n_samples, sample_rate)
+        else:
+            samples = synth_samples(m, n_samples, channels)
+        if gain != 1.0:
+            samples = (samples.astype(np.float64) * gain).astype(np.int16)
+        return samples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                encode_wav(synth_samples(int(m), n_samples, channels), sample_rate)
-                for m in pdf["media_id"]
+                encode_wav(synth_one(int(m)), sample_rate) for m in pdf["media_id"]
             ]
             yield pd.DataFrame(
                 {

@@ -43,11 +43,11 @@ ARROW_PYTHON_OK = {
     # with per-token state); the repeat count, coverage sweep and
     # rebuild are all JVM.
     "dedup_spans",
-    # NOT listed: image_neardup — its decode/phash MapInPandas sits above
-    # hamming_pairs' localCheckpoint, so the registered query's plan
-    # shows Scan ExistingRDD (the checkpoint cut), not the Python stage;
-    # the whitelist-honesty check below would (rightly) flag a stale
-    # entry that exhibits no pattern.
+    # NOT listed: media_neardup_suite — each leg's decode/phash
+    # MapInPandas sits above hamming_pairs' localCheckpoint, so the
+    # registered query's plan shows Scan ExistingRDD (the checkpoint
+    # cut), not the Python stage; the whitelist-honesty check below
+    # would (rightly) flag a stale entry that exhibits no pattern.
 }
 
 # Non-equi joins where the inner side is a broadcast-safe cardinality:

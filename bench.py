@@ -457,7 +457,9 @@ def _measure_canary(spark) -> dict[str, float]:
     }
 
 
-def _canary_verdict(pre: dict[str, float], post: dict[str, float]) -> dict:
+def _canary_verdict(
+    pre: dict[str, float], post: dict[str, float], gemm_idle_ref: float | None = None
+) -> dict:
     """Compare pre/post canaries. The contamination verdict comes from
     the GEMM ONLY: pure CPU work that repeats within ~2–4% on an idle
     box, so >10% pre/post drift means another process took cores during
@@ -466,13 +468,38 @@ def _canary_verdict(pre: dict[str, float], post: dict[str, float]) -> dict:
     cold-ish pre and a fully-JIT-warm post on an idle machine (post
     FASTER than pre) show its variance tracks JVM state, not ambient
     load, and a canary that flags JVM warmup as contamination would cry
-    wolf on every clean run."""
+    wolf on every clean run.
+
+    r9 adds the ABSOLUTE gate the r8 verdict prescribed: pre/post drift
+    cannot see a machine that is degraded but STABLE (steadily loaded
+    before the pre-canary and still loaded after the post), so the
+    pre-canary GEMM is also compared against a pinned idle reference
+    (``SPARK_GRAFT_BENCH_GEMM_IDLE_SEC``, ~0.145 s measured on this
+    box); pre > 1.3× the reference flags the attempt even with zero
+    drift."""
     drift = {}
     for key in ("gemm_sec", "spark_range_sum_sec", "spark_scan_sec"):
         lo, hi = sorted((pre.get(key, -1.0), post.get(key, -1.0)))
         drift[key] = round((hi / lo - 1.0) * 100, 1) if lo > 0 else None
     g = drift["gemm_sec"]
-    return {"drift_pct": drift, "load_contaminated": g is not None and g > 10.0}
+    pre_gemm = pre.get("gemm_sec", -1.0)
+    abs_exceeded = (
+        gemm_idle_ref is not None
+        and gemm_idle_ref > 0
+        and pre_gemm > 0
+        and pre_gemm > 1.3 * gemm_idle_ref
+    )
+    return {
+        "drift_pct": drift,
+        "gemm_idle_ref_sec": gemm_idle_ref,
+        "pre_gemm_over_idle_ref": (
+            round(pre_gemm / gemm_idle_ref, 2)
+            if gemm_idle_ref and pre_gemm > 0
+            else None
+        ),
+        "abs_gate_exceeded": bool(abs_exceeded),
+        "load_contaminated": (g is not None and g > 10.0) or bool(abs_exceeded),
+    }
 
 
 def _media_times(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
@@ -514,6 +541,85 @@ def _media_times(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[f
         spread["image_neardup"] = [lo, hi]
     except Exception as exc:  # noqa: BLE001
         errors["image_neardup"] = _error_line(exc)
+    return times, spread, errors
+
+
+def _r8_crop_times(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+    """Wall-clock points for the r8 operator crop (VERDICT r8 #2 — they
+    shipped with zero bench evidence):
+
+    - ``dedup_spans_k50``: ExactSubstr span dedup at the Lee et al.
+      ACL'22 default k=50 (the driver row runs k=4); the rolling-hash
+      gram pass is the repo's most expensive per-token Arrow stage.
+    - ``cluster_sample``: Lloyd-trained cells + exact per-cell quota
+      draw over the embeddings table.
+    - ``incremental_index_build``: MinHash signature index over half
+      the corpus — the nightly chain's persistent artifact.
+    - ``incremental_dedup_increment``: the OTHER half deduped against
+      that prebuilt index; times one updated-index materialization
+      (history ∪ surviving signatures — the action a nightly job
+      writes back). The index is built and pinned OUTSIDE the timer:
+      the increment must never re-pay history.
+    """
+    from distributed_computing_platform_mapreduce_spark.operators import dedup, sampling
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+    from pyspark.sql import functions as F
+
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+
+    def spans():
+        docs = load_table(spark, sf_dir, "documents")
+        out = dedup.remove_repeated_spans(docs, "doc_id", "text", k=50, min_count=2)
+        assert out.count() >= 0
+
+    def cluster():
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = sampling.cluster_sample(emb, n_clusters=16, per_cluster=10)
+        assert out.count() >= 0
+
+    for name, fn in (("dedup_spans_k50", spans), ("cluster_sample", cluster)):
+        try:
+            fn()  # warm plan shape
+            med, lo, hi = _timed_median(fn)
+            times[name] = med
+            spread[name] = [lo, hi]
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = _error_line(exc)
+
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        hist_src = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        new_half = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+        def index_build():
+            idx = dedup.minhash_index(hist_src, "doc_id", "text")
+            assert idx.count() >= 0
+
+        index_build()  # warm
+        med, lo, hi = _timed_median(index_build)
+        times["incremental_index_build"] = med
+        spread["incremental_index_build"] = [lo, hi]
+
+        hist = dedup.minhash_index(hist_src, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+
+        def increment():
+            _survivors, updated = dedup.incremental_dedup(new_half, hist)
+            assert updated.count() >= 0
+
+        increment()  # warm
+        med, lo, hi = _timed_median(increment)
+        times["incremental_dedup_increment"] = med
+        spread["incremental_dedup_increment"] = [lo, hi]
+    except Exception as exc:  # noqa: BLE001
+        errors["incremental_chain"] = _error_line(exc)
+
     return times, spread, errors
 
 
@@ -604,6 +710,14 @@ def _run_sweep(
     except Exception as exc:  # noqa: BLE001
         errors["media"] = _error_line(exc)
 
+    try:
+        c_times, c_spread, c_errors = _r8_crop_times(spark, sf_dir)
+        times.update(c_times)
+        spread.update(c_spread)
+        errors.update(c_errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["r8_crop"] = _error_line(exc)
+
     return times, spread, errors
 
 
@@ -620,6 +734,12 @@ def main() -> None:
     # history attached so "flagged ⇒ rerun" has already happened).
     max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3")))
     idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "300"))
+    # Pinned idle GEMM reference (r9): the pre/post drift check passes on
+    # a machine that is degraded but STABLE, so the pre-canary is also
+    # gated absolutely — >1.3× this reference means not-idle. 0.145 s is
+    # the repeated idle measurement on this box; re-pin via env on other
+    # hardware (set to 0 to disable the absolute gate).
+    gemm_idle_ref = float(os.environ.get("SPARK_GRAFT_BENCH_GEMM_IDLE_SEC", "0.145"))
 
     spark = get_spark("distributed-computing-platform-mapreduce-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -642,6 +762,32 @@ def main() -> None:
             canary_pre = None
             errors["canary_pre"] = _error_line(exc)
 
+        # r9 absolute pre-gate: a degraded-but-stable machine passes the
+        # pre/post drift check, so don't even START a sweep whose
+        # pre-canary GEMM exceeds the pinned idle reference — unless this
+        # is the last attempt (the driver must still get a record; it
+        # arrives flagged via the same gate inside _canary_verdict).
+        if (
+            canary_pre
+            and gemm_idle_ref > 0
+            and canary_pre["gemm_sec"] > 1.3 * gemm_idle_ref
+            and attempt < max_attempts
+        ):
+            discarded.append(
+                {
+                    "attempt": attempt,
+                    "reason": "pre_gate",
+                    "canary_pre": canary_pre,
+                    "gemm_idle_ref_sec": gemm_idle_ref,
+                }
+            )
+            print(
+                f"# attempt {attempt} pre-gate red (gemm {canary_pre['gemm_sec']}s "
+                f"> 1.3 x idle ref {gemm_idle_ref}s) — waiting and retrying",
+                file=sys.stderr,
+            )
+            continue
+
         times, spread, sweep_errors = _run_sweep(spark, sf_dir)
         errors.update(sweep_errors)
 
@@ -651,7 +797,7 @@ def main() -> None:
             canary_post = None
             errors["canary_post"] = _error_line(exc)
         canary = (
-            _canary_verdict(canary_pre, canary_post)
+            _canary_verdict(canary_pre, canary_post, gemm_idle_ref)
             if canary_pre and canary_post
             else {"drift_pct": None, "load_contaminated": None}
         )
@@ -660,6 +806,7 @@ def main() -> None:
         discarded.append(
             {
                 "attempt": attempt,
+                "reason": "canary_red",
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
                 "drift_pct": canary["drift_pct"],
@@ -691,6 +838,29 @@ def main() -> None:
                 "attempt": attempt,
                 "discarded_attempts": discarded,
                 "idle_wait_sec": round(idle_waited_total, 1),
+            }
+        )
+    )
+    # FINAL compact line (r9): the driver records only the last ~4 KB of
+    # stdout, and BENCH_r08's discarded-attempt history pushed the
+    # medians dict out of that tail ("parsed": null). This line repeats
+    # every verdict-critical field — total, per-query medians, the
+    # canary verdict — in well under 4 KB, so the tail ALWAYS carries a
+    # complete parseable record no matter how large the full record
+    # above grows.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf else None,
+                "canary": canary,
+                "attempt": attempt,
+                "n_errors": len(errors),
+                "n_discarded_attempts": len(discarded),
+                "compact": True,
             }
         )
     )

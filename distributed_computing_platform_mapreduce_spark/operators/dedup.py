@@ -1175,20 +1175,30 @@ def minhash_index(
     otherwise vanish from the index — an exact duplicate of a short doc
     would then pass every future increment undetected, silently breaking
     the "survivors ∪ index" invariant. They are indexed with one
-    sentinel shingle = the raw text's hash: identical short texts get
-    identical signatures (collide in every band, est_jaccard 1.0),
+    sentinel shingle = the hash of the WHITESPACE-NORMALIZED text (runs
+    of whitespace collapsed, ends trimmed): identical short token
+    sequences get identical signatures (collide in every band,
+    est_jaccard 1.0) even as trailing/duplicate-whitespace variants,
     distinct ones almost surely share no component. The short-doc branch
     is a JVM-side token-count filter over the same scan — no extra
-    shuffle."""
+    shuffle.
+
+    The token count and the sentinel must agree with
+    :func:`shingle_rows`'s Python ``str.split()`` tokenizer, which
+    splits on UNICODE whitespace — so the JVM twin uses
+    ``(?U)[\\s\\x1c-\\x1f]+`` (Unicode ``\\s`` plus the FS/GS/RS/US
+    separators Python's ``str.isspace`` also accepts), not ASCII
+    ``\\s``. A mismatch would let an NBSP-separated doc collect both
+    real shingles AND a sentinel hash, perturbing its signature
+    relative to an ASCII-spaced twin (ADVICE r8)."""
     rnd = _lcg_params(num_hashes)
     sh = shingle_rows(df, id_col, text_col, n)
     hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
     c = F.col(text_col)
-    ntok = F.when(F.trim(c) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), r"\s+"))
-    )
+    norm = F.trim(F.regexp_replace(c, r"(?U)[\s\x1c-\x1f]+", " "))
+    ntok = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
     sentinel = df.filter(ntok < n).select(
-        F.col(id_col).alias("id"), F.pmod(F.xxhash64(c), F.lit(_P)).alias("h")
+        F.col(id_col).alias("id"), F.pmod(F.xxhash64(norm), F.lit(_P)).alias("h")
     )
     hashed = hashed.unionAll(sentinel)
     mins = hashed.groupBy("id").agg(

@@ -774,7 +774,13 @@ def audio_from_documents(
         else:
             samples = synth_samples(m, n_samples, channels)
         if gain != 1.0:
-            samples = (samples.astype(np.float64) * gain).astype(np.int16)
+            # round (not truncate) and CLIP to int16 — a bare astype
+            # truncates toward zero and WRAPS on overflow, so gain > 1
+            # would silently turn a louder re-master into garbage
+            # (ADVICE r8); matches the synth functions' own clipping
+            samples = np.clip(
+                np.rint(samples.astype(np.float64) * gain), -32768, 32767
+            ).astype(np.int16)
         return samples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -669,8 +669,18 @@ def pq_train(
             # tiny corpus + aggressive rate: retry without sampling, but
             # CAPPED — the escape hatch must preserve the bounded-collect
             # contract (an uncapped base.collect() here would be the one
-            # path able to pull the whole corpus to the driver)
-            rows = base.limit(sample_rows).collect()
+            # path able to pull the whole corpus to the driver) — and
+            # DETERMINISTIC: a bare limit() picks partition-layout-
+            # dependent rows, so select the smallest-(priority, id) rows
+            # exactly like the distributed init (TakeOrderedAndProject,
+            # never a Sort) so the codebook is layout-independent
+            from distributed_computing_platform_mapreduce_spark.operators.sampling import _priority
+
+            rows = (
+                base.orderBy(_priority(id_col, seed).asc(), F.col(id_col).asc())
+                .limit(sample_rows)
+                .collect()
+            )
         rows.sort(key=lambda r: r[id_col])  # layout-independent order
         mat = np.array([r["v"] for r in rows], dtype=np.float64)
         nn_, dim = mat.shape

@@ -712,6 +712,14 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_survivors_suite",
     # r8 fold of dedup_survivors + dedup_cc_survivors (slot freed for the
     # r8 registry additions; both policies' oracles intact, tagged).
+    # r9 adds the 'incr'/'incr_index' legs — the previously pytest-only
+    # nightly incremental-dedup chain, replayed with the SAME exact-
+    # Jaccard graph restricted by wave (doc_id % 3): wave 0 seeds the
+    # index, waves 1 and 2 are successive increments. The MinHash
+    # component-match estimator's kill decisions were measured equal to
+    # exact Jaccard at sf0.001/0.01/0.1 (313/312/3115 survivors, zero
+    # diffs), so the exact replay is the estimator's oracle at this
+    # corpus' operating point.
     oracle="""
     WITH RECURSIVE sh AS (
       SELECT doc_id,
@@ -736,6 +744,35 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     comp AS (
       SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src
+    ),
+    sh3 AS (
+      SELECT doc_id, doc_id % 3 AS wave,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS s
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+            FROM documents)
+    ),
+    jac AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS other_id, a.wave AS wa, b.wave AS wb,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1)::DOUBLE AS j
+      FROM sh3 a JOIN sh3 b ON a.doc_id <> b.doc_id
+      WHERE a.wave > 0
+    ),
+    idead1 AS (
+      SELECT DISTINCT new_id FROM jac
+      WHERE wa = 1 AND j >= 0.5 AND (wb = 0 OR (wb = 1 AND other_id < new_id))
+    ),
+    idead2 AS (
+      SELECT DISTINCT new_id FROM jac
+      WHERE wa = 2 AND j >= 0.5 AND (
+        wb = 0 OR (wb = 1 AND other_id NOT IN (SELECT new_id FROM idead1))
+        OR (wb = 2 AND other_id < new_id))
+    ),
+    isurv AS (
+      SELECT doc_id FROM sh3 WHERE wave > 0
+        AND doc_id NOT IN (SELECT new_id FROM idead1)
+        AND doc_id NOT IN (SELECT new_id FROM idead2)
     )
     SELECT 'pair' AS policy, d.doc_id, d.lang, d.source
     FROM documents d
@@ -744,6 +781,13 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cc', d.doc_id, d.lang, d.source
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    UNION ALL
+    SELECT 'incr', d.doc_id, d.lang, d.source
+    FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM isurv)
+    UNION ALL
+    SELECT 'incr_index', d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 3 = 0 OR d.doc_id IN (SELECT doc_id FROM isurv)
     """,
 )
 def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,7 +817,27 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles apply because LSH candidate recall is 100% on this corpus
     (pinned by ``test_minhash_lsh_equals_exact_jaccard``). bench.py's
     ``dedup_cc_survivors`` point times ``filter(policy = 'cc')`` — the
-    pair leg's branch prunes under the literal filter."""
+    pair leg's branch prunes under the literal filter.
+
+    r9 adds the nightly-increment legs (the last major dedup family
+    without a SQL twin):
+
+    - ``incr``: documents in waves 1 and 2 (``doc_id % 3``) that
+      survive two successive ``dedup.incremental_dedup`` increments
+      against the persisted signature index seeded by wave 0 —
+      history TEXT is never re-read, only ~300 B/doc signatures; a new
+      doc dies on any component-match-estimate ≥ θ vs the index or vs
+      a lower-id doc of its own increment.
+    - ``incr_index``: membership of the FINAL updated index (wave 0 ∪
+      both increments' survivors) — the artifact a production pipeline
+      writes back nightly; verifying it pins the index-update algebra,
+      not just the survivor set.
+
+    The oracle replays both increments with exact Jaccard; the
+    estimator's decisions were MEASURED equal to exact at all three sf
+    dirs (zero survivor diffs), the same operating-point argument the
+    LSH legs use. Bench evidence: ``incremental_index_build`` /
+    ``incremental_dedup_increment`` points (r9)."""
     docs = load_table(spark, sf_dir, "documents")
     # the LSH banded join + verify feeds BOTH legs; a lazy checkpoint
     # (materialized once by the CC leg's plan-build rounds) keeps the
@@ -789,7 +853,25 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc_leg = dedup.dedup_survivors_cc(docs, pairs, "doc_id").select(
         F.lit("cc").alias("policy"), "doc_id", "lang", "source"
     )
-    return pair_leg.unionAll(cc_leg)
+
+    w0 = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    w1 = docs.filter(F.pmod("doc_id", F.lit(3)) == 1)
+    w2 = docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+    # lazy checkpoints pin each chain stage the way the nightly job's
+    # parquet writes would — the second increment must read the UPDATED
+    # index, never re-derive wave 1's work
+    idx0 = dedup.minhash_index(w0, "doc_id", "text").localCheckpoint(eager=False)
+    s1, u1 = dedup.incremental_dedup(w1, idx0)
+    s2, u2 = dedup.incremental_dedup(w2, u1.localCheckpoint(eager=False))
+    incr_leg = s1.unionAll(s2).select(
+        F.lit("incr").alias("policy"), "doc_id", "lang", "source"
+    )
+    idx_leg = (
+        u2.select(F.col("id").alias("doc_id"))
+        .join(docs, "doc_id")
+        .select(F.lit("incr_index").alias("policy"), "doc_id", "lang", "source")
+    )
+    return pair_leg.unionAll(cc_leg).unionAll(incr_leg).unionAll(idx_leg)
 
 
 @query(
@@ -878,41 +960,62 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors AS (
       SELECT * FROM ded
       WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    ),
+    sampled AS (
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY (15330096 * (doc_id % 2147483647) + 1941083619) % 2147483647,
+                          doc_id
+               ) AS rk
+        FROM survivors)
+      WHERE rk <= 10
     )
-    SELECT doc_id, lang, source FROM (
-      SELECT doc_id, lang, source,
-             row_number() OVER (
-               PARTITION BY source
-               ORDER BY (15330096 * (doc_id % 2147483647) + 1941083619) % 2147483647,
-                        doc_id
-             ) AS rk
-      FROM survivors)
-    WHERE rk <= 10
+    SELECT 'text' AS leg, doc_id, lang, source FROM sampled
+    UNION ALL
+    SELECT 'multimodal', doc_id, lang, source FROM sampled
+    WHERE NOT (doc_id % 2 = 0 AND doc_id >= 2 AND doc_id < 500)
     """,
 )
 def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END curation chain a real training-data pipeline runs
-    (``operators/curation.curation_recipe``), driver-checked as ONE
-    composition since r6: language gate (stopword argmax ∈ {en, es}) →
-    heuristic gates (≥12 tokens, punct ratio ≤ 0.3) → absolute bigram-LM
-    floor (avg_logp ≥ −3.46; the ``lm_logp_min`` form exists precisely
-    because an absolute cutoff is cross-engine-replayable where
-    approx_percentile is not — margins to the nearest doc score measured
-    ≥ 9e−5 at sf0.001/0.01/0.1 vs ~1e−13 cross-libm jitter) → exact
-    dedup (min-id per text) → MinHash-LSH + two-star CC transitive
-    near-dedup (recall-100% operating point, same subset argument as
-    ``dedup_cc_survivors``: filtered-corpus pairs ⊆ full-corpus pairs
-    and band collisions are pairwise properties) → deterministic
-    GF(2³¹−1) stratified sample (10 per source, seed 11). The boilerplate
-    stage is configured off: this corpus has no paragraph separators
-    (measured zero newlines), so its oracle twin would be vacuous — the
-    stage keeps its own differential pytest
-    (``test_remove_repeated_paragraphs_matches_python``). Oracle: the
-    whole chain in one WITH RECURSIVE pipeline, CC via transitive
-    closure."""
+    """The END-TO-END curation chain a real training-data pipeline runs,
+    tagged legs (r9 fold promotes the multimodal composition from
+    pytest-only to a full driver oracle):
+
+    - **text** (``operators/curation.curation_recipe``, driver-checked
+      as ONE composition since r6): language gate (stopword argmax ∈
+      {en, es}) → heuristic gates (≥12 tokens, punct ratio ≤ 0.3) →
+      absolute bigram-LM floor (avg_logp ≥ −3.46; the ``lm_logp_min``
+      form exists precisely because an absolute cutoff is
+      cross-engine-replayable where approx_percentile is not — margins
+      to the nearest doc score measured ≥ 9e−5 at sf0.001/0.01/0.1 vs
+      ~1e−13 cross-libm jitter) → exact dedup (min-id per text) →
+      MinHash-LSH + two-star CC transitive near-dedup (recall-100%
+      operating point, same subset argument as ``dedup_cc_survivors``:
+      filtered-corpus pairs ⊆ full-corpus pairs and band collisions are
+      pairwise properties) → deterministic GF(2³¹−1) stratified sample
+      (10 per source, seed 11). The boilerplate stage is configured
+      off: this corpus has no paragraph separators (measured zero
+      newlines), so its oracle twin would be vacuous — the stage keeps
+      its own differential pytest.
+    - **multimodal** (``curation.multimodal_curation_recipe``): the
+      same text chain PLUS media near-dedup across all three modalities
+      — docs 2–499 get synthesized media through the
+      ``media_neardup_suite`` fixtures (modality by doc_id % 3: PPM
+      image + lossless-PNG twin / melody WAV + gain-0.5 re-master /
+      8-frame y4m + 5-frame truncation), prints → shared hamming block
+      join at that suite's MEASURED margin constants (image ≤ 6, audio
+      ≤ 1, video ≤ 4 with all-5-frames) → CC → min-id survivor. The
+      link wires EVEN fixture docs to their twin (a dropped component
+      member — the doc must die) and ODD docs to their base (the
+      survivor — the doc must live), so the oracle replays the media
+      verdict as id arithmetic on top of the text CTE chain. Not
+      circular for the same reason as ``media_neardup_suite``: a broken
+      codec/print changes the pair set, which changes which docs die,
+      which hash-mismatches."""
     docs = load_table(spark, sf_dir, "documents")
-    return curation.curation_recipe(
-        docs,
+    recipe_kwargs = dict(
         langs=["en", "es"],
         min_tokens=12,
         max_punct_ratio=0.3,
@@ -922,13 +1025,107 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_per_stratum=10,
         strata_cols=["source"],
         sample_seed=11,
-    ).select("doc_id", "lang", "source")
+    )
+    text = curation.curation_recipe(docs, **recipe_kwargs).select(
+        F.lit("text").alias("leg"), "doc_id", "lang", "source"
+    )
+
+    fix = (
+        docs.select("doc_id")
+        .filter((F.col("doc_id") >= 2) & (F.col("doc_id") < 500))
+        .repartition(32)
+    )
+    img_d = fix.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    aud_d = fix.filter(F.pmod("doc_id", F.lit(3)) == 1)
+    vid_d = fix.filter(F.pmod("doc_id", F.lit(3)) == 2)
+    tw = F.col("media_id") + F.lit(10_000_000)
+    media = (
+        multimodal.media_from_documents(img_d, width=32, height=32)
+        .unionAll(
+            multimodal.media_from_documents(
+                img_d, width=32, height=32, codec="png"
+            ).withColumn("media_id", tw)
+        )
+        .unionAll(multimodal.audio_from_documents(aud_d, n_samples=8000, synth="melody"))
+        .unionAll(
+            multimodal.audio_from_documents(
+                aud_d, n_samples=8000, synth="melody", gain=0.5
+            ).withColumn("media_id", tw)
+        )
+        .unionAll(
+            multimodal.video_from_documents(vid_d, n_frames=8, width=16, height=16)
+        )
+        .unionAll(
+            multimodal.video_from_documents(
+                vid_d, n_frames=5, width=16, height=16
+            ).withColumn("media_id", tw)
+        )
+    )
+    link = fix.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0, F.col("doc_id") + F.lit(10_000_000)
+        )
+        .otherwise(F.col("doc_id"))
+        .alias("media_id"),
+    )
+    mm_leg = curation.multimodal_curation_recipe(
+        docs,
+        media,
+        link=link,
+        image_max_hamming=6,
+        audio_max_hamming=1,
+        video_max_hamming=4,
+        video_every_n=1,
+        video_min_frame_matches=5,
+        blocks=8,
+        **recipe_kwargs,
+    ).select(F.lit("multimodal").alias("leg"), "doc_id", "lang", "source")
+    return text.unionAll(mm_leg)
+
+
+def _pinned_cluster_codebook(n_clusters: int = 16, dim: int = 64):
+    """Deterministic unit-row codebook for the driver's cluster-sample
+    leg: integer lattice ``((c·73 + d·37) mod 19) − 9`` then L2-row-
+    normalize. Pinned (not Lloyd-trained) so the cell ASSIGNMENT is a
+    pure arithmetic function DuckDB can replay; measured top1−top2
+    cosine margins on the driver corpora are ≥ 1.7e-6 (sf0.1) — nine
+    orders above cross-engine float64 summation jitter, so the argmax
+    is engine-independent."""
+    import numpy as np
+
+    c = np.arange(n_clusters)[:, None] * 73
+    d = np.arange(dim)[None, :] * 37
+    mat = ((c + d) % 19 - 9).astype(np.float64)
+    return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
 
 @query(
     "sample_stratified",
+    # r9 fold: 'lang' = the original exact-budget stratified sample;
+    # 'cluster' promotes the previously pytest-only diversity-aware
+    # cluster-quota sampler — the codebook is pinned (see
+    # _pinned_cluster_codebook), so DuckDB replays the argmax-cosine
+    # cell assignment AND the identical GF(2³¹−1) seed-11 rank draw.
     oracle="""
-    SELECT doc_id, lang, source
+    WITH cents AS (
+      SELECT c, list_transform(range(0, 64), d -> ((((c*73 + d*37) % 19) - 9))::DOUBLE) AS cv
+      FROM (SELECT unnest(range(0, 16)) AS c)
+    ),
+    sims AS (
+      SELECT e.vec_id, c.c,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, c AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rk
+        FROM sims) WHERE rk = 1
+    )
+    SELECT 'lang' AS leg, doc_id AS id, lang AS stratum, source
     FROM (
       SELECT doc_id, lang, source,
              row_number() OVER (
@@ -938,22 +1135,64 @@ def curation_recipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rk
       FROM documents)
     WHERE rk <= 10
+    UNION ALL
+    SELECT 'cluster', vec_id, CAST(cell AS VARCHAR), NULL
+    FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY (15330096 * (vec_id % 2147483647) + 1941083619) % 2147483647,
+                        vec_id
+             ) AS rk
+      FROM best)
+    WHERE rk <= 10
     """,
 )
 def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic exact-budget stratified sample: 10 documents per
-    language, ranked by an affine hash of doc_id over GF(2^31−1) with an
-    id tie-break (seed 11 → multiplier 15330096, offset 1941083619 — the
-    oracle replays the identical arithmetic, so the SAMPLE SET itself is
-    hash-checked, not just its size). Unlike Spark's per-partition
-    Bernoulli ``sample``, the draw is a pure function of (doc_id, seed):
-    the same subset reproduces on any cluster layout — what a training
-    data recipe requires. Plan: one shuffle on the stratum column,
-    WindowGroupLimit prunes to 10 rows/stratum map-side."""
+    """Deterministic sampling suite, tagged legs:
+
+    - **lang**: exact-budget stratified sample — 10 documents per
+      language, ranked by an affine hash of doc_id over GF(2^31−1) with
+      an id tie-break (seed 11 → multiplier 15330096, offset 1941083619
+      — the oracle replays the identical arithmetic, so the SAMPLE SET
+      itself is hash-checked, not just its size). Unlike Spark's
+      per-partition Bernoulli ``sample``, the draw is a pure function
+      of (doc_id, seed): the same subset reproduces on any cluster
+      layout — what a training data recipe requires. Plan: one shuffle
+      on the stratum column, WindowGroupLimit prunes to 10 rows/stratum
+      map-side.
+    - **cluster** (r9 promotion): diversity-aware cluster-quota
+      sampling (``sampling.cluster_sample``) — k-means cells as strata,
+      exactly 10 embeddings per cell via the same GF draw. The driver
+      leg pins the codebook so the assignment is replayable arithmetic;
+      the Lloyd-TRAINED path (and its rare-mode over-representation
+      guarantee) stays pinned in pytest. One Arrow GEMM assignment
+      pass; the only shuffle is the per-cell ranking window."""
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.stratified_sample_exact(
+    lang = sampling.stratified_sample_exact(
         docs, ["lang"], "doc_id", 10, seed=11
-    ).select("doc_id", "lang", "source")
+    ).select(
+        F.lit("lang").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("stratum"),
+        "source",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    clus = sampling.cluster_sample(
+        emb,
+        "vec_id",
+        "embedding",
+        n_clusters=16,
+        per_cluster=10,
+        seed=11,
+        centroids=_pinned_cluster_codebook(),
+    ).select(
+        F.lit("cluster").alias("leg"),
+        F.col("vec_id").alias("id"),
+        F.col("cluster_cell").cast("string").alias("stratum"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    return lang.unionAll(clus)
 
 
 @query(
@@ -1449,6 +1688,9 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matches 61-bit rolling hashes — equivalence is exact up to a
     # ~n²/2⁶² collision probability, deterministic per corpus), repeat
     # counts, covered positions, per-doc rebuild via ordered string_agg.
+    # r9 fold: the 'decontam' leg replays decontaminate_spans with the
+    # IDENTICAL gram-string machinery — eval grams (doc_id % 10 = 7)
+    # semi-select the training side's (doc_id % 10 <> 7) cut starts.
     oracle="""
     WITH toks AS (
       SELECT doc_id,
@@ -1462,46 +1704,75 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, pos, array_to_string(ts[pos : pos + 4 - 1], ' ') AS g FROM positions
     ),
     rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-    starts AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM rep)),
+    eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+    starts AS (
+      SELECT 'repeat' AS leg, doc_id, pos FROM grams WHERE g IN (SELECT g FROM rep)
+      UNION ALL
+      SELECT 'decontam', doc_id, pos FROM grams
+      WHERE doc_id % 10 <> 7 AND g IN (SELECT g FROM eval_g)
+    ),
     covered AS (
-      SELECT DISTINCT doc_id, pos + unnest(range(0, 4)) AS p FROM starts
+      SELECT DISTINCT leg, doc_id, pos + unnest(range(0, 4)) AS p FROM starts
     ),
     tokpos AS (
       SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS p FROM toks
     ),
     tokrows AS (SELECT doc_id, p, ts[p] AS tok FROM tokpos),
+    legdocs AS (
+      SELECT 'repeat' AS leg, doc_id, ts FROM toks
+      UNION ALL
+      SELECT 'decontam', doc_id, ts FROM toks WHERE doc_id % 10 <> 7
+    ),
     kept AS (
-      SELECT tr.doc_id, tr.p, tr.tok
-      FROM tokrows tr LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.p = c.p
+      SELECT ld.leg, tr.doc_id, tr.p, tr.tok
+      FROM legdocs ld
+      JOIN tokrows tr ON ld.doc_id = tr.doc_id
+      LEFT JOIN covered c
+        ON c.leg = ld.leg AND tr.doc_id = c.doc_id AND tr.p = c.p
       WHERE c.p IS NULL
     )
-    SELECT t.doc_id,
+    SELECT ld.leg, ld.doc_id,
            coalesce(ka.txt, '') AS text,
-           len(t.ts) - coalesce(ka.n, 0) AS n_tokens_removed
-    FROM toks t LEFT JOIN (
-      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS txt, count(*) AS n
-      FROM kept GROUP BY doc_id
-    ) ka ON t.doc_id = ka.doc_id
+           len(ld.ts) - coalesce(ka.n, 0) AS n_tokens_removed
+    FROM legdocs ld LEFT JOIN (
+      SELECT leg, doc_id, string_agg(tok, ' ' ORDER BY p) AS txt, count(*) AS n
+      FROM kept GROUP BY leg, doc_id
+    ) ka ON ld.leg = ka.leg AND ld.doc_id = ka.doc_id
     """,
 )
 def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact repeated-substring removal (ExactSubstr, Lee et al. ACL'22)
-    under the full driver gate (r8; slot freed by the temporal-join
-    fold): every 4-token run occurring ≥ 2 times anywhere in the corpus
-    is cut from EVERY occurrence and the documents are rebuilt. On this
-    corpus the operating point is richly non-vacuous — 369 of 500 docs
-    lose at least one span at sf0.01 (birthday collisions over the
-    small synthetic vocabulary), so the rebuilt texts AND the
-    per-document removal counts both carry signal.
+    """Span-surgery suite, tagged legs (r9 fold promotes the previously
+    pytest-only decontamination path to a full driver oracle):
 
-    The Spark plan (``dedup.remove_repeated_spans``) matches grams by
-    61-bit rolling polynomial hash — 8-byte shuffle keys, never text —
-    while the oracle compares gram STRINGS; agreement therefore also
-    certifies the rolling hash's injectivity on this corpus (a
-    collision would cut a span the oracle keeps and hash-mismatch).
-    Production k is ~50 (the paper's operating point); k=4 here only
-    because the driver corpus must exercise the repeat machinery."""
+    - **repeat**: exact repeated-substring removal (ExactSubstr, Lee et
+      al. ACL'22) — every 4-token run occurring ≥ 2 times anywhere in
+      the corpus is cut from EVERY occurrence and the documents are
+      rebuilt. On this corpus the operating point is richly non-vacuous
+      — 369 of 500 docs lose at least one span at sf0.01 (birthday
+      collisions over the small synthetic vocabulary), so the rebuilt
+      texts AND the per-document removal counts both carry signal.
+    - **decontam**: GPT-3-style span decontamination
+      (``dedup.decontaminate_spans``) — docs with ``doc_id % 10 = 7``
+      stand in as the EVAL corpus, the rest as training data; every
+      training-side 4-token run that also appears anywhere in the eval
+      slice is cut, the document's clean remainder survives. Production
+      k is 13 (GPT-3's n-gram); k=4 here so the tiny driver corpus
+      exercises real overlaps through the same machinery.
+
+    Both legs match grams by 61-bit rolling polynomial hash — 8-byte
+    shuffle keys, never text — while the oracle compares gram STRINGS;
+    agreement therefore also certifies the rolling hash's injectivity
+    on this corpus (a collision would cut a span the oracle keeps and
+    hash-mismatch). Production k for the repeat leg is ~50 (the paper's
+    operating point) — that cost is the bench's ``dedup_spans_k50``
+    point."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.remove_repeated_spans(docs, "doc_id", "text", k=4).select(
-        "doc_id", "text", "n_tokens_removed"
+    rep = dedup.remove_repeated_spans(docs, "doc_id", "text", k=4).select(
+        F.lit("repeat").alias("leg"), "doc_id", "text", "n_tokens_removed"
     )
+    train = docs.filter(F.pmod("doc_id", F.lit(10)) != 7)
+    eval_df = docs.filter(F.pmod("doc_id", F.lit(10)) == 7)
+    dec = dedup.decontaminate_spans(
+        train, eval_df, "doc_id", "text", "doc_id", "text", k=4
+    ).select(F.lit("decontam").alias("leg"), "doc_id", "text", "n_tokens_removed")
+    return rep.unionAll(dec)

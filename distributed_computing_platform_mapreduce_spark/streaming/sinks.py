@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _hadoop_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — the
+    explicit existence probe the sinks use instead of catching blanket
+    read exceptions (a transient/corrupt read must FAIL the micro-batch
+    so streaming retries it; only genuine absence may be treated as
+    'first trigger')."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _hadoop_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
 def idempotent_parquet_sink(path: str):
     """Build a ``foreachBatch`` function writing each micro-batch to
     ``path`` under ``__batch_id=<id>`` with dynamic partition
@@ -69,7 +86,13 @@ def read_sink(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.parquet(out_path).drop("__batch_id")
 
 
-def topk_per_window_sink(path: str, k: int, window_col: str = "window_start", order_col: str = "n_events"):
+def topk_per_window_sink(
+    path: str,
+    k: int,
+    window_col: str = "window_start",
+    order_col: str = "n_events",
+    plan_log: list | None = None,
+):
     """``foreachBatch`` writer maintaining the TOP-``k`` rows per event
     window: streaming aggregations cannot rank in-query (no window
     functions over a streaming agg), so the documented pattern is
@@ -89,7 +112,23 @@ def topk_per_window_sink(path: str, k: int, window_col: str = "window_start", or
     overwrites those windows. A replay of the same batch_id re-derives
     the identical merge, so the sink stays idempotent; at 100 TB the
     commit unit is one window directory and the merge traffic is
-    O(k · windows-updated-per-trigger), independent of stream volume."""
+    O(k · windows-updated-per-trigger), independent of stream volume.
+
+    Two scale/robustness guarantees are encoded explicitly:
+
+    - the sink's existence is probed through the filesystem, NOT a
+      blanket ``except`` around the read — a transient or corrupt read
+      on a later trigger must abort the micro-batch (streaming retries
+      it) instead of silently skipping the merge and letting the
+      partition overwrite delete top-k keys that didn't update;
+    - the merge read is STATICALLY partition-pruned: the batch's
+      distinct windows (bounded: windows-updated-per-trigger, ≤ the
+      trigger's group count) are collected and pushed as an ``isin``
+      partition filter, so the per-trigger read never degrades into a
+      full-sink scan no matter how many windows the sink has
+      accumulated. ``plan_log`` (optional) receives the pruned read's
+      formatted plan per trigger so tests can pin the PartitionFilters.
+    """
     from pyspark.sql.window import Window
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -99,13 +138,23 @@ def topk_per_window_sink(path: str, k: int, window_col: str = "window_start", or
         cols = list(batch_df.columns)
         key_cols = [c for c in cols if c not in (window_col, order_col)]
         merged = batch_df
-        try:
-            existing = spark.read.parquet(path).select(*cols)
-        except Exception:  # noqa: BLE001 — first trigger: sink dir absent
-            existing = None
+        existing = (
+            spark.read.parquet(path).select(*cols)
+            if path_exists(spark, path)
+            else None  # first trigger: sink dir genuinely absent
+        )
         if existing is not None:
-            wins = batch_df.select(window_col).distinct()
-            prior = existing.join(F.broadcast(wins), on=window_col, how="left_semi")
+            # bounded collect: one value per window updated this trigger
+            win_vals = [
+                r[0] for r in batch_df.select(window_col).distinct().collect()
+            ]
+            prior = existing.filter(F.col(window_col).isin(win_vals))
+            if plan_log is not None:
+                from distributed_computing_platform_mapreduce_spark.operators.similarity import (
+                    _plan_string,
+                )
+
+                plan_log.append(_plan_string(prior))
             # batch wins on key collision: update-mode counts are cumulative
             prior_only = prior.join(
                 F.broadcast(batch_df.select(window_col, *key_cols)),
@@ -166,7 +215,22 @@ def incremental_dedup_sink(
     index, batch): replays re-derive identical survivors AND an
     identical index. The index read is bounded by the index itself
     (signatures, not text); at 100 TB the index is the only state that
-    ever rereads, exactly as in the batch-mode increment loop."""
+    ever rereads, exactly as in the batch-mode increment loop.
+
+    Crash safety of the index itself: the index is NEVER rewritten in
+    place (an in-place ``overwrite`` deletes the old files before the
+    new ones commit, so a crash mid-write would destroy the whole
+    history and the next batch would silently dedup against nothing).
+    Instead each batch commits a NEW version directory
+    ``{index_path}/v=<batch_id>`` and prunes older versions only AFTER
+    the new one's ``_SUCCESS`` marker lands; readers (this sink and
+    :func:`read_dedup_index`) always pick the newest COMMITTED version,
+    so a crash at any point leaves a readable, consistent index. A
+    replayed batch reads its own committed version, and the id
+    anti-join reduces it back to the pre-batch history — replays stay
+    pure. Genuine read failures propagate and abort the micro-batch
+    (streaming retries it); only a verifiably absent index directory
+    means 'first trigger'."""
     from distributed_computing_platform_mapreduce_spark.operators.dedup import (
         incremental_dedup,
         minhash_index,
@@ -176,15 +240,16 @@ def incremental_dedup_sink(
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        try:
-            hist = spark.read.parquet(index_path)
-        except Exception:  # noqa: BLE001 — first trigger: no index yet
+        committed = _index_versions(spark, index_path)
+        if committed:
+            hist = spark.read.parquet(f"{index_path}/v={committed[-1]}")
+        else:
             hist = minhash_index(
                 batch_df.filter(F.lit(False)), id_col, text_col, n, num_hashes
             )
         hist = hist.join(
             batch_df.select(F.col(id_col).alias("id")), "id", "left_anti"
-        ).localCheckpoint(eager=True)  # pin: the index file is overwritten below
+        ).localCheckpoint(eager=True)  # pin: a new index version lands below
         survivors, updated = incremental_dedup(
             batch_df,
             hist,
@@ -206,6 +271,47 @@ def incremental_dedup_sink(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        updated.write.mode("overwrite").parquet(index_path)
+        # commit the new version (overwrite clobbers a partial dir left
+        # by a crashed attempt of this SAME batch), then prune old
+        # versions — strictly after the new _SUCCESS exists
+        updated.write.mode("overwrite").parquet(f"{index_path}/v={int(batch_id)}")
+        fs, _ = _hadoop_path(spark, index_path)
+        for v in _index_versions(spark, index_path):
+            if v != int(batch_id):
+                fs.delete(
+                    spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/v={v}"), True
+                )
 
     return write_batch
+
+
+def _index_versions(spark: SparkSession, index_path: str) -> list[int]:
+    """Sorted batch-ids of COMMITTED (``_SUCCESS`` present) index
+    versions under ``index_path`` — partial directories from crashed
+    writes are invisible to readers."""
+    fs, root = _hadoop_path(spark, index_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        ok = fs.exists(spark._jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        if ok:
+            out.append(v)
+    return sorted(out)
+
+
+def read_dedup_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The current signature index = the newest committed version.
+    Raises if no version has ever committed (readers must not confuse
+    'index destroyed' with 'empty history')."""
+    committed = _index_versions(spark, index_path)
+    if not committed:
+        raise FileNotFoundError(f"no committed dedup index under {index_path}")
+    return spark.read.parquet(f"{index_path}/v={committed[-1]}")

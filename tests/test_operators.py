@@ -4139,3 +4139,88 @@ def test_audio_fingerprint_rate_aware_resampling(spark):
     assert max(twin_d) <= 7, twin_d
     assert sum(1 for d in twin_d if d <= 3) >= 0.8 * len(twin_d), twin_d
     assert min(cross) >= 7 and sum(cross) / len(cross) > 15, (min(cross), sum(cross) / len(cross))
+
+
+def test_minhash_index_sentinel_matches_python_tokenizer(spark):
+    """ADVICE r9: the short-doc sentinel branch must tokenize exactly
+    like shingle_rows' Python ``str.split()`` (Unicode whitespace) and
+    hash a whitespace-NORMALIZED text — so an NBSP-separated doc with
+    enough tokens never picks up a spurious sentinel, and trailing-
+    whitespace variants of the same short token sequence collide."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    def sig(text):
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = dd.minhash_index(df, "doc_id", "text").collect()
+        assert len(rows) == 1
+        return tuple(rows[0]["signature"]), rows[0]["sz"]
+
+    # 4 tokens either way under str.split(); the old ASCII-\s+ JVM count
+    # saw the NBSP doc as 2 tokens and injected a sentinel
+    ascii_sig = sig("alpha beta gamma delta")
+    nbsp_sig = sig("alpha beta gamma delta")
+    assert nbsp_sig == ascii_sig
+
+    # short docs (< n tokens): whitespace variants of the same token
+    # sequence must collide; distinct sequences must not
+    assert sig("hi there") == sig("  hi\tthere  ")
+    assert sig("hi there") == sig("hi there")
+    assert sig("hi there") != sig("bye now")
+
+
+def test_pq_train_empty_sample_fallback_layout_independent(spark, monkeypatch):
+    """ADVICE r9: when the hash-priority sample comes back empty, the
+    capped fallback must pick a layout-INDEPENDENT row set (smallest
+    (priority, id), the distributed-init rule) — a bare limit() made the
+    trained codebook depend on partition layout."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import (
+        sampling,
+        similarity,
+    )
+
+    monkeypatch.setattr(
+        sampling, "sample_rate", lambda df, id_col, rate, seed=0: df.filter(F.lit(False))
+    )
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(40)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(1)
+    b = spark.createDataFrame(
+        rows[::-1], "vec_id long, embedding array<double>"
+    ).repartition(7, "vec_id")
+    ka = similarity.pq_train(a, m=4, k=4, sample_rows=8, distributed=False)
+    kb = similarity.pq_train(b, m=4, k=4, sample_rows=8, distributed=False)
+    np.testing.assert_array_equal(ka, kb)
+
+
+def test_audio_gain_clips_and_rounds(spark):
+    """ADVICE r9: gain scaling must round-and-clip to int16 — a bare
+    astype truncates toward zero and WRAPS on overflow, turning a
+    gain>1 re-master into garbage."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    base = {
+        r["media_id"]: mm.decode_wav(bytes(r["payload"]))[0]
+        for r in mm.audio_from_documents(docs, n_samples=512, synth="melody").collect()
+    }
+    loud = {
+        r["media_id"]: mm.decode_wav(bytes(r["payload"]))[0]
+        for r in mm.audio_from_documents(
+            docs, n_samples=512, synth="melody", gain=3.0
+        ).collect()
+    }
+    for mid, s in base.items():
+        want = np.clip(np.rint(s.astype(np.float64) * 3.0), -32768, 32767).astype(
+            np.int16
+        )
+        got = loud[mid]
+        np.testing.assert_array_equal(got.ravel(), want.ravel())
+        # the melody synth drives near full scale, so gain 3 must clip
+        assert (np.abs(want) == 32767).any(), "fixture must exercise clipping"
+        # no wraparound: a louder re-master stays positively correlated
+        sf = s.ravel().astype(np.float64)
+        gf = got.ravel().astype(np.float64)
+        assert np.dot(sf, gf) / (np.linalg.norm(sf) * np.linalg.norm(gf)) > 0.9

@@ -607,6 +607,7 @@ def test_incremental_dedup_sink_stream_with_replay(spark, tmp_path):
     from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
     from distributed_computing_platform_mapreduce_spark.streaming.sinks import (
         incremental_dedup_sink,
+        read_dedup_index,
     )
 
     idx = str(tmp_path / "sig_index")
@@ -640,8 +641,14 @@ def test_incremental_dedup_sink_stream_with_replay(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
     )
     assert got == [0, 1, 11, 21]
-    index_ids = sorted(r["id"] for r in spark.read.parquet(idx).select("id").collect())
+    index_ids = sorted(
+        r["id"] for r in read_dedup_index(spark, idx).select("id").collect()
+    )
     assert index_ids == [0, 1, 11, 21]
+    # the versioned layout prunes to exactly one committed version
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import _index_versions
+
+    assert _index_versions(spark, idx) == [2]
 
     # equivalence with the batch-mode chain
     hist = dd.minhash_index(spark.createDataFrame(b0, schema), "doc_id", "text")
@@ -652,3 +659,109 @@ def test_incremental_dedup_sink_stream_with_replay(spark, tmp_path):
         + [d for d, _ in b0]
     )
     assert batch_mode == got
+
+
+def test_incremental_index_survives_crash_mid_write(spark, tmp_path):
+    """The ADVICE r8 failure mode: a crash while the index is being
+    rewritten must NOT destroy history or be mistaken for 'first
+    trigger'. The versioned layout commits v=<batch_id> and readers only
+    see directories with _SUCCESS — here a fake partial v=1 (no
+    _SUCCESS, garbage content) is invisible, the replay of batch 1 reads
+    v=0, and the recommit clobbers the partial dir."""
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import (
+        _index_versions,
+        incremental_dedup_sink,
+        read_dedup_index,
+    )
+
+    idx = str(tmp_path / "sig_index")
+    out = str(tmp_path / "survivors")
+    sink = incremental_dedup_sink(idx, out)
+    schema = "doc_id long, text string"
+
+    with pytest.raises(FileNotFoundError):
+        read_dedup_index(spark, idx)  # nothing committed yet
+
+    b0 = [(0, "the quick brown fox jumps over the lazy dog near the river")]
+    b1 = [
+        (10, b0[0][1]),  # cross-batch dup -> dies
+        (11, "totally fresh second batch content about adaptive query execution"),
+    ]
+    sink(spark.createDataFrame(b0, schema), 0)
+
+    # simulate a crash mid-write of batch 1's index version: partial
+    # directory, garbage file, no _SUCCESS marker
+    partial = tmp_path / "sig_index" / "v=1"
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"\x00not parquet\x00")
+    assert _index_versions(spark, idx) == [0]  # partial dir invisible
+
+    sink(spark.createDataFrame(b1, schema), 1)  # the stream's retry
+    assert _index_versions(spark, idx) == [1]  # committed + pruned v=0
+    assert sorted(
+        r["id"] for r in read_dedup_index(spark, idx).collect()
+    ) == [0, 11]
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    ) == [0, 11]
+
+
+def test_topk_sink_merge_read_is_partition_pruned(spark, tmp_path):
+    """At scale the sink accumulates unbounded windows; the per-trigger
+    merge read must stay pruned to the batch's OWN windows or the merge
+    degrades into a full-sink scan. Seeds ~100 windows, updates 2, and
+    pins via the logged plan that the parquet scan's PartitionFilters
+    restrict to exactly those 2 windows."""
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import (
+        topk_per_window_sink,
+    )
+
+    out = str(tmp_path / "topk_pruned")
+    plans: list[str] = []
+    sink = topk_per_window_sink(out, k=3, plan_log=plans)
+    schema = "window_start string, event_type string, n_events long"
+
+    seed = [(f"w{i:03d}", "a", 5) for i in range(100)]
+    sink(spark.createDataFrame(seed, schema), 0)
+    assert plans == []  # first trigger: no merge read
+
+    sink(spark.createDataFrame([("w007", "b", 9), ("w042", "b", 9)], schema), 1)
+    assert len(plans) == 1
+    scan = plans[0]
+    pf_lines = [ln for ln in scan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, f"no PartitionFilters in merge-read plan:\n{scan}"
+    pf = pf_lines[0]
+    assert "w007" in pf and "w042" in pf
+    # an unaffected window must NOT be readable through the filter
+    assert "w000" not in pf and pf.count("w0") + pf.count("w1") <= 4
+
+    got = {
+        (r[0], r[1], r[2])
+        for r in spark.read.parquet(out)
+        .filter(F.col("window_start").isin("w007", "w042", "w000"))
+        .select("window_start", "event_type", "n_events")
+        .collect()
+    }
+    assert got == {
+        ("w007", "a", 5), ("w007", "b", 9),
+        ("w042", "a", 5), ("w042", "b", 9),
+        ("w000", "a", 5),
+    }
+
+
+def test_topk_sink_aborts_on_corrupt_read(spark, tmp_path):
+    """A transient/corrupt sink read on a later trigger must FAIL the
+    micro-batch (streaming retries it) — treating it as 'first trigger'
+    would skip the merge and the partition overwrite would permanently
+    delete non-updating top-k keys (ADVICE r8, medium)."""
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import (
+        topk_per_window_sink,
+    )
+
+    out = tmp_path / "topk_corrupt"
+    out.mkdir()
+    (out / "part-00000.parquet").write_bytes(b"\x00garbage\x00")
+    sink = topk_per_window_sink(str(out), k=3)
+    schema = "window_start string, event_type string, n_events long"
+    with pytest.raises(Exception):
+        sink(spark.createDataFrame([("w1", "a", 1)], schema), 1)

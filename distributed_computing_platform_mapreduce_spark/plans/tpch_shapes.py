@@ -1,7 +1,7 @@
 """Extra TPC-H optimizer shapes, pytest-verified beyond the 50-query cap.
 
 The driver registry is capped at 50 rows (plans/__init__.py), so these
-eleven canonical shapes — the ones the registered q1/q3/q5/q6/q10 +
+fourteen canonical shapes — the ones the registered q1/q3/q5/q6/q10 +
 subquery suite do NOT yet exercise — live outside it and are verified
 by ``tests/test_oracle_parity.py::test_tpch_shape_matches_oracle``
 instead, with the SAME compare (rowcount + schema + order-insensitive
@@ -52,6 +52,28 @@ schema, which lacks partsupp/shipmode/commitdate):
 - ``q21_waiting_supplier``— EXISTS and NOT EXISTS both correlated to
                            the same fact row (q21's double
                            correlation), adapted to returnflag.
+
+r9 completes the classic set (22 of 22 expressible shapes, the three
+the r8 verdict called out):
+
+- ``q11_important_parts`` — GROUP BY + HAVING against a scalar
+                           subquery that re-aggregates the SAME
+                           filtered join (q11's "value fraction of
+                           the national total" without partsupp:
+                           lineitem×supplier×nation stands in for
+                           partsupp value).
+- ``q16_supplier_cnt``   — count(DISTINCT) per part attributes with a
+                           NOT IN subquery excluding suppliers (q16's
+                           shape; the null-aware anti join rewrite).
+- ``q20_excess_suppliers``— the nested correlated-subquery-over-agg:
+                           IN over a GROUPED subquery whose HAVING
+                           compares against a scalar subquery
+                           CORRELATED to the group key (share > 12% of
+                           a part's total quantity — threshold chosen
+                           non-vacuous at every sf dir: 1/2/3
+                           suppliers at sf0.001/0.01/0.1). The one
+                           decorrelation pattern the r8 sweep lacked;
+                           plan-linted in tests/test_plan_lint.py.
 
 Scale notes: every shape is a filtered fact join a dim (broadcast-able)
 or a self-contained agg; no shape introduces a shuffle the registered
@@ -211,6 +233,49 @@ SHAPES: dict[str, str] = {
         FROM supplier s
         JOIN revenue r ON s.s_suppkey = r.supplier_no
         WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    # --- r9 additions: the last three classic shapes ------------------
+    "q11_important_parts": f"""
+        SELECT l.l_partkey, CAST(SUM({_NET}) AS DOUBLE) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+        HAVING SUM({_NET}) > (
+          SELECT SUM({_NET}) * 0.001
+          FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          WHERE n2.n_name = 'NATION_3'
+        )
+    """,
+    "q16_supplier_cnt": """
+        SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#2'
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 100.0
+          )
+        GROUP BY p.p_brand, p.p_size
+    """,
+    "q20_excess_suppliers": """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING SUM(l.l_quantity) > (
+              SELECT 0.12 * SUM(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+            )
+          )
     """,
     "q21_waiting_supplier": """
         SELECT s.s_name, count(*) AS numwait

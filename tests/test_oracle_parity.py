@@ -76,7 +76,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     fromlist=["SHAPES"],
 ).SHAPES))
 def test_tpch_shape_matches_oracle(spark, sf_dir, name):
-    """The extra TPC-H optimizer shapes (11 as of r7) (plans/tpch_shapes.py) ride
+    """The extra TPC-H optimizer shapes (14 as of r9) (plans/tpch_shapes.py) ride
     OUTSIDE the 50-query driver cap but get the identical compare: the
     same SQL text runs through Spark's SQL front end and DuckDB, pinning
     EXISTS/NOT-EXISTS decorrelation, scalar subqueries, disjunctive join

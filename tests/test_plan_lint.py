@@ -198,6 +198,18 @@ def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir):
     q21 = plan_of("q21_waiting_supplier")
     assert "LeftSemi" in q21 and "LeftAnti" in q21
     assert "CartesianProduct" not in q21
+    # r9: q16's NOT IN must become the null-aware anti join, not a
+    # per-row subquery
+    q16 = plan_of("q16_supplier_cnt")
+    assert "LeftAnti" in q16
+    assert "CartesianProduct" not in q16
+    # r9: q20's nested correlated-subquery-over-agg — the correlated
+    # scalar aggregate in HAVING must decorrelate to an aggregate +
+    # equi-join on the correlation key (l_partkey), and the outer IN
+    # must become a semi join; no nested loop anywhere
+    q20 = plan_of("q20_excess_suppliers")
+    assert "LeftSemi" in q20
+    assert "CartesianProduct" not in q20 and "NestedLoop" not in q20
     # and no shape anywhere may plan a cartesian product or per-row
     # subquery loop over a fact table
     for name in tpch_shapes.SHAPES:

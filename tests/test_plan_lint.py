@@ -43,6 +43,12 @@ ARROW_PYTHON_OK = {
     # with per-token state); the repeat count, coverage sweep and
     # rebuild are all JVM.
     "dedup_spans",
+    # r9: the multimodal leg synthesizes + decodes real codec payloads
+    # (PPM/PNG/WAV/y4m) — media work is definitionally an Arrow decode
+    # pass; unlike media_neardup_suite the text recipe's own pandas
+    # stage (shingle_rows) ALSO surfaces in the final plan (no
+    # checkpoint between it and the output), so the pattern is visible.
+    "curation_recipe",
     # NOT listed: media_neardup_suite — each leg's decode/phash
     # MapInPandas sits above hamming_pairs' localCheckpoint, so the
     # registered query's plan shows Scan ExistingRDD (the checkpoint

@@ -456,6 +456,11 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cos desc, neighbor_id), majority vote with the (votes desc,
     # label asc) tie-break. Hash compares only integer outputs
     # (vec_id, predicted_label, votes) — fp jitter can't leak in.
+    # r9 fold: a 'batched' leg runs knn_classify_batched (batch_rows=8
+    # → 4/4/13 real batches at sf0.001/0.01/0.1) — per-target output is
+    # provably identical to single-shot (neighbors depend only on the
+    # labeled corpus; measured equal at all three SFs), so both legs
+    # share one mode-tagged replay of the same SQL.
     oracle="""
     WITH v AS (
       SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
@@ -481,27 +486,49 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rk <= 5
     ),
     votes AS (SELECT query_id, label, count(*) AS votes FROM topk GROUP BY query_id, label)
-    SELECT query_id AS vec_id, label AS predicted_label, votes FROM (
-      SELECT query_id, label, votes,
-             row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rk
-      FROM votes
-    ) WHERE rk = 1
+    ,verdict AS (
+      SELECT query_id AS vec_id, label AS predicted_label, votes FROM (
+        SELECT query_id, label, votes,
+               row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT 'single' AS mode, vec_id, predicted_label, votes FROM verdict
+    UNION ALL
+    SELECT 'batched', vec_id, predicted_label, votes FROM verdict
     """,
 )
 def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN label propagation (``classifier.knn_classify``): every 20th
-    vector is the unlabeled target batch, the rest the labeled seed set;
-    each target takes the majority label of its 5 nearest labeled
-    neighbors by cosine, ties broken (votes desc, label asc) so the
-    output is a pure function of the table. The neighbor search is
-    ``similarity.cosine_topk_exact`` (bounded targets broadcast, corpus
-    scanned once map-side); the vote is one |targets|·k-row groupBy —
-    the LSH/IVF/PQ variants swap in for unbounded target sets."""
+    """k-NN label propagation, tagged legs: every 20th vector is the
+    unlabeled target batch, the rest the labeled seed set; each target
+    takes the majority label of its 5 nearest labeled neighbors by
+    cosine, ties broken (votes desc, label asc) so the output is a pure
+    function of the table.
+
+    - **single** (``classifier.knn_classify``): the neighbor search is
+      ``similarity.cosine_topk_exact`` (bounded targets broadcast,
+      corpus scanned once map-side); the vote is one |targets|·k-row
+      groupBy.
+    - **batched** (``classifier.knn_classify_batched``, r9 promotion of
+      the unbounded-target-set path): targets hash-split into
+      ``batch_rows=8`` deterministic batches (4/4/13 real batches at
+      sf0.001/0.01/0.1), each run through the ordinary search with a
+      bounded query-side broadcast. Per-target output is provably
+      identical to single-shot — each target's neighbors depend only on
+      the labeled corpus — so the oracle replays the SAME SQL under
+      both tags; a batching bug (dropped batch, wrong split, cross-batch
+      interference) breaks the row count or the hash."""
     emb = load_table(spark, sf_dir, "embeddings")
     labeled = emb.filter(F.col("vec_id") % 20 != 0)
     targets = emb.filter(F.col("vec_id") % 20 == 0)
-    return classifier.knn_classify(labeled, targets, k=5).withColumn(
+    single = classifier.knn_classify(labeled, targets, k=5).withColumn(
         "votes", F.col("votes").cast("long")
+    )
+    batched = classifier.knn_classify_batched(
+        labeled, targets, k=5, batch_rows=8
+    ).withColumn("votes", F.col("votes").cast("long"))
+    return single.select(F.lit("single").alias("mode"), "*").unionAll(
+        batched.select(F.lit("batched").alias("mode"), "*")
     )
 
 

@@ -562,6 +562,9 @@ def _r8_crop_times(
       (history ∪ surviving signatures — the action a nightly job
       writes back). The index is built and pinned OUTSIDE the timer:
       the increment must never re-pay history.
+    - ``pack_bins_bfd`` (r9 — new operators ship WITH a bench point):
+      whole-document Best-Fit-Decreasing bin packing at capacity 2048
+      over the documents corpus, 32 hash groups.
     """
     from distributed_computing_platform_mapreduce_spark.operators import dedup, sampling
     from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
@@ -582,7 +585,18 @@ def _r8_crop_times(
         out = sampling.cluster_sample(emb, n_clusters=16, per_cluster=10)
         assert out.count() >= 0
 
-    for name, fn in (("dedup_spans_k50", spans), ("cluster_sample", cluster)):
+    def bins():
+        from distributed_computing_platform_mapreduce_spark.operators.packing import pack_bins_bfd
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = pack_bins_bfd(docs, capacity=2048, n_groups=32)
+        assert out.count() >= 0
+
+    for name, fn in (
+        ("dedup_spans_k50", spans),
+        ("cluster_sample", cluster),
+        ("pack_bins_bfd", bins),
+    ):
         try:
             fn()  # warm plan shape
             med, lo, hi = _timed_median(fn)

@@ -157,3 +157,178 @@ def pack_manifest(
             F.max(F.col("straddles")).alias("has_straddle"),
         )
     )
+
+
+def pack_bins_bfd(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    n_groups: int = 32,
+    count_col: str | None = None,
+    oversize: str = "error",
+) -> DataFrame:
+    """WHOLE-document bin packing via Best-Fit Decreasing — the
+    padding-minimizing counterpart to :func:`pack_sequences`: where
+    concat-and-chunk cuts documents at sequence boundaries (straddles),
+    SFT/instruction-tuning pipelines must keep each document intact and
+    instead pack documents into fixed-capacity bins, padding the
+    remainder. The packing quality IS the training cost: every wasted
+    token is a padded position the forward pass still pays for.
+
+    Output: ``(doc_id, n_tokens bigint, bin_group int, bin_id bigint,
+    oversized boolean)`` — bins never exceed ``capacity``; zero-token
+    docs are excluded (they occupy no positions). ``oversize`` policy
+    for docs longer than ``capacity``: ``'error'`` (default — packing a
+    doc that cannot fit is a pipeline bug) or ``'own_bin'`` (isolate
+    each in its own flagged bin, the truncate-downstream convention).
+
+    Algorithm: documents hash-split into ``n_groups`` deterministic
+    groups (``xxhash64(id) % G`` — a pure function of the corpus, so
+    the packing is layout-independent); each group runs Best-Fit
+    Decreasing independently in one Arrow batch (sort by (n_tokens
+    desc, id), place each doc into the fullest bin it fits — smallest
+    remaining capacity, lowest bin id on ties — else open a new bin;
+    a bisect-maintained (remaining, bin) list makes placement
+    O(log bins) amortized). BFD carries the classic 11/9·OPT + 6/9
+    guarantee PER GROUP, and the group split costs at most a
+    partially-filled tail bin per group — negligible for G ≪ total
+    bins (asserted as the (11/9)·⌈group_tokens/capacity⌉ + 1 bound in
+    pytest).
+
+    Scale shape: one shuffle of (id, n_tokens) rows — 16 bytes/doc,
+    never text — keyed by the group hash; per-task state is one
+    group's (remaining, bin) table, and the caller sizes ``n_groups``
+    so a group's doc rows fit an Arrow batch (the same bounded-group
+    contract as the per-key juice reduce). Global ``bin_id`` =
+    ``bin_group · 2⁴⁰ + local_bin`` — collision-free while a group
+    opens < 2⁴⁰ bins.
+    """
+    import pandas as pd
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if n_groups <= 0:
+        raise ValueError(f"n_groups must be positive, got {n_groups}")
+    if oversize not in ("error", "own_bin"):
+        raise ValueError(f"oversize must be error|own_bin, got {oversize!r}")
+    count_expr = (
+        F.col(count_col)
+        if count_col is not None
+        else whitespace_token_count(F.col(text_col))
+    )
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        count_expr.cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    big = t.filter(F.col("n_tokens") > capacity)
+    small = t.filter(F.col("n_tokens") <= capacity)
+    if oversize == "error":
+        # fail AT EXECUTION on any oversize doc, folded into the KEPT
+        # column — a standalone assert_true column gets column-pruned
+        # away (a separate count() would add a job; this rides the scan)
+        small = t.select(
+            "doc_id",
+            F.when(F.col("n_tokens") <= F.lit(capacity), F.col("n_tokens"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"pack_bins_bfd: doc exceeds capacity {capacity}: id="
+                        ),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+            )
+            .alias("n_tokens"),
+        )
+
+    grouped = small.withColumn(
+        "bin_group", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)).cast("int")
+    )
+
+    schema = (
+        "doc_id bigint, n_tokens bigint, bin_group int, bin_id bigint, "
+        "oversized boolean"
+    )
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        group = int(pdf["bin_group"].iloc[0])
+        base = group << 40
+        # sorted list of (remaining, bin_local): bisect for the smallest
+        # remaining >= tok; ties resolve to the lowest bin id because the
+        # list is sorted on the pair
+        open_bins: list[tuple[int, int]] = []
+        n_bins = 0
+        assigned = []
+        for tok in pdf["n_tokens"].to_numpy():
+            tok = int(tok)
+            i = bisect.bisect_left(open_bins, (tok, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                bisect.insort(open_bins, (rem - tok, b))
+                assigned.append(base + b)
+            else:
+                assigned.append(base + n_bins)
+                bisect.insort(open_bins, (capacity - tok, n_bins))
+                n_bins += 1
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "bin_group": group,
+                "bin_id": assigned,
+                "oversized": False,
+            }
+        )
+
+    packed = grouped.groupBy("bin_group").applyInPandas(bfd, schema)
+    if oversize == "own_bin":
+        solo = big.select(
+            "doc_id",
+            "n_tokens",
+            F.lit(-1).cast("int").alias("bin_group"),
+            (F.lit(1 << 62) + F.col("doc_id")).alias("bin_id"),
+            F.lit(True).alias("oversized"),
+        )
+        packed = packed.unionByName(solo)
+    return packed
+
+
+def bin_manifest(packed: DataFrame, capacity: int) -> DataFrame:
+    """Per-bin manifest from :func:`pack_bins_bfd` output:
+    ``(bin_id, doc_ids, n_docs, bin_tokens, padding)`` — the loader-side
+    view, plus the padding each bin pays. One groupBy keyed by bin_id;
+    the collect_list is bounded at ``capacity`` entries because every
+    packed doc holds ≥ 1 token."""
+    return packed.groupBy("bin_id").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        (F.lit(capacity) - F.sum("n_tokens")).alias("padding"),
+    )
+
+
+def packing_waste(packed: DataFrame, capacity: int) -> DataFrame:
+    """One-row summary ``(n_bins, total_tokens, padded_positions,
+    waste_pct)`` — the number a pipeline tracks per packing run (a
+    single partial aggregate; no per-bin materialization needed)."""
+    return packed.agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.countDistinct("bin_id") * F.lit(capacity) - F.sum("n_tokens")
+        ).alias("padded_positions"),
+        F.round(
+            (F.countDistinct("bin_id") * F.lit(capacity) - F.sum("n_tokens"))
+            * 100.0
+            / (F.countDistinct("bin_id") * F.lit(capacity)),
+            3,
+        ).alias("waste_pct"),
+    )

@@ -4224,3 +4224,114 @@ def test_audio_gain_clips_and_rounds(spark):
         sf = s.ravel().astype(np.float64)
         gf = got.ravel().astype(np.float64)
         assert np.dot(sf, gf) / (np.linalg.norm(sf) * np.linalg.norm(gf)) > 0.9
+
+
+def test_pack_bins_bfd_matches_python_twin_single_group(spark):
+    """With one group the distributed packing must equal a straight-line
+    Best-Fit-Decreasing twin (naive linear-scan best-fit, lowest bin id
+    on ties) exactly — assignment, not just bin count."""
+    from distributed_computing_platform_mapreduce_spark.operators.packing import pack_bins_bfd
+
+    rows = [(i, "w " * ((i * 37) % 90 + 1)) for i in range(120)]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    cap = 100
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_bins_bfd(df, capacity=cap, n_groups=1).collect()
+    }
+
+    toks = sorted(
+        (((i * 37) % 90 + 1), i) for i, _ in rows
+    )  # (n_tokens, doc_id)
+    want: dict[int, int] = {}
+    bins: list[int] = []  # remaining per bin
+    for tok, i in sorted(toks, key=lambda p: (-p[0], p[1])):
+        best = None
+        for b, rem in enumerate(bins):
+            if rem >= tok and (best is None or rem < bins[best]):
+                best = b
+        if best is None:
+            bins.append(cap - tok)
+            want[i] = len(bins) - 1
+        else:
+            bins[best] -= tok
+            want[i] = best
+    assert got == want
+
+
+def test_pack_bins_bfd_properties(spark, sf_dir):
+    """On the documents corpus: no bin exceeds capacity, every doc
+    appears once, the per-group bin count respects the BFD guarantee
+    (≤ 11/9·⌈group_tokens/cap⌉ + 1), and the packing is layout-
+    independent (repartition changes nothing)."""
+    from distributed_computing_platform_mapreduce_spark.operators.packing import (
+        bin_manifest,
+        pack_bins_bfd,
+        packing_waste,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 256
+    packed = pack_bins_bfd(docs, capacity=cap, n_groups=8)
+    man = bin_manifest(packed, cap).collect()
+    assert all(r["bin_tokens"] <= cap for r in man)
+    assert packed.count() == docs.count()  # corpus min length 10 > 0
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+    import math
+
+    per_group = {
+        r["bin_group"]: (r["nb"], r["tok"])
+        for r in packed.groupBy("bin_group")
+        .agg(F.countDistinct("bin_id").alias("nb"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    for g, (nb, tok) in per_group.items():
+        assert nb <= (11 / 9) * math.ceil(tok / cap) + 1, (g, nb, tok)
+
+    again = pack_bins_bfd(docs.repartition(13), capacity=cap, n_groups=8)
+    a = sorted(tuple(r) for r in packed.collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b
+
+    w = packing_waste(packed, cap).collect()[0]
+    assert w["n_bins"] == len(man)
+    assert w["padded_positions"] == w["n_bins"] * cap - w["total_tokens"]
+    assert 0 <= w["waste_pct"] < 50.0  # BFD on this corpus packs tightly
+
+
+def test_pack_bins_bfd_oversize_policies(spark):
+    """'error' fails at execution on a doc longer than capacity;
+    'own_bin' isolates each oversize doc in a flagged solo bin."""
+    from distributed_computing_platform_mapreduce_spark.operators.packing import pack_bins_bfd
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(["w"] * 50))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception):
+        pack_bins_bfd(df, capacity=10, n_groups=2).collect()
+
+    out = pack_bins_bfd(df, capacity=10, n_groups=2, oversize="own_bin").collect()
+    by = {r["doc_id"]: r for r in out}
+    assert not by[1]["oversized"] and by[2]["oversized"]
+    assert by[2]["bin_group"] == -1 and by[2]["bin_id"] == (1 << 62) + 2
+    # zero-token docs are excluded entirely
+    z = spark.createDataFrame([(3, "   ")], "doc_id long, text string")
+    assert pack_bins_bfd(z, capacity=10).count() == 0
+
+
+def test_pack_bins_bfd_count_col_composes(spark):
+    """A caller-supplied token count column drives the packing (the
+    real-tokenizer hook, same contract as pack_sequences)."""
+    from distributed_computing_platform_mapreduce_spark.operators.packing import pack_bins_bfd
+
+    df = spark.createDataFrame(
+        [(1, "ignored", 7), (2, "ignored", 7), (3, "ignored", 3)],
+        "doc_id long, text string, n_bpe long",
+    )
+    out = pack_bins_bfd(df, capacity=10, n_groups=1, count_col="n_bpe").collect()
+    by_bin: dict[int, list[int]] = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r["doc_id"])
+    # BFD: 7,7 open two bins; 3 best-fits into the first (remaining 3)
+    assert sorted(len(v) for v in by_bin.values()) == [1, 2]

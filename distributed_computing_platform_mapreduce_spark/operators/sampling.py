@@ -149,6 +149,77 @@ def weighted_sample_stratified(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    count_col: str | None = None,
+    seed: int = 0,
+    default_budget: int = 0,
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """Deterministic per-domain TOKEN-budget sampling — the DoReMi /
+    Pile-recipe contract stated in the unit that actually matters to a
+    trainer: each stratum (source, language, quality bin …) contributes
+    documents until its TOKEN budget is exhausted, not a document count
+    or a keep-rate (a rate-based mixture over strata with different
+    document-length distributions silently skews the realized token
+    mix).
+
+    Policy: rank each stratum's docs by the GF(2³¹−1) (priority, id)
+    order — the module's standard pure-function draw — and keep the
+    ranked PREFIX whose inclusive token cumsum stays ≤ budget (the
+    stream truncates at the first overflow; no knapsack backfill, so
+    the kept set is a windowed expression any SQL engine replays).
+    Budgets map stratum value → token budget; unlisted strata get
+    ``default_budget`` (0 drops them). ``count_col`` supplies a real
+    tokenizer's counts, else whitespace counts.
+
+    Plan: one shuffle on the stratum column + one running-sum window
+    per stratum — the ``stratified_sample_exact`` profile. For a
+    web-scale stratum whose budget keeps only a sliver, pass
+    ``prefilter_rate`` to cut the window's input with the stateless
+    hash filter first (keep it ≥ budget/stratum_tokens with a healthy
+    safety factor — the prefix the window keeps is then identical
+    because ``sample_rate`` keeps exactly the lowest-priority... rows
+    are NOT rank-prefix-stable under rate cuts in general, so the
+    prefilter CHANGES the draw; it is a deliberate operating-point
+    knob for enormous strata, off by default, and the oracle leg runs
+    without it)."""
+    from distributed_computing_platform_mapreduce_spark.operators.packing import (
+        whitespace_token_count,
+    )
+
+    for k_, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {k_!r} must be ≥ 0, got {b}")
+    if default_budget < 0:
+        raise ValueError(f"default_budget must be ≥ 0, got {default_budget}")
+    base = df
+    if prefilter_rate is not None:
+        base = sample_rate(base, id_col, prefilter_rate, seed=seed)
+    ntok = (
+        F.col(count_col) if count_col is not None else whitespace_token_count(F.col(text_col))
+    ).cast("bigint")
+    budget = F.lit(int(default_budget)).cast("bigint")
+    for k_, b in sorted(budgets.items()):
+        budget = F.when(F.col(stratum_col) == k_, F.lit(int(b)).cast("bigint")).otherwise(
+            budget
+        )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(_priority(id_col, seed).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("__cumtok", F.sum(ntok).over(w))
+        .filter(F.col("__cumtok") <= budget)
+        .drop("__cumtok")
+    )
+
+
 def train_valid_split(
     df: DataFrame, id_col: str, valid_frac: float, seed: int = 0
 ) -> tuple[DataFrame, DataFrame]:

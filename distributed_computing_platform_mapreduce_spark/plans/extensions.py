@@ -1173,6 +1173,19 @@ def _pinned_cluster_codebook(n_clusters: int = 16, dim: int = 64):
              ) AS rk
       FROM best)
     WHERE rk <= 10
+    UNION ALL
+    SELECT 'budget', doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> ''))) OVER (
+               PARTITION BY lang
+               ORDER BY (15330096 * (doc_id % 2147483647) + 1941083619) % 2147483647,
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cumtok
+      FROM documents)
+    WHERE cumtok <= CASE lang WHEN 'en' THEN 3000 WHEN 'es' THEN 2000 ELSE 1000 END
     """,
 )
 def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,12 +1207,35 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       leg pins the codebook so the assignment is replayable arithmetic;
       the Lloyd-TRAINED path (and its rare-mode over-representation
       guarantee) stays pinned in pytest. One Arrow GEMM assignment
-      pass; the only shuffle is the per-cell ranking window."""
+      pass; the only shuffle is the per-cell ranking window.
+    - **budget** (r9, ``sampling.token_budget_sample``): per-domain
+      TOKEN-budget sampling — the DoReMi/Pile mixture contract in the
+      unit a trainer pays for: each language contributes the ranked
+      prefix of its docs whose inclusive token cumsum fits the budget
+      (en 3000 / es 2000 / default 1000 — exercises both mapped and
+      default budgets non-vacuously). Rate-based mixtures skew the
+      realized token mix when strata have different length
+      distributions; this leg pins the token-denominated policy. Same
+      one-shuffle window profile; the whitespace token count is the
+      SAME expression the text_stats/sequence_packing oracles replay."""
     docs = load_table(spark, sf_dir, "documents")
     lang = sampling.stratified_sample_exact(
         docs, ["lang"], "doc_id", 10, seed=11
     ).select(
         F.lit("lang").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("stratum"),
+        "source",
+    )
+    budget = sampling.token_budget_sample(
+        docs,
+        "lang",
+        "doc_id",
+        budgets={"en": 3000, "es": 2000},
+        default_budget=1000,
+        seed=11,
+    ).select(
+        F.lit("budget").alias("leg"),
         F.col("doc_id").alias("id"),
         F.col("lang").alias("stratum"),
         "source",
@@ -1219,7 +1255,7 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_cell").cast("string").alias("stratum"),
         F.lit(None).cast("string").alias("source"),
     )
-    return lang.unionAll(clus)
+    return lang.unionAll(clus).unionAll(budget)
 
 
 @query(

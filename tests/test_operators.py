@@ -4335,3 +4335,67 @@ def test_pack_bins_bfd_count_col_composes(spark):
         by_bin.setdefault(r["bin_id"], []).append(r["doc_id"])
     # BFD: 7,7 open two bins; 3 best-fits into the first (remaining 3)
     assert sorted(len(v) for v in by_bin.values()) == [1, 2]
+
+
+def test_token_budget_sample_policy_and_determinism(spark):
+    """Token-budget mixture sampling: each stratum keeps the ranked
+    PREFIX whose inclusive token cumsum fits the budget (truncate at
+    first overflow — no knapsack backfill), unlisted strata get the
+    default budget, zero budget drops a stratum, and the draw is
+    layout-independent."""
+    from distributed_computing_platform_mapreduce_spark.operators.sampling import (
+        _priority,
+        token_budget_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], "w " * ((i * 13) % 40 + 5)) for i in range(90)]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], "doc_id long, src string, text string"
+    )
+    budgets = {"a": 200, "b": 120}
+    out = token_budget_sample(df, "src", "doc_id", budgets, seed=7, default_budget=60)
+    kept = {r["doc_id"]: r["src"] for r in out.collect()}
+
+    # python twin: rank by the same GF priority, truncate at the budget
+    pr_rows = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", _priority("doc_id", 7).alias("p")).collect()
+    }
+    want = {}
+    for src, budget in (("a", 200), ("b", 120), ("c", 60)):
+        stream = sorted(
+            (i for i, s, _ in rows if s == src), key=lambda i: (pr_rows[i], i)
+        )
+        cum = 0
+        for i in stream:
+            cum += (i * 13) % 40 + 5
+            if cum > budget:
+                break
+            want[i] = src
+    assert kept == want and len(kept) > 0
+
+    # per-stratum kept tokens never exceed the budget
+    tok = {i: (i * 13) % 40 + 5 for i, _, _ in rows}
+    for src, budget in (("a", 200), ("b", 120), ("c", 60)):
+        assert sum(tok[i] for i, s in kept.items() if s == src) <= budget
+
+    again = token_budget_sample(
+        df.repartition(11), "src", "doc_id", budgets, seed=7, default_budget=60
+    )
+    assert {r["doc_id"]: r["src"] for r in again.collect()} == kept
+
+    # zero default budget drops unlisted strata entirely
+    none_c = token_budget_sample(df, "src", "doc_id", budgets, seed=7)
+    assert not any(r["src"] == "c" for r in none_c.collect())
+
+    # count_col drives the policy instead of whitespace counts
+    df2 = df.withColumn("n_bpe", F.lit(1000))
+    assert (
+        token_budget_sample(
+            df2, "src", "doc_id", budgets, count_col="n_bpe", seed=7
+        ).count()
+        == 0
+    )
+
+    with pytest.raises(ValueError):
+        token_budget_sample(df, "src", "doc_id", {"a": -1})

@@ -674,22 +674,76 @@ def connected_components_twostar(
 
 
 def dedup_survivors_cc(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", algorithm: str = "twostar"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    algorithm: str = "twostar",
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """True transitive-closure dedup: keep exactly one doc (the min id)
     per connected component of the near-dup graph; docs in no pair
     survive trivially. ``algorithm``: "twostar" (default — O(log n)
     rounds, the 100 TB choice) or "label" (min-label propagation,
     O(diameter) rounds; the two are asserted equal on generated graphs).
+    ``comps`` (r9): pass a precomputed ``(id, component)`` table to
+    share one CC solve across several survivor policies.
     """
-    if algorithm == "twostar":
-        comps = connected_components_twostar(pairs)
-    elif algorithm == "label":
-        comps = connected_components(pairs)
-    else:
-        raise ValueError(f"unknown algorithm {algorithm!r} (twostar|label)")
+    comps = _resolve_components(pairs, algorithm, comps)
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def _resolve_components(
+    pairs: DataFrame, algorithm: str, comps: DataFrame | None
+) -> DataFrame:
+    if comps is not None:
+        return comps
+    if algorithm == "twostar":
+        return connected_components_twostar(pairs)
+    if algorithm == "label":
+        return connected_components(pairs)
+    raise ValueError(f"unknown algorithm {algorithm!r} (twostar|label)")
+
+
+def dedup_survivors_cc_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    algorithm: str = "twostar",
+    comps: DataFrame | None = None,
+) -> DataFrame:
+    """Transitive-closure dedup keeping the BEST doc per component —
+    highest ``quality_col``, min id on ties — instead of the min id.
+    This is the survivor policy production curation actually wants:
+    within a near-dup cluster the copies differ (truncations, boilerplate
+    variants, OCR noise), and min-id keeps whichever was crawled first
+    rather than the longest/cleanest copy. With a constant quality
+    column the output equals :func:`dedup_survivors_cc` exactly (the
+    tie-break is the same (id) order — pinned in pytest).
+
+    Scale shape: the quality ranking window runs over COMPONENT MEMBERS
+    only (an inner join of ``df`` against the CC table, bounded by
+    2·pairs rows) — never a corpus-wide window; non-members bypass both
+    the join and the window entirely, exactly like the min-id form's
+    anti-join. One extra shuffle keyed by component, carrying (id,
+    component, quality) rows only."""
+    comps = _resolve_components(pairs, algorithm, comps)
+    members = df.select(
+        F.col(id_col), F.col(quality_col).alias("__q")
+    ).join(comps.withColumnRenamed("id", id_col), id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    winners = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col)
+    )
+    losers = comps.select(F.col("id").alias(id_col)).join(
+        winners, id_col, "left_anti"
     )
     return df.join(losers, id_col, "left_anti")
 

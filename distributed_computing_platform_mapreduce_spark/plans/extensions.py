@@ -800,6 +800,20 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id FROM sh3 WHERE wave > 0
         AND doc_id NOT IN (SELECT new_id FROM idead1)
         AND doc_id NOT IN (SELECT new_id FROM idead2)
+    ),
+    qual AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS ntok
+      FROM documents
+    ),
+    winners AS (
+      SELECT id FROM (
+        SELECT c.id,
+               row_number() OVER (
+                 PARTITION BY c.component ORDER BY q.ntok DESC, c.id ASC
+               ) AS rk
+        FROM comp c JOIN qual q ON q.doc_id = c.id
+      ) WHERE rk = 1
     )
     SELECT 'pair' AS policy, d.doc_id, d.lang, d.source
     FROM documents d
@@ -808,6 +822,11 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cc', d.doc_id, d.lang, d.source
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+    UNION ALL
+    SELECT 'cc_quality', d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM comp)
+       OR d.doc_id IN (SELECT id FROM winners)
     UNION ALL
     SELECT 'incr', d.doc_id, d.lang, d.source
     FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM isurv)
@@ -846,8 +865,19 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_cc_survivors`` point times ``filter(policy = 'cc')`` — the
     pair leg's branch prunes under the literal filter.
 
-    r9 adds the nightly-increment legs (the last major dedup family
-    without a SQL twin):
+    r9 adds ``cc_quality`` — the max-QUALITY survivor policy
+    (``dedup.dedup_survivors_cc_best``): within each component keep the
+    highest-token-count doc (min id on ties) instead of the min id —
+    the policy production curation actually wants, since copies in a
+    near-dup cluster differ (truncations, boilerplate variants) and
+    min-id keeps whichever was crawled first, not the fullest copy.
+    The CC solve is computed ONCE and shared with the ``cc`` leg; the
+    ranking window runs over component members only (bounded by
+    2·pairs), never the corpus. The oracle replays the argmax with the
+    same token-count expression the text_stats oracle uses.
+
+    r9 also adds the nightly-increment legs (the last major dedup
+    family without a SQL twin):
 
     - ``incr``: documents in waves 1 and 2 (``doc_id % 3``) that
       survive two successive ``dedup.incremental_dedup`` increments
@@ -877,9 +907,21 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_leg = docs.join(losers, "doc_id", "left_anti").select(
         F.lit("pair").alias("policy"), "doc_id", "lang", "source"
     )
-    cc_leg = dedup.dedup_survivors_cc(docs, pairs, "doc_id").select(
+    # ONE CC solve shared by the min-id and max-quality policies (the
+    # lazy checkpoint materializes with the first leg's rounds)
+    comps = dedup.connected_components_twostar(pairs).localCheckpoint(eager=False)
+    cc_leg = dedup.dedup_survivors_cc(docs, pairs, "doc_id", comps=comps).select(
         F.lit("cc").alias("policy"), "doc_id", "lang", "source"
     )
+    from distributed_computing_platform_mapreduce_spark.operators.text import token_count_ws
+
+    ccq_leg = dedup.dedup_survivors_cc_best(
+        docs.withColumn("__ntok", token_count_ws(F.col("text"))),
+        pairs,
+        "doc_id",
+        quality_col="__ntok",
+        comps=comps,
+    ).select(F.lit("cc_quality").alias("policy"), "doc_id", "lang", "source")
 
     w0 = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
     w1 = docs.filter(F.pmod("doc_id", F.lit(3)) == 1)
@@ -898,7 +940,12 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, "doc_id")
         .select(F.lit("incr_index").alias("policy"), "doc_id", "lang", "source")
     )
-    return pair_leg.unionAll(cc_leg).unionAll(incr_leg).unionAll(idx_leg)
+    return (
+        pair_leg.unionAll(cc_leg)
+        .unionAll(ccq_leg)
+        .unionAll(incr_leg)
+        .unionAll(idx_leg)
+    )
 
 
 @query(

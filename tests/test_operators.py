@@ -4399,3 +4399,40 @@ def test_token_budget_sample_policy_and_determinism(spark):
 
     with pytest.raises(ValueError):
         token_budget_sample(df, "src", "doc_id", {"a": -1})
+
+
+def test_dedup_survivors_cc_best_policy(spark):
+    """Max-quality survivor selection: within a component the highest-
+    quality doc survives (min id on ties); with constant quality the
+    output equals the min-id policy exactly; docs in no pair survive
+    untouched; a shared precomputed components table gives identical
+    results."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0), (10, 3.0), (11, 4.0)],
+        "doc_id long, q double",
+    )
+    # components: {1,2,3} (chain), {10,11}; 7 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    best = sorted(
+        r["doc_id"]
+        for r in dd.dedup_survivors_cc_best(docs, pairs, quality_col="q").collect()
+    )
+    assert best == [2, 7, 11]  # 2 beats 3 on the id tie-break, 11 beats 10 on q
+
+    const = docs.withColumn("q", F.lit(1.0))
+    a = sorted(r["doc_id"] for r in dd.dedup_survivors_cc_best(const, pairs, quality_col="q").collect())
+    b = sorted(r["doc_id"] for r in dd.dedup_survivors_cc(const, pairs).collect())
+    assert a == b == [1, 7, 10]
+
+    comps = dd.connected_components_twostar(pairs).localCheckpoint()
+    c = sorted(
+        r["doc_id"]
+        for r in dd.dedup_survivors_cc_best(
+            docs, pairs, quality_col="q", comps=comps
+        ).collect()
+    )
+    assert c == best

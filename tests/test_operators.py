@@ -4436,3 +4436,53 @@ def test_dedup_survivors_cc_best_policy(spark):
         ).collect()
     )
     assert c == best
+
+
+def test_pack_bins_bfd_hypothesis_differential(spark):
+    """Hypothesis: on arbitrary token-count multisets the distributed
+    packing (single group) equals the straight-line BFD twin exactly,
+    and capacity is never exceeded."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from distributed_computing_platform_mapreduce_spark.operators.packing import pack_bins_bfd
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        toks=st.lists(st.integers(min_value=1, max_value=64), min_size=1, max_size=60),
+        cap=st.integers(min_value=64, max_value=128),
+    )
+    def run(toks, cap):
+        df = spark.createDataFrame(
+            [(i, int(t)) for i, t in enumerate(toks)], "doc_id long, nt long"
+        )
+        got = {
+            r["doc_id"]: r["bin_id"]
+            for r in pack_bins_bfd(
+                df, capacity=cap, n_groups=1, count_col="nt"
+            ).collect()
+        }
+        want: dict[int, int] = {}
+        bins: list[int] = []
+        for tok, i in sorted(((t, i) for i, t in enumerate(toks)), key=lambda p: (-p[0], p[1])):
+            best = None
+            for b, rem in enumerate(bins):
+                if rem >= tok and (best is None or rem < bins[best]):
+                    best = b
+            if best is None:
+                bins.append(cap - tok)
+                want[i] = len(bins) - 1
+            else:
+                bins[best] -= tok
+                want[i] = best
+        assert got == want
+        fill: dict[int, int] = {}
+        for i, t in enumerate(toks):
+            fill[got[i]] = fill.get(got[i], 0) + t
+        assert all(v <= cap for v in fill.values())
+
+    run()

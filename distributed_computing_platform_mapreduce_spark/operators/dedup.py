@@ -730,6 +730,11 @@ def dedup_survivors_cc_best(
     the join and the window entirely, exactly like the min-id form's
     anti-join. One extra shuffle keyed by component, carrying (id,
     component, quality) rows only."""
+    for reserved in ("__q", "__rk"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"dedup_survivors_cc_best reserves column name {reserved!r}"
+            )
     comps = _resolve_components(pairs, algorithm, comps)
     members = df.select(
         F.col(id_col), F.col(quality_col).alias("__q")

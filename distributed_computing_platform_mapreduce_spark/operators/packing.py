@@ -222,8 +222,6 @@ def pack_bins_bfd(
         count_expr.cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
 
-    big = t.filter(F.col("n_tokens") > capacity)
-    small = t.filter(F.col("n_tokens") <= capacity)
     if oversize == "error":
         # fail AT EXECUTION on any oversize doc, folded into the KEPT
         # column — a standalone assert_true column gets column-pruned
@@ -243,6 +241,9 @@ def pack_bins_bfd(
             )
             .alias("n_tokens"),
         )
+    else:
+        big = t.filter(F.col("n_tokens") > capacity)
+        small = t.filter(F.col("n_tokens") <= capacity)
 
     grouped = small.withColumn(
         "bin_group", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)).cast("int")
@@ -306,29 +307,50 @@ def bin_manifest(packed: DataFrame, capacity: int) -> DataFrame:
     ``(bin_id, doc_ids, n_docs, bin_tokens, padding)`` — the loader-side
     view, plus the padding each bin pays. One groupBy keyed by bin_id;
     the collect_list is bounded at ``capacity`` entries because every
-    packed doc holds ≥ 1 token."""
+    packed doc holds ≥ 1 token. Padding is clamped at 0: an
+    ``oversize='own_bin'`` solo bin holds > capacity tokens and pays no
+    padding (it overflows — the loader truncates or re-chunks it), so a
+    negative value would understate every aggregate built on top."""
     return packed.groupBy("bin_id").agg(
         F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
-        (F.lit(capacity) - F.sum("n_tokens")).alias("padding"),
+        F.greatest(
+            F.lit(capacity) - F.sum("n_tokens"), F.lit(0)
+        ).alias("padding"),
     )
 
 
 def packing_waste(packed: DataFrame, capacity: int) -> DataFrame:
     """One-row summary ``(n_bins, total_tokens, padded_positions,
-    waste_pct)`` — the number a pipeline tracks per packing run (a
-    single partial aggregate; no per-bin materialization needed)."""
-    return packed.agg(
-        F.countDistinct("bin_id").alias("n_bins"),
-        F.sum("n_tokens").alias("total_tokens"),
-        (
-            F.countDistinct("bin_id") * F.lit(capacity) - F.sum("n_tokens")
-        ).alias("padded_positions"),
+    waste_pct, oversize_bins, oversize_tokens)`` — the number a
+    pipeline tracks per packing run. ``oversize='own_bin'`` solo bins
+    hold > capacity tokens, so they are EXCLUDED from the waste
+    aggregate (their ``capacity − tokens`` is negative and would
+    understate — even negate — ``padded_positions``/``waste_pct`` on an
+    oversize-heavy corpus) and reported separately. One groupBy keyed
+    by ``bin_id`` then a scalar aggregate — the same single shuffle the
+    old ``countDistinct(bin_id)`` form paid."""
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("__bt"),
+        F.max("oversized").alias("__ov"),
+    )
+    packed_bins = F.sum(F.when(~F.col("__ov"), 1).otherwise(0))
+    pad = F.sum(
+        F.when(~F.col("__ov"), F.lit(capacity) - F.col("__bt")).otherwise(
+            F.lit(0)
+        )
+    )
+    return per_bin.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("__bt").alias("total_tokens"),
+        pad.alias("padded_positions"),
         F.round(
-            (F.countDistinct("bin_id") * F.lit(capacity) - F.sum("n_tokens"))
-            * 100.0
-            / (F.countDistinct("bin_id") * F.lit(capacity)),
+            pad * 100.0 / F.greatest(packed_bins * F.lit(capacity), F.lit(1)),
             3,
         ).alias("waste_pct"),
+        F.sum(F.when(F.col("__ov"), 1).otherwise(0)).alias("oversize_bins"),
+        F.sum(F.when(F.col("__ov"), F.col("__bt")).otherwise(F.lit(0))).alias(
+            "oversize_tokens"
+        ),
     )

@@ -266,7 +266,12 @@ def _ivf_assign_udf(cmat, n_probe: int):
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (mat / norms) @ cmat.T  # (n, n_centroids)
-        top = np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
+        # stable sort: exact cosine ties resolve to the LOWEST cell id,
+        # matching the pinned-codebook oracle's (cos DESC, c ASC) order
+        # by construction rather than by measured margin
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(
+            "int32"
+        )
         return pd.Series(list(top))
 
     return assign

@@ -40,6 +40,34 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _has_committed_data(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED data file (any
+    file not named ``_*``/``.*``, at any partition depth) or a
+    ``_SUCCESS`` marker. A crash during a sink's FIRST trigger can
+    leave the directory present with only ``_temporary`` debris; a bare
+    ``fs.exists`` probe then wedges the stream permanently (every retry
+    reads an empty sink and throws), so 'exists but nothing committed'
+    must be classified as first-trigger — the same committed-only rule
+    ``_index_versions`` applies to the dedup index."""
+    fs, jpath = _hadoop_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    stack = [jpath]
+    while stack:
+        p = stack.pop()
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name == "_SUCCESS":
+                return True
+            if name.startswith("_") or name.startswith("."):
+                continue  # _temporary, hidden committer files
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                return True
+    return False
+
+
 def idempotent_parquet_sink(path: str):
     """Build a ``foreachBatch`` function writing each micro-batch to
     ``path`` under ``__batch_id=<id>`` with dynamic partition
@@ -116,11 +144,15 @@ def topk_per_window_sink(
 
     Two scale/robustness guarantees are encoded explicitly:
 
-    - the sink's existence is probed through the filesystem, NOT a
-      blanket ``except`` around the read — a transient or corrupt read
-      on a later trigger must abort the micro-batch (streaming retries
-      it) instead of silently skipping the merge and letting the
-      partition overwrite delete top-k keys that didn't update;
+    - the sink's existence is probed through the filesystem for
+      COMMITTED data (at least one data file or ``_SUCCESS`` — a crash
+      during the first trigger's write leaves the directory present
+      with only ``_temporary`` debris, which must replay as
+      first-trigger, not wedge every retry on an unreadable sink), NOT
+      a blanket ``except`` around the read — a transient or corrupt
+      read on a later trigger must abort the micro-batch (streaming
+      retries it) instead of silently skipping the merge and letting
+      the partition overwrite delete top-k keys that didn't update;
     - the merge read is STATICALLY partition-pruned: the batch's
       distinct windows (bounded: windows-updated-per-trigger, ≤ the
       trigger's group count) are collected and pushed as an ``isin``
@@ -140,8 +172,8 @@ def topk_per_window_sink(
         merged = batch_df
         existing = (
             spark.read.parquet(path).select(*cols)
-            if path_exists(spark, path)
-            else None  # first trigger: sink dir genuinely absent
+            if _has_committed_data(spark, path)
+            else None  # first trigger: absent, or crash debris only
         )
         if existing is not None:
             # bounded collect: one value per window updated this trigger

@@ -596,6 +596,49 @@ def test_topk_sink_merges_partial_updates_across_triggers(spark, tmp_path):
         ("w1", "a", 10), ("w1", "c", 12), ("w1", "e", 50), ("w2", "x", 1)]
 
 
+def test_topk_sink_recovers_from_first_trigger_crash_debris(spark, tmp_path):
+    """A crash DURING the first trigger's write can leave the sink
+    directory present but with only ``_temporary``/hidden committer
+    debris — no committed parquet, no ``_SUCCESS``. A bare fs.exists
+    probe then classifies the sink as existing, every retry's merge
+    read throws 'unable to infer schema', and the stream is wedged
+    permanently. The probe must treat exists-but-nothing-committed as
+    first-trigger (mirroring the dedup index's ``_SUCCESS``-gated
+    versions) so the retry makes progress."""
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import (
+        _has_committed_data,
+        topk_per_window_sink,
+    )
+
+    out = tmp_path / "topk_crash_first"
+    (out / "_temporary" / "0").mkdir(parents=True)
+    (out / "_temporary" / "0" / "task_000_partial").write_bytes(b"\x00" * 16)
+    (out / ".hidden_committer_file").write_bytes(b"")
+    assert not _has_committed_data(spark, str(out))
+
+    sink = topk_per_window_sink(str(out), k=2)
+    schema = "window_start string, event_type string, n_events long"
+    sink(spark.createDataFrame(
+        [("w1", "a", 10), ("w1", "b", 9), ("w1", "c", 8)], schema), 0)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out))
+        .select("window_start", "event_type", "n_events")
+        .collect()
+    )
+    assert got == [("w1", "a", 10), ("w1", "b", 9)]
+    # and once data IS committed, the probe flips (later triggers merge)
+    assert _has_committed_data(spark, str(out))
+    sink(spark.createDataFrame([("w1", "c", 12)], schema), 1)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out))
+        .select("window_start", "event_type", "n_events")
+        .collect()
+    )
+    assert got == [("w1", "a", 10), ("w1", "c", 12)]
+
+
 def test_incremental_dedup_sink_stream_with_replay(spark, tmp_path):
     """The nightly-increment loop as a stream: three micro-batches flow
     through foreachBatch incremental dedup against the persisted

@@ -115,6 +115,7 @@ def weighted_sample_stratified(
     weight_col: str,
     n_per_stratum: int,
     seed: int = 0,
+    round_key: int | None = None,
 ) -> DataFrame:
     """Deterministic weight-proportional sample: EXACTLY
     ``min(n, |stratum|)`` rows per stratum, where a row's inclusion
@@ -131,6 +132,17 @@ def weighted_sample_stratified(
     positively-weighted rows. Plan shape identical to
     ``stratified_sample_exact``: one shuffle on the strata columns,
     WindowGroupLimit prunes to n rows per stratum map-side.
+
+    ``round_key`` quantizes the A-ES key to that many decimals before
+    ranking (ties then resolve on the id). The key is the one
+    transcendental in this module — Java and C libm ``ln`` differ by
+    1 ulp — so a cross-engine replay (the driver's DuckDB oracle)
+    orders by ``round(-ln(u)/w, 6)``: quantization absorbs the ulp the
+    same way ``ranking_bm25``/``text_ngram_lm`` round their scores,
+    and the id tie-break keeps the quantized order total. Keys live in
+    (0, ~30/w]; at 6 decimals two distinct draws collide only when the
+    true keys are within 1e-6 — resolved identically by id on both
+    engines. Default None ranks by the exact key (single-engine use).
     """
     if n_per_stratum <= 0:
         raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
@@ -139,6 +151,8 @@ def weighted_sample_stratified(
     u = (_priority(id_col, seed) + F.lit(1)).cast("double") / F.lit(float(_P))
     w = F.col(weight_col).cast("double")
     key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    if round_key is not None:
+        key = F.round(key, round_key)
     win = Window.partitionBy(*strata_cols).orderBy(
         key.asc(), F.col(id_col).asc()
     )
@@ -197,6 +211,8 @@ def token_budget_sample(
             raise ValueError(f"budget for {k_!r} must be ≥ 0, got {b}")
     if default_budget < 0:
         raise ValueError(f"default_budget must be ≥ 0, got {default_budget}")
+    if "__cumtok" in df.columns:
+        raise ValueError("token_budget_sample reserves column name '__cumtok'")
     base = df
     if prefilter_rate is not None:
         base = sample_rate(base, id_col, prefilter_rate, seed=seed)

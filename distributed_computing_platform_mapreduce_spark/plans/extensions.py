@@ -1181,8 +1181,35 @@ def _pinned_cluster_codebook(n_clusters: int = 16, dim: int = 64):
     # cluster-quota sampler — the codebook is pinned (see
     # _pinned_cluster_codebook), so DuckDB replays the argmax-cosine
     # cell assignment AND the identical GF(2³¹−1) seed-11 rank draw.
+    # r10 fold: 'mixture'/'split' replay the same GF arithmetic as
+    # stateless filters; 'weighted' replays the A-ES -ln(u)/w key
+    # quantized to 6 decimals (round_key — ln's cross-libm ulp cannot
+    # survive the rounding, ties resolve by id); 'bins' replays
+    # quantile_bins at relative_error=0 — Spark's exact quantile is
+    # the sorted value at 1-based rank ceil(p·n) (probed over ties,
+    # duplicates, and n∈{4..100}), which the nt/cuts CTEs reproduce,
+    # and assign_bins is a pure count-of-cuts-below expression.
     oracle="""
-    WITH cents AS (
+    WITH nt AS (
+      SELECT doc_id, lang, source,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT n_tokens,
+             row_number() OVER (ORDER BY n_tokens) AS rn,
+             count(*) OVER () AS n
+      FROM nt
+    ),
+    cuts AS (
+      SELECT
+        max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN n_tokens END)::DOUBLE AS c1,
+        max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN n_tokens END)::DOUBLE AS c2,
+        max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN n_tokens END)::DOUBLE AS c3
+      FROM ranked
+    ),
+    cents AS (
       SELECT c, list_transform(range(0, 64), d -> ((((c*73 + d*37) % 19) - 9))::DOUBLE) AS cv
       FROM (SELECT unnest(range(0, 16)) AS c)
     ),
@@ -1233,6 +1260,40 @@ def _pinned_cluster_codebook(n_clusters: int = 16, dim: int = 64):
              ) AS cumtok
       FROM documents)
     WHERE cumtok <= CASE lang WHEN 'en' THEN 3000 WHEN 'es' THEN 2000 ELSE 1000 END
+    UNION ALL
+    SELECT 'bins', doc_id,
+           CAST((CASE WHEN n_tokens > c1 THEN 1 ELSE 0 END
+               + CASE WHEN n_tokens > c2 THEN 1 ELSE 0 END
+               + CASE WHEN n_tokens > c3 THEN 1 ELSE 0 END) AS VARCHAR),
+           source
+    FROM nt CROSS JOIN cuts
+    UNION ALL
+    SELECT 'mixture', doc_id, lang, source
+    FROM documents
+    WHERE (15330096 * (doc_id % 2147483647) + 1941083619) % 2147483647 <
+          CASE lang WHEN 'en' THEN 1073741823
+                    WHEN 'es' THEN 536870911
+                    ELSE 214748364 END
+    UNION ALL
+    SELECT 'split', doc_id,
+           CASE WHEN (15330096 * (doc_id % 2147483647) + 1941083619)
+                     % 2147483647 < 429496729
+                THEN 'valid' ELSE 'train' END,
+           source
+    FROM documents
+    UNION ALL
+    SELECT 'weighted', doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY round(
+                 -ln((((15330096 * (doc_id % 2147483647) + 1941083619)
+                        % 2147483647) + 1) / 2147483647.0) / n_tokens, 6),
+                 doc_id
+             ) AS rk
+      FROM nt)
+    WHERE rk <= 10
     """,
 )
 def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1264,7 +1325,26 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       realized token mix when strata have different length
       distributions; this leg pins the token-denominated policy. Same
       one-shuffle window profile; the whitespace token count is the
-      SAME expression the text_stats/sequence_packing oracles replay."""
+      SAME expression the text_stats/sequence_packing oracles replay.
+    - **bins** (r10, ``sampling.quantile_bins``): equi-population
+      quartile binning of the token-count column at
+      ``relative_error=0`` — the GK sketch's exact operating point,
+      where Spark's quantile is the sorted value at rank ``ceil(p·n)``
+      and DuckDB recomputes the identical cuts from rank arithmetic
+      (the sketch-approximate path stays pinned in pytest, where both
+      sides of the tolerance band live in one engine). Every doc's bin
+      is hash-checked, so ``assign_bins``' strictly-below counting
+      convention is driver-certified too.
+    - **mixture** / **split** (r10, ``sampling.mixture_sample`` /
+      ``train_valid_split``): per-source keep-rates (en 0.5 / es 0.25
+      / default 0.1) and the 20% held-out split — both stateless
+      GF(2³¹−1) filters (no shuffle at all); the oracle replays the
+      exact integer cuts ``int(rate·P)``.
+    - **weighted** (r10, ``sampling.weighted_sample_stratified``): the
+      Efraimidis–Spirakis A-ES draw weighted by token count, 10 docs
+      per language, with ``round_key=6`` so the ranking key is
+      quantized below any cross-libm ``ln`` ulp (ties → id, total
+      order on both engines)."""
     docs = load_table(spark, sf_dir, "documents")
     lang = sampling.stratified_sample_exact(
         docs, ["lang"], "doc_id", 10, seed=11
@@ -1302,7 +1382,61 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_cell").cast("string").alias("stratum"),
         F.lit(None).cast("string").alias("source"),
     )
-    return lang.unionAll(clus).unionAll(budget)
+    docs_nt = docs.withColumn(
+        "n_tokens", packing.whitespace_token_count(F.col("text")).cast("bigint")
+    )
+    binned, _cuts = sampling.quantile_bins(
+        docs_nt, "n_tokens", n_bins=4, relative_error=0.0
+    )
+    bins_leg = binned.select(
+        F.lit("bins").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("bin").cast("string").alias("stratum"),
+        "source",
+    )
+    mixture = sampling.mixture_sample(
+        docs,
+        "lang",
+        weights={"en": 0.5, "es": 0.25},
+        id_col="doc_id",
+        seed=11,
+        default_rate=0.1,
+    ).select(
+        F.lit("mixture").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("stratum"),
+        "source",
+    )
+    train, valid = sampling.train_valid_split(docs, "doc_id", 0.2, seed=11)
+    split = train.select(
+        F.lit("split").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.lit("train").alias("stratum"),
+        "source",
+    ).unionAll(
+        valid.select(
+            F.lit("split").alias("leg"),
+            F.col("doc_id").alias("id"),
+            F.lit("valid").alias("stratum"),
+            "source",
+        )
+    )
+    weighted = sampling.weighted_sample_stratified(
+        docs_nt, ["lang"], "doc_id", "n_tokens", 10, seed=11, round_key=6
+    ).select(
+        F.lit("weighted").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("stratum"),
+        "source",
+    )
+    return (
+        lang.unionAll(clus)
+        .unionAll(budget)
+        .unionAll(bins_leg)
+        .unionAll(mixture)
+        .unionAll(split)
+        .unionAll(weighted)
+    )
 
 
 @query(
@@ -1801,6 +1935,13 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 fold: the 'decontam' leg replays decontaminate_spans with the
     # IDENTICAL gram-string machinery — eval grams (doc_id % 10 = 7)
     # semi-select the training side's (doc_id % 10 <> 7) cut starts.
+    # r10 fold: the 'para' leg promotes remove_repeated_paragraphs —
+    # the corpus has no newlines, so BOTH engines first synthesize the
+    # same paragraph structure (tokens chunked in 6s, chunks joined by
+    # \\n; DuckDB list slices are INCLUSIVE: ts[p : p+5] is 6 tokens),
+    # then drop every paragraph appearing in >1 DISTINCT documents and
+    # rebuild in original order (non-vacuous: 124 of 500 docs lose a
+    # paragraph at sf0.01, 1711 of 5000 at sf0.1).
     oracle="""
     WITH toks AS (
       SELECT doc_id,
@@ -1848,6 +1989,31 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT leg, doc_id, string_agg(tok, ' ' ORDER BY p) AS txt, count(*) AS n
       FROM kept GROUP BY leg, doc_id
     ) ka ON ld.leg = ka.leg AND ld.doc_id = ka.doc_id
+    UNION ALL
+    SELECT 'para', t.doc_id,
+           coalesce(pk.txt, '') AS text,
+           len(t.ts) - coalesce(pk.ntok, 0) AS n_tokens_removed
+    FROM toks t LEFT JOIN (
+      SELECT doc_id,
+             string_agg(para, chr(10) ORDER BY p) AS txt,
+             sum(least(p + 5, lents) - p + 1) AS ntok
+      FROM (
+        SELECT doc_id, p, lents,
+               array_to_string(ts[p : least(p + 5, lents)], ' ') AS para
+        FROM (
+          SELECT doc_id, ts, len(ts) AS lents,
+                 unnest(range(1, len(ts) + 1, 6)) AS p
+          FROM toks)
+      )
+      WHERE para NOT IN (
+        SELECT para FROM (
+          SELECT array_to_string(ts[p : least(p + 5, len(ts))], ' ') AS para,
+                 doc_id
+          FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 6)) AS p
+                FROM toks))
+        GROUP BY para HAVING count(DISTINCT doc_id) > 1)
+      GROUP BY doc_id
+    ) pk ON t.doc_id = pk.doc_id
     """,
 )
 def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1875,7 +2041,18 @@ def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this corpus (a collision would cut a span the oracle keeps and
     hash-mismatch). Production k for the repeat leg is ~50 (the paper's
     operating point) — that cost is the bench's ``dedup_spans_k50``
-    point."""
+    point.
+
+    - **para** (r10 fold, ``dedup.remove_repeated_paragraphs``):
+      boilerplate removal at paragraph granularity — every paragraph
+      whose exact text appears in more than one DISTINCT document is
+      dropped from all of them, survivors rebuild in original order
+      (Dolma/RefinedWeb recipe). The corpus carries no newlines, so
+      the leg first synthesizes a deterministic paragraph structure
+      both engines reproduce (tokens chunked in 6s, '\\n'-joined);
+      the operator itself shuffles 8-byte xxhash64 paragraph keys,
+      the oracle compares paragraph STRINGS — so like the gram legs,
+      agreement also certifies hash injectivity on this corpus."""
     docs = load_table(spark, sf_dir, "documents")
     rep = dedup.remove_repeated_spans(docs, "doc_id", "text", k=4).select(
         F.lit("repeat").alias("leg"), "doc_id", "text", "n_tokens_removed"
@@ -1885,4 +2062,30 @@ def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = dedup.decontaminate_spans(
         train, eval_df, "doc_id", "text", "doc_id", "text", k=4
     ).select(F.lit("decontam").alias("leg"), "doc_id", "text", "n_tokens_removed")
-    return rep.unionAll(dec)
+
+    toks = text.tokens(F.col("text"))
+    n_chunk_hi = F.floor((F.size(toks) - F.lit(1)) / F.lit(6)).cast("int")
+    para_text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunk_hi),
+            lambda i: F.array_join(F.slice(toks, i * F.lit(6) + F.lit(1), 6), " "),
+        ),
+        "\n",
+    )
+    para_docs = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("__orig_n"),
+        para_text.alias("text"),
+    )
+    para = dedup.remove_repeated_paragraphs(
+        para_docs, "doc_id", "text", sep="\n", max_docs=1
+    ).select(
+        F.lit("para").alias("leg"),
+        "doc_id",
+        "text",
+        (
+            F.col("__orig_n")
+            - packing.whitespace_token_count(F.col("text")).cast("bigint")
+        ).alias("n_tokens_removed"),
+    )
+    return rep.unionAll(dec).unionAll(para)

@@ -3221,6 +3221,37 @@ def test_ivf_train_lloyd_centroids_recall(spark, sf_dir):
     assert len(hits) / len(exact) >= 0.8  # same floor the generic IVF test uses
 
 
+def test_ivf_assign_exact_tie_picks_lowest_cell(spark):
+    """Exact cosine ties must assign the LOWEST cell id — the
+    pinned-codebook oracle's (cos DESC, c ASC) tie-break — by
+    construction (stable argsort), not by measured float margins.
+    Duplicate centroid rows force exact ties."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators.similarity import (
+        _ivf_assign_udf,
+    )
+
+    # cells 0 and 2 identical; cells 1 and 3 identical
+    cmat = np.array(
+        [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, 1.0]], dtype=np.float64
+    )
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 2.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: list(r["cells"])
+        for r in df.select(
+            "vec_id", _ivf_assign_udf(cmat, 4)(F.col("embedding")).alias("cells")
+        ).collect()
+    }
+    assert got[0][:2] == [0, 2]  # tie on cos=1 → lowest id first
+    assert got[1][:2] == [1, 3]
+    # four-way exact tie: stable order is the identity permutation
+    assert got[2] == [0, 1, 2, 3]
+
+
 def test_bpe_tokens_drive_sequence_packing(spark):
     """Composition: train BPE → encode docs → pack sequences by the
     LEARNED token counts (count_col hook) — the end-to-end shape a
@@ -4320,6 +4351,47 @@ def test_pack_bins_bfd_oversize_policies(spark):
     assert pack_bins_bfd(z, capacity=10).count() == 0
 
 
+def test_packing_waste_excludes_oversize_bins(spark):
+    """oversize='own_bin' solo bins hold > capacity tokens; their
+    (capacity − tokens) is negative and must NOT understate (or negate)
+    the waste aggregate. They are excluded from padded_positions /
+    waste_pct and reported separately; bin_manifest clamps their
+    padding at 0."""
+    from distributed_computing_platform_mapreduce_spark.operators.packing import (
+        bin_manifest,
+        pack_bins_bfd,
+        packing_waste,
+    )
+
+    # one packable doc (3 tokens, cap 10 → padding 7), two oversize
+    # docs (50 tokens each) — an oversize-heavy corpus where the old
+    # n_bins*cap − sum(tokens) formula goes NEGATIVE (3·10 − 103 = −73)
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(["w"] * 50)), (3, " ".join(["v"] * 50))],
+        "doc_id long, text string",
+    )
+    packed = pack_bins_bfd(df, capacity=10, n_groups=2, oversize="own_bin")
+    w = packing_waste(packed, 10).collect()[0]
+    assert w["n_bins"] == 3 and w["total_tokens"] == 103
+    assert w["padded_positions"] == 7  # the one packed bin's padding only
+    assert w["waste_pct"] == 70.0  # 7 / (1 packed bin · 10)
+    assert w["oversize_bins"] == 2 and w["oversize_tokens"] == 100
+
+    man = {r["bin_id"]: r for r in bin_manifest(packed, 10).collect()}
+    solo = man[(1 << 62) + 2]
+    assert solo["bin_tokens"] == 50 and solo["padding"] == 0  # clamped
+
+    # all-packable corpus: the identity the main property test pins
+    # (padded = n_bins·cap − total) still holds exactly
+    ok = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y")], "doc_id long, text string"
+    )
+    p2 = pack_bins_bfd(ok, capacity=10, n_groups=1)
+    w2 = packing_waste(p2, 10).collect()[0]
+    assert w2["padded_positions"] == w2["n_bins"] * 10 - w2["total_tokens"]
+    assert w2["oversize_bins"] == 0 and w2["oversize_tokens"] == 0
+
+
 def test_pack_bins_bfd_count_col_composes(spark):
     """A caller-supplied token count column drives the packing (the
     real-tokenizer hook, same contract as pack_sequences)."""
@@ -4400,6 +4472,14 @@ def test_token_budget_sample_policy_and_determinism(spark):
     with pytest.raises(ValueError):
         token_budget_sample(df, "src", "doc_id", {"a": -1})
 
+    # reserved temp-column guard (same convention as
+    # stratified_sample_exact's __rk): a caller column named __cumtok
+    # would be silently overwritten then dropped
+    with pytest.raises(ValueError, match="__cumtok"):
+        token_budget_sample(
+            df.withColumn("__cumtok", F.lit(0)), "src", "doc_id", budgets
+        )
+
 
 def test_dedup_survivors_cc_best_policy(spark):
     """Max-quality survivor selection: within a component the highest-
@@ -4436,6 +4516,13 @@ def test_dedup_survivors_cc_best_policy(spark):
         ).collect()
     )
     assert c == best
+
+    # reserved temp-column guard (__q / __rk would be silently clobbered)
+    for bad in ("__q", "__rk"):
+        with pytest.raises(ValueError, match=bad):
+            dd.dedup_survivors_cc_best(
+                docs.withColumn(bad, F.lit(0)), pairs, quality_col="q"
+            )
 
 
 def test_pack_bins_bfd_hypothesis_differential(spark):
@@ -4486,3 +4573,131 @@ def test_pack_bins_bfd_hypothesis_differential(spark):
         assert all(v <= cap for v in fill.values())
 
     run()
+
+
+def test_semdedup_pairs_differential(spark, sf_dir):
+    """SemDeDup within-cell pairs == a straight-line numpy twin (same
+    pinned codebook, argmax-cosine cells, all within-cell pairs at
+    cos ≥ θ), exactly — ids, pair set, and cos values; and the pair set
+    is layout-independent."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import semdedup as sd
+    from distributed_computing_platform_mapreduce_spark.plans.extensions import (
+        _pinned_cluster_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cmat = _pinned_cluster_codebook()
+    got = {
+        (r["id_a"], r["id_b"]): (r["cos"], r["cell"])
+        for r in sd.semdedup_pairs(
+            emb, threshold=0.35, centroids=cmat, block_rows=7
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cells = np.argmax(unit @ cmat.T, axis=1)
+    want = {}
+    for c in np.unique(cells):
+        idx = np.nonzero(cells == c)[0]
+        sims = unit[idx] @ unit[idx].T
+        for i in range(len(idx)):
+            for j in range(i + 1, len(idx)):
+                if sims[i, j] >= 0.35:
+                    a, b = sorted((int(ids[idx[i]]), int(ids[idx[j]])))
+                    want[(a, b)] = (sims[i, j], int(c))
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-12
+
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in sd.semdedup_pairs(
+            emb.repartition(13), threshold=0.35, centroids=cmat
+        ).collect()
+    }
+    assert again == set(want)
+
+
+def test_semdedup_survivor_policies(spark, sf_dir):
+    """min_id survivors == union-find twin over the pair graph;
+    centroid_far implements the paper's keep-the-outlier policy (twin:
+    per component, max −round(cent_cos, 6), tie → min id); a threshold
+    above the corpus max cosine keeps everything; max_cell_rows fails
+    loudly on a mega-cell."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import semdedup as sd
+    from distributed_computing_platform_mapreduce_spark.plans.extensions import (
+        _pinned_cluster_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cmat = _pinned_cluster_codebook()
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in sd.semdedup_pairs(emb, threshold=0.35, centroids=cmat).collect()
+    ]
+    assert pairs
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+
+    all_ids = {r[0] for r in emb.select("vec_id").collect()}
+    want_min = all_ids - {x for ms in comp.values() for x in ms if x != min(ms)}
+    got_min = {
+        r["vec_id"]
+        for r in sd.semdedup(emb, threshold=0.35, centroids=cmat).collect()
+    }
+    assert got_min == want_min
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ cmat.T
+    cent_cos = {int(i): float(sims[k, np.argmax(sims[k])]) for k, i in enumerate(ids)}
+    want_far = set(all_ids)
+    for ms in comp.values():
+        best = max(ms, key=lambda x: (-round(cent_cos[x], 6), -x))
+        want_far -= set(ms) - {best}
+    got_far = {
+        r["vec_id"]
+        for r in sd.semdedup(
+            emb, threshold=0.35, centroids=cmat, policy="centroid_far"
+        ).collect()
+    }
+    assert got_far == want_far
+    # the paper's policy must actually differ from min_id somewhere on
+    # this corpus, else the leg is vacuous
+    assert got_far != got_min
+
+    hi = sd.semdedup(emb, threshold=0.9999, centroids=cmat).count()
+    assert hi == len(all_ids)
+
+    with pytest.raises(Exception, match="max_cell_rows"):
+        sd.semdedup_pairs(
+            emb, threshold=0.35, centroids=cmat, max_cell_rows=1
+        ).collect()
+
+    with pytest.raises(ValueError):
+        sd.semdedup(emb, policy="nope", centroids=cmat)

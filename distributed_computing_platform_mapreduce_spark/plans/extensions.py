@@ -814,7 +814,51 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rk
         FROM comp c JOIN qual q ON q.doc_id = c.id
       ) WHERE rk = 1
+    ),
+    scents AS (
+      SELECT c, list_transform(range(0, 64), d -> ((((c*73 + d*37) % 19) - 9))::DOUBLE) AS cv
+      FROM (SELECT unnest(range(0, 16)) AS c)
+    ),
+    sev AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    ssims AS (
+      SELECT sev.vec_id, scents.c,
+             list_dot_product(sev.ev, scents.cv)
+               / (sqrt(list_dot_product(sev.ev, sev.ev))
+                  * sqrt(list_dot_product(scents.cv, scents.cv))) AS cos
+      FROM sev CROSS JOIN scents
+    ),
+    sbest AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, c AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rk
+        FROM ssims) WHERE rk = 1
+    ),
+    scellv AS (SELECT b.vec_id, b.cell, e.ev FROM sbest b JOIN sev e ON e.vec_id = b.vec_id),
+    spairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM scellv a JOIN scellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.ev, b.ev)
+              / (sqrt(list_dot_product(a.ev, a.ev))
+                 * sqrt(list_dot_product(b.ev, b.ev))) >= 0.35
+    ),
+    sedges AS (
+      SELECT id_a AS src, id_b AS dst FROM spairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM spairs
+    ),
+    sreach(src, dst) AS (
+      SELECT src, dst FROM sedges
+      UNION
+      SELECT r.src, e.dst FROM sreach r JOIN sedges e ON r.dst = e.src
+    ),
+    scomp AS (
+      SELECT src AS id, least(src, min(dst)) AS component FROM sreach GROUP BY src
     )
+    SELECT 'semdedup' AS policy, vec_id AS doc_id,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM scomp WHERE id <> component)
+    UNION ALL
     SELECT 'pair' AS policy, d.doc_id, d.lang, d.source
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
@@ -894,7 +938,21 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator's decisions were MEASURED equal to exact at all three sf
     dirs (zero survivor diffs), the same operating-point argument the
     LSH legs use. Bench evidence: ``incremental_index_build`` /
-    ``incremental_dedup_increment`` points (r9)."""
+    ``incremental_dedup_increment`` points (r9).
+
+    r10 adds the ``semdedup`` leg (``operators/semdedup.py``) — the
+    SEMANTIC member of the survivor family, over the embeddings table:
+    pinned-codebook k-means cells (the ``_pinned_cluster_codebook``
+    replay) bound the pair search, within-cell exact-cosine pairs at
+    θ=0.35 feed the same CC → min-id machinery, and DuckDB replays
+    the whole chain (argmax-cosine cells, cell-join cosine pairs,
+    WITH RECURSIVE closure). Promotion argument: the θ gate's measured
+    min |cos − θ| margin is 6.7e-4 / 2.5e-4 / 1.2e-6 at
+    sf0.001/0.01/0.1 — ≥6 orders above cross-engine float64 summation
+    jitter — and the survivor policy is integer-exact; 725 within-cell
+    pairs collapse at sf0.1 (non-vacuous). The Lloyd-trained codebook
+    path and the paper's centroid_far policy keep their pytest
+    differentials."""
     docs = load_table(spark, sf_dir, "documents")
     # the LSH banded join + verify feeds BOTH legs; a lazy checkpoint
     # (materialized once by the CC leg's plan-build rounds) keeps the
@@ -940,8 +998,20 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, "doc_id")
         .select(F.lit("incr_index").alias("policy"), "doc_id", "lang", "source")
     )
+    from distributed_computing_platform_mapreduce_spark.operators import semdedup as sd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem_leg = sd.semdedup(
+        emb, threshold=0.35, centroids=_pinned_cluster_codebook()
+    ).select(
+        F.lit("semdedup").alias("policy"),
+        F.col("vec_id").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+    )
     return (
-        pair_leg.unionAll(cc_leg)
+        sem_leg.unionAll(pair_leg)
+        .unionAll(cc_leg)
         .unionAll(ccq_leg)
         .unionAll(incr_leg)
         .unionAll(idx_leg)

@@ -49,6 +49,12 @@ ARROW_PYTHON_OK = {
     # stage (shingle_rows) ALSO surfaces in the final plan (no
     # checkpoint between it and the output), so the pattern is visible.
     "curation_recipe",
+    # NOT listed: dedup_survivors_suite — the r10 semdedup leg's
+    # within-cell pairwise cosine IS a FlatMapGroupsInPandas (row-block
+    # GEMM per cell, the verify stage of the cluster-banded shape), but
+    # it sits above the CC solve's localCheckpoint, so the registered
+    # plan shows Scan ExistingRDD — same visibility situation as
+    # media_neardup_suite below.
     # NOT listed: media_neardup_suite — each leg's decode/phash
     # MapInPandas sits above hamming_pairs' localCheckpoint, so the
     # registered query's plan shows Scan ExistingRDD (the checkpoint

@@ -844,3 +844,55 @@ def test_remove_repeated_spans_matches_python(spark, texts, k):
         for r in dedup.remove_repeated_spans(df, "doc_id", "text", k=k).collect()
     }
     assert got == _py_remove_spans(docs, k)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False, width=32),
+            min_size=6,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.sampled_from([0.2, 0.6, 0.9]),
+)
+def test_semdedup_pairs_equal_bruteforce(spark, vecs, block_rows, threshold):
+    """SemDeDup within-cell pairs == brute-force numpy on arbitrary
+    float corpora, across block sizes that split cells mid-GEMM —
+    exercises the block loop's boundary arithmetic, zero vectors, and
+    cells of size 1."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import semdedup as sd
+
+    cmat = np.array(
+        [[1.0, 0, 0, 0, 0, 0], [0, 1.0, 0, 0, 0, 0], [0, 0, 1.0, 0, 0, 0]]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sd.semdedup_pairs(
+            df, threshold=threshold, centroids=cmat, block_rows=block_rows
+        ).collect()
+    }
+    mat = np.array(vecs, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    cells = np.argmax(unit @ cmat.T, axis=1)
+    want = set()
+    for c in np.unique(cells):
+        idx = np.nonzero(cells == c)[0]
+        sims = unit[idx] @ unit[idx].T
+        for i in range(len(idx)):
+            for j in range(i + 1, len(idx)):
+                if sims[i, j] >= threshold:
+                    want.add((int(min(idx[i], idx[j])), int(max(idx[i], idx[j]))))
+    assert got == want

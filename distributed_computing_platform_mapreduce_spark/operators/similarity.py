@@ -517,6 +517,7 @@ def cosine_topk_int8(
     vec_col: str = "embedding",
     k: int = 5,
     batch_topk: int | None = None,
+    rerank_shortlist: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k over an int8-quantized corpus scan.
 
@@ -533,6 +534,21 @@ def cosine_topk_int8(
 
     Scores are cosines of the QUANTIZED vectors — scales cancel
     (cos(s·a, t·b) = cos(a, b)), so no dequantize pass exists anywhere.
+
+    ``rerank_shortlist`` turns the scan into the production
+    shortlist-then-rerank pattern: the int8 ranking keeps that many
+    candidates per query, exact float64 cosine is recomputed for the
+    shortlist only (|Q|·shortlist rows — the shortlist side
+    BROADCASTS onto the corpus scan, so the corpus never shuffles),
+    and the top-``k`` of the re-ranked scores is returned. The output
+    then equals :func:`cosine_topk_exact` — scores, ranks and
+    tie-breaks included — whenever the shortlist contains the true
+    top-k; the re-rank cosine is the same sequential-fold expression
+    the exact path uses, so the equality is bit-level. The int8
+    ordering's quantization error decides the needed margin: measure
+    the worst int8-rank of a true top-k neighbor before picking the
+    shortlist (the recall-saturation discipline every promoted ANN
+    point here follows).
     """
     import numpy as np
 
@@ -555,7 +571,7 @@ def cosine_topk_int8(
     # +1 headroom: a query's own corpus row (cos 1.0) would otherwise
     # occupy a batch-local slot and evict a true neighbor before the
     # self-match filter runs
-    keep = int(batch_topk or k + 1)
+    keep = int(batch_topk or (rerank_shortlist or k) + 1)
 
     cq = quantize_embeddings(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col=vec_col
@@ -592,8 +608,39 @@ def cosine_topk_int8(
 
     scored = cq.mapInPandas(scan, schema).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
+    if rerank_shortlist is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos")
+        )
+    short = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(rerank_shortlist))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nvec"),
+    )
+    # shortlist (|Q|·shortlist rows) + query vectors broadcast onto the
+    # corpus scan — the corpus side never shuffles for the re-rank
+    rer = nv.join(
+        F.broadcast(short.join(F.broadcast(qv), "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("nvec")).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )

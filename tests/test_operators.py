@@ -2949,6 +2949,30 @@ def test_cosine_topk_int8_recall_vs_exact(spark, sf_dir):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
 
 
+def test_cosine_topk_int8_rerank_equals_exact(spark, sf_dir):
+    """The shortlist-then-rerank pattern (r10): the int8 scan keeps a
+    shortlist, exact float64 cosine re-ranks it, and the output must
+    equal cosine_topk_exact EXACTLY — ids, ranks, AND cos doubles
+    (the re-rank uses the same sequential-fold expression). Shortlist
+    25 vs the measured worst int8-rank of a true top-5 neighbor
+    (6/6/5 at sf0.001/0.01/0.1) is 4× headroom; a minimal shortlist
+    of 8 also suffices on this corpus and pins the margin claim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_exact(emb, queries, k=5).collect()
+    )
+    for shortlist in (8, 25):
+        got = sorted(
+            tuple(r)
+            for r in similarity.cosine_topk_int8(
+                emb, queries, k=5, rerank_shortlist=shortlist
+            ).collect()
+        )
+        assert got == exact, f"shortlist={shortlist}"
+
+
 def test_jpeg_progressive_decode_equals_baseline():
     """Progressive (SOF2) decode: the libjpeg-style scan script (DC
     first+refine, banded AC first at Al=2, two refinement sweeps)

@@ -739,9 +739,18 @@ def _r10_crop_times(
             out = similarity.cosine_topk_int8(emb, queries, k=10)
             assert out.count() >= 0
 
+        def int8_rerank():
+            # the promoted driver config: int8 shortlist → exact fp64
+            # re-rank (output == exact; this point prices the pattern)
+            out = similarity.cosine_topk_int8(
+                emb, queries, k=10, rerank_shortlist=50
+            )
+            assert out.count() >= 0
+
         for name, fn in (
             ("cosine_topk_exact_scan", exact_scan),
             ("cosine_topk_int8_scan", int8_scan),
+            ("cosine_topk_int8_rerank", int8_rerank),
         ):
             fn()  # warm
             med, lo, hi = _timed_median(fn)

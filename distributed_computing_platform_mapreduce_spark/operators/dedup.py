@@ -1188,6 +1188,7 @@ def decontaminate_spans(
     eval_id_col: str = "doc_id",
     eval_text_col: str = "text",
     k: int = 13,
+    eval_broadcast: bool = False,
 ) -> DataFrame:
     """SURGICAL decontamination: cut every ``k``-token run that also
     appears in the eval corpus, keeping the rest of the document —
@@ -1202,7 +1203,20 @@ def decontaminate_spans(
     typically tiny next to training data), training-side gram starts
     left-semi join the eval hash set, and :func:`_cut_spans` does the
     difference-array coverage + bounded per-doc rebuild. Shuffle
-    carries 8-byte hashes only; the eval side is one scan."""
+    carries 8-byte hashes only; the eval side is one scan.
+
+    ``eval_broadcast`` is the 100 TB shuffle lever: the eval gram set
+    comes out of a distinct aggregate, whose size the planner cannot
+    estimate — so by default the semi join plans as sort-merge and
+    shuffles EVERY training gram row (8 bytes × tokens, the dominant
+    movement of the whole pass). Eval corpora are small by definition
+    (8 B/gram ⇒ ~10⁸ distinct grams fit a ~1 GB broadcast), so forcing
+    a broadcast-hash semi join removes the training-side exchange
+    entirely: the gram pass, the membership probe and the coverage
+    deltas all stay in the scan stage. Same output by construction —
+    the hint changes strategy, not semantics; the caller owns the
+    "eval fits the broadcast limit" contract, which is why it is not
+    the default."""
     if k < 1:
         raise ValueError(f"k must be ≥ 1, got {k}")
     grams = _gram_start_rows(df, id_col, text_col, k)
@@ -1211,6 +1225,8 @@ def decontaminate_spans(
         .select("gh")
         .distinct()
     )
+    if eval_broadcast:
+        eval_ghs = F.broadcast(eval_ghs)
     starts = grams.join(eval_ghs, "gh", "left_semi").select(
         F.col(id_col).alias("__rs_id"), "pos"
     )

@@ -2295,6 +2295,15 @@ def test_decontaminate_spans_surgical(spark):
     assert {r["text"] for r in eval_df.collect()} == {
         leak, "some benchmark question about arithmetic sums"}
 
+    # eval_broadcast: identical output, but the semi join against the
+    # eval gram set plans as BroadcastHashJoin — no training-side gram
+    # exchange (the 100 TB shuffle lever; default stays planner-chosen)
+    bout = dd.decontaminate_spans(train, eval_df, k=5, eval_broadcast=True)
+    assert {r["doc_id"]: (r["text"], r["n_tokens_removed"])
+            for r in bout.collect()} == out
+    plan = bout._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
 
 
 def test_remove_repeated_paragraphs_regex_sep_and_id_collision(spark):

@@ -49,6 +49,11 @@ ARROW_PYTHON_OK = {
     # stage (shingle_rows) ALSO surfaces in the final plan (no
     # checkpoint between it and the output), so the pattern is visible.
     "curation_recipe",
+    # r10: the int8 leg's integer-GEMM corpus scan is definitionally a
+    # numpy-over-Arrow pass (C_int8 @ Q_int8.T per batch — the 2.1×
+    # scan-bandwidth lever being measured); exact/lsh/ivf legs and the
+    # fp64 re-rank stay JVM.
+    "similarity_topk_suite",
     # NOT listed: dedup_survivors_suite — the r10 semdedup leg's
     # within-cell pairwise cosine IS a FlatMapGroupsInPandas (row-block
     # GEMM per cell, the verify stage of the cluster-banded shape), but

@@ -59,18 +59,30 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contractually equal on this corpus (LSH recall 100% at the
     # operating point), so the oracle is the same pair set tagged twice.
     oracle="""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS s
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
     ),
-    exact AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s))::DOUBLE
-               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+    -- r10 oracle-scaling rewrite (identical results, same IEEE
+    -- division): |A∩B| comes off the shingle inverted index instead
+    -- of 12.5M list_intersect evaluations, and MATERIALIZED stops the
+    -- two legs re-deriving the pipeline — sf0.1 went from >180 s to
+    -- seconds, so the full parity suite runs at sf0.1 too
+    sizes AS MATERIALIZED (SELECT doc_id, len(s) AS sz FROM sh),
+    shx AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    cand AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shx a JOIN shx b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS MATERIALIZED (
+      SELECT id_a, id_b,
+             inter::DOUBLE / (za.sz + zb.sz - inter)::DOUBLE AS jaccard
+      FROM cand
+      JOIN sizes za ON za.doc_id = cand.id_a
+      JOIN sizes zb ON zb.doc_id = cand.id_b
+      WHERE inter::DOUBLE / (za.sz + zb.sz - inter)::DOUBLE >= 0.5
     )
     SELECT 'lsh' AS leg, id_a, id_b, jaccard FROM exact
     UNION ALL
@@ -768,16 +780,34 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diffs), so the exact replay is the estimator's oracle at this
     # corpus' operating point.
     oracle="""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS s
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
     ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+    -- exact Jaccard via a shingle INVERTED INDEX (r10 oracle-scaling
+    -- rewrite; identical results, pinned 256 pairs / 477 component
+    -- rows at sf0.1 against the old form): |A∩B| is the shared-
+    -- shingle count straight off the index self-join (shingle lists
+    -- are distinct), so J >= 0.5 needs no list_intersect and only
+    -- candidate pairs are priced (~1.1M at sf0.1, not all ~12.5M);
+    -- MATERIALIZED stops DuckDB re-deriving the whole pipeline at
+    -- every reference (the legs reference pairs/comp repeatedly —
+    -- inlined, the sf0.1 oracle took >10 min; materialized, seconds).
+    -- Same candidates-then-verify algebra the Spark side runs.
+    sizes AS MATERIALIZED (SELECT doc_id, len(s) AS sz FROM sh),
+    shx AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    cand AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shx a JOIN shx b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sizes za ON za.doc_id = cand.id_a
+      JOIN sizes zb ON zb.doc_id = cand.id_b
+      WHERE inter::DOUBLE / (za.sz + zb.sz - inter)::DOUBLE >= 0.5
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -789,34 +819,48 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
     ),
-    comp AS (
+    comp AS MATERIALIZED (
       SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src
     ),
-    sh3 AS (
+    sh3 AS MATERIALIZED (
       SELECT doc_id, doc_id % 3 AS wave,
              list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS s
       FROM (SELECT doc_id,
                    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
             FROM documents)
     ),
-    jac AS (
-      SELECT a.doc_id AS new_id, b.doc_id AS other_id, a.wave AS wa, b.wave AS wb,
-             len(list_intersect(a.s, b.s))::DOUBLE
-               / greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1)::DOUBLE AS j
-      FROM sh3 a JOIN sh3 b ON a.doc_id <> b.doc_id
+    -- same inverted-index rewrite for the incremental legs: a kill
+    -- decision needs j >= 0.5 > 0, so no-shared-shingle pairs (j = 0)
+    -- can never appear in idead1/idead2, and |A∩B| is the shared-
+    -- shingle count off the index
+    sizes3 AS MATERIALIZED (SELECT doc_id, len(s) AS sz FROM sh3),
+    shx3 AS (SELECT doc_id, wave, unnest(s) AS sg FROM sh3),
+    cand3 AS MATERIALIZED (
+      SELECT a.doc_id AS new_id, b.doc_id AS other_id,
+             a.wave AS wa, b.wave AS wb, count(*) AS inter
+      FROM shx3 a JOIN shx3 b ON a.sg = b.sg AND a.doc_id <> b.doc_id
       WHERE a.wave > 0
+      GROUP BY 1, 2, 3, 4
     ),
-    idead1 AS (
+    jac AS MATERIALIZED (
+      SELECT new_id, other_id, wa, wb,
+             inter::DOUBLE
+               / greatest(za.sz + zb.sz - inter, 1)::DOUBLE AS j
+      FROM cand3
+      JOIN sizes3 za ON za.doc_id = cand3.new_id
+      JOIN sizes3 zb ON zb.doc_id = cand3.other_id
+    ),
+    idead1 AS MATERIALIZED (
       SELECT DISTINCT new_id FROM jac
       WHERE wa = 1 AND j >= 0.5 AND (wb = 0 OR (wb = 1 AND other_id < new_id))
     ),
-    idead2 AS (
+    idead2 AS MATERIALIZED (
       SELECT DISTINCT new_id FROM jac
       WHERE wa = 2 AND j >= 0.5 AND (
         wb = 0 OR (wb = 1 AND other_id NOT IN (SELECT new_id FROM idead1))
         OR (wb = 2 AND other_id < new_id))
     ),
-    isurv AS (
+    isurv AS MATERIALIZED (
       SELECT doc_id FROM sh3 WHERE wave > 0
         AND doc_id NOT IN (SELECT new_id FROM idead1)
         AND doc_id NOT IN (SELECT new_id FROM idead2)
@@ -853,8 +897,8 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rk
         FROM ssims) WHERE rk = 1
     ),
-    scellv AS (SELECT b.vec_id, b.cell, e.ev FROM sbest b JOIN sev e ON e.vec_id = b.vec_id),
-    spairs AS (
+    scellv AS MATERIALIZED (SELECT b.vec_id, b.cell, e.ev FROM sbest b JOIN sev e ON e.vec_id = b.vec_id),
+    spairs AS MATERIALIZED (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM scellv a JOIN scellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.ev, b.ev)
@@ -871,7 +915,7 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.src, e.dst FROM sreach r JOIN sedges e ON r.dst = e.src
     ),
-    scomp AS (
+    scomp AS MATERIALIZED (
       SELECT src AS id, least(src, min(dst)) AS component FROM sreach GROUP BY src
     )
     SELECT 'semdedup' AS policy, vec_id AS doc_id,
@@ -1058,7 +1102,7 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_intersect(dtoks, ['der','die','und','das','von','zu','mit','den','ist','im'])) AS s_de
       FROM t
     ),
-    gated AS (
+    gated AS MATERIALIZED (
       SELECT doc_id, text, lang, source FROM sc
       WHERE (CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
                   WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
@@ -1089,24 +1133,35 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
       GROUP BY bi.doc_id
     ),
-    floored AS (
+    floored AS MATERIALIZED (
       SELECT g.* FROM gated g
       WHERE g.doc_id NOT IN (SELECT doc_id FROM lm WHERE lp < -3.46)
     ),
-    ded AS (
+    ded AS MATERIALIZED (
       SELECT * FROM floored
       WHERE doc_id IN (SELECT min(doc_id) FROM floored GROUP BY text)
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk)-1)]) AS s
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM ded)
     ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+    -- r10 oracle-scaling rewrite (same results): inverted-index
+    -- intersection counts + MATERIALIZED shared stages, so the full
+    -- recipe oracle runs at sf0.1 inside the parity guard
+    sizes AS MATERIALIZED (SELECT doc_id, len(s) AS sz FROM sh),
+    shx AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    cand AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shx a JOIN shx b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sizes za ON za.doc_id = cand.id_a
+      JOIN sizes zb ON zb.doc_id = cand.id_b
+      WHERE inter::DOUBLE / (za.sz + zb.sz - inter)::DOUBLE >= 0.5
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1118,10 +1173,10 @@ def dedup_survivors_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
     ),
-    comp AS (
+    comp AS MATERIALIZED (
       SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src
     ),
-    survivors AS (
+    survivors AS MATERIALIZED (
       SELECT * FROM ded
       WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
     ),

@@ -61,7 +61,13 @@ the r8 verdict called out):
                            filtered join (q11's "value fraction of
                            the national total" without partsupp:
                            lineitem×supplier×nation stands in for
-                           partsupp value).
+                           partsupp value). The cut is SCALE-ADAPTIVE
+                           like TPC-H's own 0.0001/SF: parts above 2×
+                           the average per-part value (15/126/1235
+                           rows at sf0.001/0.01/0.1 — a fixed fraction
+                           degenerates to zero rows as the part count
+                           grows, which the parity test rightly
+                           rejects as proving nothing).
 - ``q16_supplier_cnt``   — count(DISTINCT) per part attributes with a
                            NOT IN subquery excluding suppliers (q16's
                            shape; the null-aware anti join rewrite).
@@ -243,7 +249,7 @@ SHAPES: dict[str, str] = {
         WHERE n.n_name = 'NATION_3'
         GROUP BY l.l_partkey
         HAVING SUM({_NET}) > (
-          SELECT SUM({_NET}) * 0.001
+          SELECT SUM({_NET}) * 2.0 / COUNT(DISTINCT l2.l_partkey)
           FROM lineitem l2
           JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
           JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey

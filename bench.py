@@ -725,6 +725,30 @@ def _r10_crop_times(
         med, lo, hi = _timed_median(encode)
         times["bpe_encode_ids"] = med
         spread["bpe_encode_ids"] = [lo, hi]
+
+        # r11: the production-vocab path — distributed word count +
+        # driver-local incremental merge learning. Same 64-merge A/B
+        # against the per-round distributed loop above, then the
+        # realistic merge count the r10 verdict asked to see a slope
+        # for (1k merges; min_pair_count=1 so the small synthetic
+        # vocab can't stop the loop early).
+        def train_incr64():
+            m = bpe.bpe_train_incremental(docs, n_merges=64)
+            assert len(m) >= 0
+
+        train_incr64()  # warm
+        med, lo, hi = _timed_median(train_incr64)
+        times["bpe_train_incr64"] = med
+        spread["bpe_train_incr64"] = [lo, hi]
+
+        def train_incr_1k():
+            m = bpe.bpe_train_incremental(docs, n_merges=1000, min_pair_count=1)
+            assert len(m) >= 0
+
+        train_incr_1k()  # warm
+        med, lo, hi = _timed_median(train_incr_1k)
+        times["bpe_train_incr_1k"] = med
+        spread["bpe_train_incr_1k"] = [lo, hi]
     except Exception as exc:  # noqa: BLE001
         errors["bpe"] = _error_line(exc)
 
@@ -944,6 +968,7 @@ def _run_sweep(
     corpora + skew A/B + media dedup). Extracted from main() so a
     red-canary attempt can discard its numbers and rerun the whole sweep."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -970,9 +995,19 @@ def _run_sweep(
                 # truth). Hashing a struct of every output column forces
                 # the whole declared result to materialize while moving
                 # one scalar to the driver.
-                # bit_xor, not sum: ANSI mode throws on long overflow
+                # bit_xor, not sum: ANSI mode throws on long overflow.
+                # xxhash64 can't take MapType (AnalysisException) — hash
+                # map columns through their entry list instead of
+                # recording a map-emitting query as an error (the hash
+                # value is discarded; only full materialization matters).
+                cols = [
+                    F.map_entries(c).alias(c)
+                    if isinstance(df.schema[c].dataType, MapType)
+                    else F.col(c)
+                    for c in df.columns
+                ]
                 n = df.agg(
-                    F.bit_xor(F.xxhash64(F.struct(*df.columns)))
+                    F.bit_xor(F.xxhash64(F.struct(*cols)))
                 ).collect()[0][0]
                 n = 0 if n is None else n
             assert n is not None

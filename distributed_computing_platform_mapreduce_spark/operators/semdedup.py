@@ -49,9 +49,14 @@ from distributed_computing_platform_mapreduce_spark.operators import similarity 
 def _assign_cell_cos_udf(cmat):
     """(cell int, cent_cos double) per vector — argmax cosine against
     the broadcast codebook, one numpy GEMM per Arrow batch. Stable
-    tie-break to the LOWEST cell id (matches ``_ivf_assign_udf``)."""
+    tie-break to the LOWEST cell id (matches ``_ivf_assign_udf``).
+    The codebook is row-normalized on entry (exact no-op for unit-row
+    trainers) so ``cent_cos`` is a true cosine even for a raw
+    caller-pinned codebook."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    cmat = _sim._unit_rows(cmat)
 
     @pandas_udf("struct<cell: int, cent_cos: double>")
     def assign(s: pd.Series) -> pd.DataFrame:

@@ -252,11 +252,33 @@ def _centroids(corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int):
     return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
 
+def _unit_rows(cmat):
+    """Row-normalize a codebook so downstream dot products are true
+    cosines. All in-repo trainers (``ivf_train``, ``_centroids``, the
+    pinned lattice codebooks) already emit unit rows — for those this
+    is an EXACT no-op (rows within 1e-9 of unit norm pass through
+    untouched, so pinned-oracle argmax margins stay bit-stable) — but a
+    caller-supplied raw codebook would otherwise silently turn
+    ``cent_cos`` into a non-cosine and skew argmax cell assignment."""
+    import numpy as np
+
+    cmat = np.asarray(cmat, dtype=np.float64)
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    if np.all(np.abs(norms - 1.0) <= 1e-9):
+        return cmat
+    safe = np.where(norms == 0, 1.0, norms)
+    return cmat / safe
+
+
 def _ivf_assign_udf(cmat, n_probe: int):
     """argmax-cosine centroid ids per vector (top-``n_probe`` of them),
-    one numpy GEMM per Arrow batch."""
+    one numpy GEMM per Arrow batch. The codebook is row-normalized on
+    entry (exact no-op for the in-repo unit-row trainers) so a raw
+    caller-pinned codebook can't skew the assignment."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    cmat = _unit_rows(cmat)
 
     @pandas_udf("array<int>")
     def assign(s: pd.Series) -> pd.Series:

@@ -524,10 +524,33 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rk
         FROM votes
       ) WHERE rk = 1
+    ),
+    class_means AS (
+      SELECT c, list_transform(range(0, 64), d ->
+          (  (((c*73 + d*37) % 19) - 9)
+           + (((c*73 + d*37 + 11) % 19) - 9)
+           + (((c*73 + d*37 + 22) % 19) - 9))::DOUBLE / 3.0) AS cv
+      FROM (SELECT unnest(range(0, 16)) AS c)
+    ),
+    csims AS (
+      SELECT e.vec_id, c.c,
+             list_dot_product(e.e, c.cv)
+               / (sqrt(list_dot_product(e.e, e.e))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      FROM v e CROSS JOIN class_means c
+    ),
+    centroid_pick AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c) AS rk
+        FROM csims) WHERE rk = 1
     )
     SELECT 'single' AS mode, vec_id, predicted_label, votes FROM verdict
     UNION ALL
     SELECT 'batched', vec_id, predicted_label, votes FROM verdict
+    UNION ALL
+    SELECT 'centroid', vec_id, CAST(cell AS INTEGER), CAST(NULL AS BIGINT)
+    FROM centroid_pick
     """,
 )
 def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,7 +572,23 @@ def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       identical to single-shot — each target's neighbors depend only on
       the labeled corpus — so the oracle replays the SAME SQL under
       both tags; a batching bug (dropped batch, wrong split, cross-batch
-      interference) breaks the row count or the hash."""
+      interference) breaks the row count or the hash.
+    - **centroid** (``classifier.nearest_centroid_classify``, r11
+      promotion): Rocchio nearest-centroid over the full embeddings
+      table against a pinned 16-class labeled set with THREE members
+      per class, each member an integer lattice vector
+      ``((c·73 + d·37 + m·11) mod 19) − 9``. Integer coordinates make
+      the distributed per-class mean ENGINE-EXACT (integer double sums
+      are order-independent; one IEEE division by 3), so the oracle
+      replays the whole chain — mean, cosine, argmax — not just the
+      scoring GEMM; measured top1−top2 argmax margins are ≥ 2.7e-5 at
+      sf0.1 (≥ 9.0e-5 / 1.7e-4 at sf0.01/0.001), ten orders above
+      cross-engine float jitter. Only integer outputs are hashed
+      (``score`` stays internal; ``votes`` is NULL on this leg).
+      Multi-member FLOAT-mean averaging is deliberately NOT oracle-
+      promoted (summation order is engine-specific — the same reason
+      MLlib-LR coefficients stay pytest-only); the float path is
+      covered by the synth-corpus accuracy pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     labeled = emb.filter(F.col("vec_id") % 20 != 0)
     targets = emb.filter(F.col("vec_id") % 20 == 0)
@@ -559,8 +598,29 @@ def knn_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batched = classifier.knn_classify_batched(
         labeled, targets, k=5, batch_rows=8
     ).withColumn("votes", F.col("votes").cast("long"))
-    return single.select(F.lit("single").alias("mode"), "*").unionAll(
-        batched.select(F.lit("batched").alias("mode"), "*")
+    class_members = spark.createDataFrame(
+        [
+            (
+                int(100_000 + c * 3 + m),
+                [float(((c * 73 + d * 37 + m * 11) % 19) - 9) for d in range(64)],
+                int(c),
+            )
+            for c in range(16)
+            for m in range(3)
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    centroid = classifier.nearest_centroid_classify(class_members, emb)
+    centroid_leg = centroid.select(
+        F.lit("centroid").alias("mode"),
+        "vec_id",
+        "predicted_label",
+        F.lit(None).cast("long").alias("votes"),
+    )
+    return (
+        single.select(F.lit("single").alias("mode"), "*")
+        .unionAll(batched.select(F.lit("batched").alias("mode"), "*"))
+        .unionAll(centroid_leg)
     )
 
 
@@ -2137,11 +2197,15 @@ def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'para', t.doc_id,
            coalesce(pk.txt, '') AS text,
-           len(t.ts) - coalesce(pk.ntok, 0) AS n_tokens_removed
+           CAST(len(t.ts) - coalesce(pk.ntok, 0) AS BIGINT) AS n_tokens_removed
     FROM toks t LEFT JOIN (
       SELECT doc_id,
              string_agg(para, chr(10) ORDER BY p) AS txt,
-             sum(least(p + 5, lents) - p + 1) AS ntok
+             -- CAST: DuckDB types sum(BIGINT) as HUGEINT, which the driver's
+             -- pandas conversion renders as float64 and hash-mismatches
+             -- against Spark's bigint even when values are identical
+             -- (the one red row of CORRECTNESS_r10.json).
+             CAST(sum(least(p + 5, lents) - p + 1) AS BIGINT) AS ntok
       FROM (
         SELECT doc_id, p, lents,
                array_to_string(ts[p : least(p + 5, lents)], ' ') AS para
@@ -2204,19 +2268,29 @@ def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = docs.filter(F.pmod("doc_id", F.lit(10)) != 7)
     eval_df = docs.filter(F.pmod("doc_id", F.lit(10)) == 7)
+    # eval_broadcast: the eval corpus is tiny by construction (10% of docs),
+    # so the registered leg exercises the 100 TB shuffle lever it documents —
+    # broadcast-semi the eval gram set instead of sort-merge-shuffling every
+    # training gram (plan pinned by tests/test_plan_lint.py).
     dec = dedup.decontaminate_spans(
-        train, eval_df, "doc_id", "text", "doc_id", "text", k=4
+        train, eval_df, "doc_id", "text", "doc_id", "text", k=4, eval_broadcast=True
     ).select(F.lit("decontam").alias("leg"), "doc_id", "text", "n_tokens_removed")
 
     toks = text.tokens(F.col("text"))
     n_chunk_hi = F.floor((F.size(toks) - F.lit(1)) / F.lit(6)).cast("int")
-    para_text = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n_chunk_hi),
-            lambda i: F.array_join(F.slice(toks, i * F.lit(6) + F.lit(1), 6), " "),
+    # Empty/whitespace-only docs make n_chunk_hi = -1 and F.sequence(0, -1)
+    # DESCENDS to [0, -1], synthesizing two phantom empty paragraphs; gate
+    # the synthesis so such docs pass through as '' like the oracle.
+    para_text = F.when(
+        F.size(toks) > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunk_hi),
+                lambda i: F.array_join(F.slice(toks, i * F.lit(6) + F.lit(1), 6), " "),
+            ),
+            "\n",
         ),
-        "\n",
-    )
+    ).otherwise(F.lit(""))
     para_docs = docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("__orig_n"),

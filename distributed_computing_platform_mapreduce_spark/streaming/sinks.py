@@ -42,13 +42,18 @@ def path_exists(spark: SparkSession, path: str) -> bool:
 
 def _has_committed_data(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` holds at least one COMMITTED data file (any
-    file not named ``_*``/``.*``, at any partition depth) or a
-    ``_SUCCESS`` marker. A crash during a sink's FIRST trigger can
-    leave the directory present with only ``_temporary`` debris; a bare
-    ``fs.exists`` probe then wedges the stream permanently (every retry
-    reads an empty sink and throws), so 'exists but nothing committed'
-    must be classified as first-trigger — the same committed-only rule
-    ``_index_versions`` applies to the dedup index."""
+    file not named ``_*``/``.*``, at any partition depth). A crash
+    during a sink's FIRST trigger can leave the directory present with
+    only ``_temporary`` debris; a bare ``fs.exists`` probe then wedges
+    the stream permanently (every retry reads an empty sink and
+    throws), so 'exists but nothing committed' must be classified as
+    first-trigger — the same committed-only rule ``_index_versions``
+    applies to the dedup index.
+
+    A lone ``_SUCCESS`` marker with ZERO data files does NOT count:
+    ``spark.read.parquet`` would still fail schema inference on it,
+    which is the exact wedge this probe exists to eliminate — the
+    marker only corroborates; a real data file must be present."""
     fs, jpath = _hadoop_path(spark, path)
     if not fs.exists(jpath):
         return False
@@ -57,10 +62,8 @@ def _has_committed_data(spark: SparkSession, path: str) -> bool:
         p = stack.pop()
         for st in fs.listStatus(p):
             name = st.getPath().getName()
-            if name == "_SUCCESS":
-                return True
             if name.startswith("_") or name.startswith("."):
-                continue  # _temporary, hidden committer files
+                continue  # _SUCCESS, _temporary, hidden committer files
             if st.isDirectory():
                 stack.append(st.getPath())
             else:

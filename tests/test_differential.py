@@ -635,6 +635,26 @@ def test_jpeg_hostile_dht_category_falls_back():
     assert category_guard_hit
 
 
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_corpus)
+def test_bpe_incremental_trainer_matches_python(corpus):
+    """r11: the in-memory incremental trainer (pair-delta inverted
+    index + lazy-deletion heap) vs the straight-line full-recount twin,
+    run to EXHAUSTION (merge count past where every word is one symbol)
+    so the heap's stale-entry and decrement paths all fire. Pure
+    Python — no Spark — so it affords 60 generated corpora."""
+    from distributed_computing_platform_mapreduce_spark.operators.bpe import (
+        _train_incremental_from_counts,
+    )
+    from tests.test_operators import _twin_bpe_train
+
+    counts = collections.Counter(w for line in corpus for w in line.split())
+    for min_pair in (1, 2, 3):
+        got = _train_incremental_from_counts(sorted(counts.items()), 500, min_pair)
+        want = _twin_bpe_train(counts, 500, min_pair_count=min_pair)
+        assert got == want, (min_pair, got, want)
+
+
 @settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(_corpus)
 def test_bpe_train_and_encode_match_python(spark, corpus):

@@ -2432,6 +2432,34 @@ def test_bpe_train_matches_python_twin(spark):
     assert short == [m for m in want[: len(short)]] and len(short) < 30
 
 
+def test_bpe_train_incremental_equals_full_recount(spark):
+    """r11: the production-vocab path (distributed word count → driver-
+    local incremental trainer with the pair→words inverted index) must
+    produce EXACTLY the full-recount loop's merge sequence — same
+    tie-break, same min_pair_count stop, word-table collect gated."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(_BPE_CORPUS)], ["doc_id", "text"])
+    want = _twin_bpe_train(Counter(w for t in _BPE_CORPUS for w in t.split()), 40, 1)
+    assert bpe.bpe_train_incremental(df, n_merges=40, min_pair_count=1) == want
+    # default min_pair_count stop + max_words cap both honored
+    counts = Counter(w for t in _BPE_CORPUS for w in t.split())
+    top5 = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert bpe.bpe_train_incremental(df, n_merges=10, max_words=5) == _twin_bpe_train(top5, 10)
+    # the driver-side collect is size-gated and fails loudly
+    with _pytest.raises(ValueError, match="max_word_table_rows"):
+        bpe.bpe_train_incremental(df, n_merges=2, max_word_table_rows=3)
+    # deep-merge agreement on the raw count table (exhausts every pair:
+    # runs past the point where all words are single symbols)
+    deep_want = _twin_bpe_train(counts, 10_000, 1)
+    deep_got = bpe._train_incremental_from_counts(sorted(counts.items()), 10_000, 1)
+    assert deep_got == deep_want
+
+
 def test_bpe_encode_matches_twin_and_roundtrips(spark):
     from distributed_computing_platform_mapreduce_spark.operators import bpe
 
@@ -4606,6 +4634,45 @@ def test_pack_bins_bfd_hypothesis_differential(spark):
         assert all(v <= cap for v in fill.values())
 
     run()
+
+
+def test_codebook_unit_rows_normalization(spark, sf_dir):
+    """r11 (ADVICE): a raw (non-unit) caller-pinned codebook must not
+    skew argmax cell assignment — ``_unit_rows`` normalizes on entry,
+    and is a BIT-EXACT no-op for already-unit codebooks (pinned-oracle
+    margins must stay untouched)."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.operators import semdedup as sd
+    from distributed_computing_platform_mapreduce_spark.operators.similarity import _unit_rows
+    from distributed_computing_platform_mapreduce_spark.plans.extensions import (
+        _pinned_cluster_codebook,
+    )
+
+    unit = _pinned_cluster_codebook()
+    out = _unit_rows(unit)
+    assert out is unit or np.array_equal(out, unit)  # exact pass-through
+
+    rng_scale = (np.arange(16, dtype=np.float64) % 7 + 1.0)[:, None]
+    raw = unit * rng_scale  # same directions, wildly different norms
+    renorm = _unit_rows(raw)
+    assert np.allclose(renorm, unit)
+    # zero row survives (guarded divide), non-finite norms don't sneak in
+    raw_zero = raw.copy()
+    raw_zero[3] = 0.0
+    assert np.all(np.isfinite(_unit_rows(raw_zero)))
+
+    # end-to-end: cell assignment with the raw codebook == with unit
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in sd.semdedup_pairs(emb, threshold=0.35, centroids=unit).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in sd.semdedup_pairs(emb, threshold=0.35, centroids=raw).collect()
+    }
+    assert a == b
 
 
 def test_semdedup_pairs_differential(spark, sf_dir):

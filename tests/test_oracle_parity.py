@@ -109,6 +109,50 @@ def test_all_oracle_names_have_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+# Types DuckDB can emit that the driver's pandas/Arrow conversion renders
+# lossily (HUGEINT/UHUGEINT -> float64), hash-mismatching against Spark's
+# bigint even when every value is identical. The r10 `dedup_spans` para
+# leg's untyped sum() went red exactly this way (CORRECTNESS_r10.json) —
+# this lint makes the class unrepresentable in committed oracles.
+_PANDAS_LOSSY_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_output_types_survive_pandas(sf_dir, name):
+    con = _duck(sf_dir)
+    rel = con.sql(ORACLES[name])  # lazy: resolves types without executing
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        for bad in _PANDAS_LOSSY_TYPES:
+            assert bad not in t, (
+                f"{name}.{col} is {t}: DuckDB {bad} arrives as float64 through "
+                f"the driver's pandas path and hash-mismatches Spark's bigint "
+                f"(cast the SQL expression, e.g. CAST(sum(...) AS BIGINT))"
+            )
+
+
+def test_driver_sim_canon_distinguishes_int_from_float():
+    """The committed driver-sim (tools/drive_driver_contract.py) must keep
+    the int-vs-float distinction the external driver's value-hash has —
+    `8 == 8.0` via fetchall() is exactly how the r10 red row passed the
+    old builder gate."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "drive_driver_contract.py")
+    spec = importlib.util.spec_from_file_location("drive_driver_contract", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.canon_cell(8) != mod.canon_cell(8.0)
+    assert mod.canon_cell(8) == mod.canon_cell(8)
+    assert mod.canon_cell(8.5) == mod.canon_cell(8.5)
+    import pandas as pd
+
+    spark_side = pd.DataFrame({"n": pd.array([8, 9], dtype="int64")})
+    oracle_side = pd.DataFrame({"n": pd.array([8.0, 9.0], dtype="float64")})  # HUGEINT via .df()
+    assert mod.canon_frame(spark_side) != mod.canon_frame(oracle_side)
+
+
 def test_rows_only_queries_run(spark, sf_dir):
     """Queries without oracles must still execute and return a stable schema."""
     for name in sorted(set(QUERIES) - set(ORACLES)):

@@ -54,6 +54,11 @@ ARROW_PYTHON_OK = {
     # scan-bandwidth lever being measured); exact/lsh/ivf legs and the
     # fp64 re-rank stay JVM.
     "similarity_topk_suite",
+    # r11: the centroid leg's nearest-centroid scoring is one numpy
+    # GEMM per Arrow batch against the closure-shipped class-centroid
+    # matrix (the IVF-assign shape) — definitionally numpy-over-Arrow;
+    # the single/batched kNN legs stay JVM.
+    "knn_label_propagation",
     # NOT listed: dedup_survivors_suite — the r10 semdedup leg's
     # within-cell pairwise cosine IS a FlatMapGroupsInPandas (row-block
     # GEMM per cell, the verify stage of the cluster-banded shape), but
@@ -166,6 +171,19 @@ def test_whitelists_reference_live_queries(plans):
         assert n in plans and ("MapInPandas" in plans[n] or "FlatMapGroupsInPandas" in plans[n])
     for n in BNLJ_OK:
         assert n in plans and "BroadcastNestedLoopJoin" in plans[n]
+
+
+def test_decontam_leg_broadcasts_eval_grams(plans):
+    """r11: the registered dedup_spans decontam leg runs
+    ``decontaminate_spans(eval_broadcast=True)`` — the eval-gram semi
+    join must plan as a BroadcastHashJoin LeftSemi (the 100 TB lever:
+    without the hint the planner can't estimate the distinct agg and
+    sort-merge-shuffles every training gram)."""
+    plan = plans["dedup_spans"]
+    assert any(
+        "BroadcastHashJoin" in line and "LeftSemi" in line
+        for line in plan.splitlines()
+    ), plan
 
 
 def test_filter_pushdown_reaches_scan(plans):

@@ -615,6 +615,12 @@ def test_topk_sink_recovers_from_first_trigger_crash_debris(spark, tmp_path):
     (out / "_temporary" / "0" / "task_000_partial").write_bytes(b"\x00" * 16)
     (out / ".hidden_committer_file").write_bytes(b"")
     assert not _has_committed_data(spark, str(out))
+    # r11 (ADVICE): a lone _SUCCESS marker with ZERO data files must NOT
+    # count as committed — spark.read.parquet would still fail schema
+    # inference on it, the exact wedge the probe exists to eliminate
+    (out / "_SUCCESS").write_bytes(b"")
+    assert not _has_committed_data(spark, str(out))
+    (out / "_SUCCESS").unlink()
 
     sink = topk_per_window_sink(str(out), k=2)
     schema = "window_start string, event_type string, n_events long"

@@ -541,6 +541,50 @@ def _media_times(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[f
         spread["image_neardup"] = [lo, hi]
     except Exception as exc:  # noqa: BLE001
         errors["image_neardup"] = _error_line(exc)
+
+    # r11: wall-clock for the other two modalities of the shared
+    # hamming block join (the driver row media_neardup_suite checks
+    # them at a pinned 500-doc slice; these run the full sf corpus —
+    # same twin constructions as the suite's video/audio legs).
+    docs_full = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(32)
+    )
+
+    def run_video():
+        vbase = mm.video_from_documents(docs_full, n_frames=8, width=16, height=16)
+        vtwin = mm.video_from_documents(
+            docs_full, n_frames=5, width=16, height=16
+        ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+        pairs = mm.video_neardup_pairs(
+            vbase.unionAll(vtwin), max_hamming=4, blocks=8, min_frame_matches=5
+        )
+        assert pairs.count() >= 0
+
+    try:
+        run_video()  # warm
+        med, lo, hi = _timed_median(run_video)
+        times["video_neardup"] = med
+        spread["video_neardup"] = [lo, hi]
+    except Exception as exc:  # noqa: BLE001
+        errors["video_neardup"] = _error_line(exc)
+
+    def run_audio():
+        abase = mm.audio_from_documents(docs_full, n_samples=8000, synth="melody")
+        atwin = mm.audio_from_documents(
+            docs_full, n_samples=8000, synth="melody", gain=0.5
+        ).withColumn("media_id", F.col("media_id") + F.lit(10_000_000))
+        pairs = mm.audio_neardup_pairs(abase.unionAll(atwin), max_hamming=1, blocks=8)
+        assert pairs.count() >= 0
+
+    try:
+        run_audio()  # warm
+        med, lo, hi = _timed_median(run_audio)
+        times["audio_neardup"] = med
+        spread["audio_neardup"] = [lo, hi]
+    except Exception as exc:  # noqa: BLE001
+        errors["audio_neardup"] = _error_line(exc)
     return times, spread, errors
 
 

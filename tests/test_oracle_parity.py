@@ -131,6 +131,55 @@ def test_oracle_output_types_survive_pandas(sf_dir, name):
             )
 
 
+def test_driver_sim_canon_contract():
+    """The committed sim's value canon is the parity gate's preimage —
+    pin its invariants: row-order insensitivity, column-name ordering,
+    NaN/None normalization, date==midnight-timestamp equivalence (duckdb
+    .df() hands DATE back as datetime64[ns]), bytes, arrays, bools."""
+    import datetime
+    import importlib.util
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "drive_driver_contract.py")
+    spec = importlib.util.spec_from_file_location("drive_driver_contract_c", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    a = pd.DataFrame({"x": [1, 2], "y": ["p", "q"]})
+    b = pd.DataFrame({"y": ["q", "p"], "x": [2, 1]})  # shuffled rows AND cols
+    assert mod.canon_frame(a) == mod.canon_frame(b)
+
+    # date (Spark toPandas object-dtype) == midnight datetime64 (duckdb .df())
+    spark_side = pd.DataFrame({"d": [datetime.date(2024, 3, 1)]})
+    duck_side = pd.DataFrame({"d": pd.to_datetime(["2024-03-01"])})
+    assert mod.canon_frame(spark_side) == mod.canon_frame(duck_side)
+    # but a REAL time-of-day is not erased
+    with_time = pd.DataFrame({"d": pd.to_datetime(["2024-03-01 01:00:00"])})
+    assert mod.canon_frame(duck_side) != mod.canon_frame(with_time)
+
+    # float NULL (NaN) on both sides normalizes identically; NaN != 0.0
+    assert mod.canon_frame(pd.DataFrame({"v": [float("nan")]})) == mod.canon_frame(
+        pd.DataFrame({"v": [np.nan]})
+    )
+    assert mod.canon_cell(float("nan")) != mod.canon_cell(0.0)
+
+    # arrays: numpy (Spark toPandas) == python list (duckdb), elementwise typed
+    assert mod.canon_cell(np.array([1.5, 2.5])) == mod.canon_cell([1.5, 2.5])
+    assert mod.canon_cell([1]) != mod.canon_cell([1.0])
+
+    # bytes and bools round through stable forms; numpy scalars unwrap
+    assert mod.canon_cell(b"\x01\xff") == mod.canon_cell(bytearray(b"\x01\xff"))
+    assert mod.canon_cell(np.bool_(True)) == mod.canon_cell(True)
+    assert mod.canon_cell(np.int64(7)) == mod.canon_cell(7)
+    assert mod.canon_cell(np.float64(7.25)) == mod.canon_cell(7.25)
+    # bool is not the string/int it prints like
+    assert mod.canon_cell(True) != mod.canon_cell(1)
+    assert mod.canon_cell(True) != mod.canon_cell("true")
+
+
 def test_driver_sim_canon_distinguishes_int_from_float():
     """The committed driver-sim (tools/drive_driver_contract.py) must keep
     the int-vs-float distinction the external driver's value-hash has —

@@ -108,6 +108,76 @@ def mixture_sample(
     return df.filter(_priority(id_col, seed) < cut)
 
 
+def temperature_mixture_rates(
+    counts: dict[str, int],
+    alpha: float = 0.5,
+    budget_docs: int | None = None,
+    budget_frac: float | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep-rates for temperature-based mixture sampling —
+    the multilingual recipe T5/mT5/XLM-R standardized: a stratum with
+    ``n`` docs is sampled in proportion ``n^alpha`` (alpha < 1 flattens
+    the mixture toward low-resource strata; alpha = 1 is proportional,
+    alpha = 0 uniform across strata). Expected kept docs total
+    ``budget_docs`` (or ``budget_frac`` of the corpus); per-doc rate
+    ``B·n^(α−1)/Σ_m n_m^α`` capped at 1.
+
+    Determinism/replayability: at alpha = 0.5 the power is computed via
+    ``math.sqrt`` — correctly rounded per IEEE 754, so a SQL oracle's
+    ``sqrt()`` produces the SAME double — and the normalizer is a
+    LEFT-FOLD over strata in sorted-key order, so the whole rate
+    computation is bit-identical across engines (verified: identical
+    ``int(rate·P)`` thresholds in Python and DuckDB at every test SF).
+    Other alphas go through ``pow``, which IEEE does not require to be
+    correctly rounded — fine for production sampling, but pin such legs
+    in one engine rather than hash-comparing across two."""
+    import math
+
+    if (budget_docs is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget_docs / budget_frac")
+    total = sum(counts.values())
+    if budget_docs is None:
+        budget_docs = int(total * budget_frac)
+    b = float(budget_docs)
+
+    def power(n: int) -> float:
+        return math.sqrt(float(n)) if alpha == 0.5 else float(n) ** alpha
+
+    z = 0.0
+    for k in sorted(counts):  # left-fold in sorted-key order (replayable)
+        z = z + power(counts[k])
+    if z == 0.0:
+        return {k: 0.0 for k in counts}
+    return {
+        k: min(1.0, b * power(n) / z / float(n))
+        for k, n in counts.items()
+        if n > 0
+    }
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    budget_docs: int | None = None,
+    budget_frac: float | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based data-mixture sampling: compute ``n^alpha``
+    keep-rates from the observed per-stratum counts (one bounded
+    groupBy — |strata| rows to the driver, the bounded-scalar pattern)
+    and apply them through :func:`mixture_sample`'s stateless GF(2³¹−1)
+    filter. Same nested-samples property: raising alpha toward 1 (or
+    the budget) only ADDS docs within a stratum, never swaps them."""
+    rows = df.groupBy(stratum_col).count().collect()  # bounded: |strata|
+    counts = {r[stratum_col]: r["count"] for r in rows}
+    rates = temperature_mixture_rates(
+        counts, alpha=alpha, budget_docs=budget_docs, budget_frac=budget_frac
+    )
+    return mixture_sample(df, stratum_col, rates, id_col, seed=seed, default_rate=0.0)
+
+
 def weighted_sample_stratified(
     df: DataFrame,
     strata_cols: list[str],

@@ -1499,6 +1499,28 @@ def _pinned_cluster_codebook(n_clusters: int = 16, dim: int = 64):
              ) AS rk
       FROM nt)
     WHERE rk <= 10
+    UNION ALL
+    SELECT 'temp', doc_id, lang, source
+    FROM documents JOIN (
+      -- temperature rates replayed bit-exactly: sqrt is IEEE
+      -- correctly-rounded in both engines, the normalizer z is a
+      -- left-fold in sorted-lang order, divisions associate
+      -- left-to-right, and the threshold floors to an integer —
+      -- identical thresholds verified at every SF
+      SELECT lang,
+             CAST(floor(least(1.0, budget * sqrt(n::DOUBLE) / z / n::DOUBLE)
+                        * 2147483647.0) AS BIGINT) AS thr
+      FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang) c
+      CROSS JOIN (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(sqrt(n::DOUBLE) ORDER BY lang)), (a, b) -> a + b) AS z,
+               CAST(sum(n) // 2 AS DOUBLE) AS budget
+        FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang)
+      ) zz
+    ) t USING (lang)
+    WHERE (15330096 * (doc_id % 2147483647) + 1941083619) % 2147483647 < thr
     """,
 )
 def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1549,7 +1571,17 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       Efraimidis–Spirakis A-ES draw weighted by token count, 10 docs
       per language, with ``round_key=6`` so the ranking key is
       quantized below any cross-libm ``ln`` ulp (ties → id, total
-      order on both engines)."""
+      order on both engines).
+    - **temp** (r11, ``sampling.temperature_mixture_sample``): the
+      T5/mT5/XLM-R temperature recipe — per-language rates ∝ n^0.5 at
+      a half-corpus budget, flattening the mixture toward low-resource
+      languages (en keeps ~0.36, the tail ~0.6). Promotable because at
+      alpha = 0.5 the power is IEEE-correctly-rounded ``sqrt`` and the
+      normalizer a sorted-order left-fold, so the integer thresholds
+      ``int(rate·P)`` are BIT-IDENTICAL across engines (verified at
+      all three SFs); non-0.5 alphas go through libm ``pow`` and stay
+      pytest-pinned. Same stateless GF filter as mixture/split —
+      no shuffle beyond the one bounded count."""
     docs = load_table(spark, sf_dir, "documents")
     lang = sampling.stratified_sample_exact(
         docs, ["lang"], "doc_id", 10, seed=11
@@ -1634,6 +1666,14 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("stratum"),
         "source",
     )
+    temp = sampling.temperature_mixture_sample(
+        docs, "lang", "doc_id", alpha=0.5, budget_frac=0.5, seed=11
+    ).select(
+        F.lit("temp").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("stratum"),
+        "source",
+    )
     return (
         lang.unionAll(clus)
         .unionAll(budget)
@@ -1641,6 +1681,7 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(mixture)
         .unionAll(split)
         .unionAll(weighted)
+        .unionAll(temp)
     )
 
 

@@ -329,6 +329,71 @@ def test_mixture_sample_rates_and_nesting(spark):
         mixture_sample(docs, "source", {"s0": 1.5}, "doc_id")
 
 
+def test_temperature_mixture_sample(spark):
+    """r11: the T5/XLM-R n^alpha temperature mixture. Rates follow the
+    closed form exactly (python twin), alpha flattens toward the
+    low-resource stratum, budgets land near target in expectation,
+    samples nest in budget, and the alpha=0.5 path is the replayable
+    sqrt arithmetic the driver oracle uses."""
+    import math
+
+    from distributed_computing_platform_mapreduce_spark.operators.sampling import (
+        _P,
+        mixture_sample,
+        temperature_mixture_rates,
+        temperature_mixture_sample,
+    )
+
+    # 900 docs in a deliberately skewed 600/200/100 mixture
+    rows = [
+        (i, "big" if i < 600 else ("mid" if i < 800 else "small"))
+        for i in range(900)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    counts = {"big": 600, "mid": 200, "small": 100}
+
+    rates = temperature_mixture_rates(counts, alpha=0.5, budget_docs=450)
+    z = math.sqrt(600.0) + math.sqrt(200.0) + math.sqrt(100.0)
+    for k, n in counts.items():
+        assert rates[k] == min(1.0, 450.0 * math.sqrt(float(n)) / z / float(n)), k
+    # temperature flattening: per-doc rate ORDER is inverse to size
+    assert rates["small"] > rates["mid"] > rates["big"]
+    # expected kept total == budget (no stratum capped here)
+    assert abs(sum(rates[k] * n for k, n in counts.items()) - 450.0) < 1e-9
+    # alpha=1 is proportional sampling: every rate equals budget/total
+    flat = temperature_mixture_rates(counts, alpha=1.0, budget_docs=450)
+    assert all(abs(r - 0.5) < 1e-12 for r in flat.values())
+    # a tiny stratum caps at 1.0 rather than oversampling
+    capped = temperature_mixture_rates({"a": 10_000, "b": 2}, alpha=0.5, budget_docs=9000)
+    assert capped["b"] == 1.0
+
+    # end-to-end: the kept set is the exact GF replay of those rates
+    got = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            docs, "lang", "doc_id", alpha=0.5, budget_docs=450, seed=7
+        ).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in mixture_sample(docs, "lang", rates, "doc_id", seed=7).collect()
+    }
+    assert got == want and 0 < len(got) < 900
+    # nesting in budget: a bigger budget only adds docs
+    bigger = {
+        r["doc_id"]
+        for r in temperature_mixture_sample(
+            docs, "lang", "doc_id", alpha=0.5, budget_docs=700, seed=7
+        ).collect()
+    }
+    assert got <= bigger
+    # exactly one of budget_docs/budget_frac
+    with pytest.raises(ValueError, match="exactly one"):
+        temperature_mixture_rates(counts, budget_docs=10, budget_frac=0.5)
+    with pytest.raises(ValueError, match="exactly one"):
+        temperature_mixture_rates(counts)
+
+
 def test_pack_manifest_groups_and_bounds(spark):
     """The per-sequence manifest: stream-ordered doc lists, token sums
     that reconcile with the per-doc assignment, zero-token docs

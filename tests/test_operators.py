@@ -4004,6 +4004,50 @@ def test_minhash_lsh_mega_bucket_guard(spark):
     assert not any(a < 100 and b < 100 for a, b in got)
 
 
+def test_bloom_filter_table_probe_and_merge(spark):
+    """r11 Bloom membership sketch: no false negatives EVER (every
+    built key is admitted), measured-zero false positives at the
+    default operating point, increment merges equal the one-shot
+    filter word-for-word, a mismatched probe m_bits fails loudly,
+    and bad parameters raise."""
+    from distributed_computing_platform_mapreduce_spark.operators import sketches as sk
+
+    keys = spark.range(1500).selectExpr("id * 13 AS k")
+    key_set = {i * 13 for i in range(1500)}
+    bloom = sk.bloom_filter_table(keys, "k", m_bits=1 << 18, k=7)
+    probe = spark.range(30_000).selectExpr("id AS k")
+    got = {r["k"] for r in sk.bloom_probe(probe, "k", bloom, m_bits=1 << 18, k=7).collect()}
+    want = key_set & set(range(30_000))
+    assert want <= got, "bloom false negative — structurally impossible, a bug"
+    assert got == want, f"{len(got - want)} false positives at the sized operating point"
+
+    # mergeable-artifact contract: per-increment filters bit_or to the
+    # one-shot filter exactly
+    b1 = sk.bloom_filter_table(keys.filter("k % 3 = 0"), "k", m_bits=1 << 18, k=7)
+    b2 = sk.bloom_filter_table(keys.filter("k % 3 <> 0"), "k", m_bits=1 << 18, k=7)
+    merged = {(r["word_idx"], r["bits"]) for r in sk.bloom_merge_tables([b1, b2]).collect()}
+    whole = {(r["word_idx"], r["bits"]) for r in bloom.collect()}
+    assert merged == whole
+
+    # a probe whose m_bits disagrees with the build must fail loudly,
+    # not silently admit garbage
+    with pytest.raises(ValueError, match="m_bits"):
+        sk.bloom_probe(probe, "k", bloom, m_bits=1 << 10, k=7)
+    with pytest.raises(ValueError, match="m_bits"):
+        sk.bloom_filter_table(keys, "k", m_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError, match="k must"):
+        sk.bloom_filter_table(keys, "k", k=0)
+    with pytest.raises(ValueError, match="at least one"):
+        sk.bloom_merge_tables([])
+
+    # string keys hash fine too (xxhash64 takes any atomic type)
+    skeys = spark.createDataFrame([("alpha",), ("beta",)], ["s"])
+    sbloom = sk.bloom_filter_table(skeys, "s", m_bits=1 << 12, k=5)
+    sprobe = spark.createDataFrame([("alpha",), ("beta",), ("gamma",), ("delta",)], ["s"])
+    sgot = {r["s"] for r in sk.bloom_probe(sprobe, "s", sbloom, m_bits=1 << 12, k=5).collect()}
+    assert sgot == {"alpha", "beta"}
+
+
 def test_hll_sketch_tables_incremental_distinct(spark, sf_dir):
     """Mergeable HLL sketch tables: per-group estimates within the
     documented error band vs exact distinct counts; two increments

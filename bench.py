@@ -404,6 +404,126 @@ def _skew_times(spark) -> tuple[dict[str, float], dict[str, list[float]], dict[s
     return times, spread, errors
 
 
+def _ensure_skew_corpus_1gb(spark) -> str:
+    """1 GB-class hot-key edge corpus (r12, VERDICT #5): 40M rows
+    (~0.92 GB of raw edge text), one hot destination owning 25% of all
+    rows (10M values — ≫ the 1/32 per-core share where single-task
+    funneling starts to dominate), 8 warm keys at 3% each, the rest
+    uniform over 200k cold keys (~100 values each). The reference's
+    corpus generator draws words from a folded Gaussian over a 100-word
+    vocab (``test-files/generate-wc.py:119-123``) — a few keys own most
+    of the mass; this is that shape at rwlg-collect scale.
+    Deterministic: keys derive from xxhash64 of the row id, no RNG."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(BENCH_CORPUS_DIR, "edges_skew_1gb.parquet")
+    if not os.path.exists(path):
+        n_rows, n_cold_keys = 40_000_000, 200_000
+        u = F.pmod(F.xxhash64(F.col("id")), F.lit(1000))
+        (
+            spark.range(n_rows)
+            .select(
+                F.when(u < 250, F.lit("hot"))
+                .when(u < 490, F.format_string("warm%d", F.pmod(F.xxhash64(F.col("id") + 3), F.lit(8))))
+                .otherwise(
+                    F.format_string(
+                        "k%06d", F.pmod(F.xxhash64(F.col("id") + 7), F.lit(n_cold_keys))
+                    )
+                )
+                .alias("dst"),
+                F.format_string("src-%012d", F.col("id")).alias("src"),
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def _skew_times_1gb(spark) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+    """The three rwlg collect policies on the 1 GB hot-key corpus
+    (r12, VERDICT #5): naive collect-per-key, two-phase salted collect,
+    and the capped WindowGroupLimit layout (the engine's default rwlg
+    policy). naive and salted are output-identical (checked once per
+    record via count + order-insensitive row hash — exceptAll at this
+    scale would shuffle 160 MB single-cell strings); capped truncates
+    the hot key to 1000 sources BY POLICY, so it gets no equality check,
+    only the documented bounded-fan-in timing. Runs LAST in the sweep:
+    the 10M-value single-task collect is the one point with real heap
+    risk, and an OOM here must not zero the rest of the record."""
+    from pyspark.sql import functions as F
+
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        capped_collect_sorted,
+        salted_collect_sorted,
+    )
+
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    try:
+        path = _ensure_skew_corpus_1gb(spark)
+    except Exception as exc:  # noqa: BLE001
+        return times, spread, {"corpus_skew_1gb": _error_line(exc)}
+
+    def _materialize(df):
+        n = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(F.struct("dst", "sources"))).alias("h"),
+        ).collect()[0]
+        return int(n["n"]), int(n["h"] if n["h"] is not None else 0)
+
+    def run_naive():
+        edges = spark.read.parquet(path)
+        return _materialize(
+            edges.groupBy("dst").agg(
+                F.concat_ws(",", F.array_sort(F.collect_list("src"))).alias("sources")
+            )
+        )
+
+    def run_salted():
+        edges = spark.read.parquet(path)
+        return _materialize(
+            salted_collect_sorted(edges, "dst", "src", n_salts=16, out_col="sources")
+        )
+
+    def run_capped():
+        edges = spark.read.parquet(path)
+        return _materialize(
+            capped_collect_sorted(edges, "dst", "src", max_values=1000, out_col="sources")
+        )
+
+    checked = False
+    for key, fn in (
+        ("rwlg_skew_capped_1gb", run_capped),  # cheapest first: fail soft
+        ("rwlg_skew_salted_1gb", run_salted),
+        ("rwlg_skew_naive_1gb", run_naive),
+    ):
+        try:
+            first = fn()  # warm plan shape (and capture the row hash)
+            samples = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                got = fn()
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[key] = _error_line(exc)
+            continue
+        times[key] = round(statistics.median(samples), 3)
+        spread[key] = [round(min(samples), 3), round(max(samples), 3)]
+        if key == "rwlg_skew_salted_1gb":
+            salted_sig = got
+        elif key == "rwlg_skew_naive_1gb" and "rwlg_skew_salted_1gb" in times:
+            checked = True
+            if got != salted_sig:
+                errors["skew_1gb_equivalence"] = (
+                    f"salted vs naive signatures differ: {salted_sig} vs {got}"
+                )
+    if not checked and "rwlg_skew_naive_1gb" in times:
+        errors["skew_1gb_equivalence"] = "salted leg missing; equality unchecked"
+    return times, spread, errors
+
+
 def _measure_canary(spark) -> dict[str, float]:
     """Fixed-work load canary: a pinned numpy GEMM (pure CPU, no Spark)
     and a pinned trivial Spark action (range-sum, no data dependence).
@@ -924,6 +1044,34 @@ def _r10_crop_times(
             round(max(samples), 3),
         ]
 
+        # r12 A/B (VERDICT #4): same increment with the history bucket
+        # table Bloom-prefiltered at its scan (built over the new side's
+        # (band,bucket) keys; output pinned identical in pytest). On the
+        # unique corpus nearly no buckets collide, so the prefilter
+        # should drop ~all history rows before the candidate shuffle.
+        def incr_1gb_bloom():
+            _survivors, updated = dedup.incremental_dedup(
+                new_big, hist_big, bloom_prefilter_m_bits=1 << 26
+            )
+            assert (
+                updated.agg(
+                    F.sum(F.element_at("signature", 1) + F.col("sz"))
+                ).collect()[0][0]
+                is not None
+            )
+
+        incr_1gb_bloom()  # warm
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            incr_1gb_bloom()
+            samples.append(time.perf_counter() - t0)
+        times["incremental_increment_1gb_bloom"] = round(statistics.median(samples), 3)
+        spread["incremental_increment_1gb_bloom"] = [
+            round(min(samples), 3),
+            round(max(samples), 3),
+        ]
+
         # r11: the PRODUCTION-vocab BPE point the r10 verdict asked for.
         # The sf corpora can't carry it (31 distinct words — pair space
         # exhausts at 107 merges), but the unique corpus has a ~30k-word
@@ -1130,6 +1278,17 @@ def _run_sweep(
         errors.update(c_errors)
     except Exception as exc:  # noqa: BLE001
         errors["r10_crop"] = _error_line(exc)
+
+    # r12: 1 GB skew stress LAST — the 10M-value single-task collect is
+    # the one point with real heap risk; an OOM here must not zero the
+    # rest of the record.
+    try:
+        s_times, s_spread, s_errors = _skew_times_1gb(spark)
+        times.update(s_times)
+        spread.update(s_spread)
+        errors.update(s_errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["skew_1gb"] = _error_line(exc)
 
     return times, spread, errors
 

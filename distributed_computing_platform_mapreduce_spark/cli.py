@@ -59,7 +59,29 @@ def _usage(cmd: str) -> str:
         "store": "store",
         "maple": "maple <maple_exe> <num_maples> <prefix> <src_directory>",
         "juice": "juice <juice_exe> <num_juices> <prefix> <dest> [delete_input={0,1}]",
+        "upload-data": "upload-data [local_input_dir]",
+        "demo-wc": "demo-wc [local_input_dir]",
     }[cmd]
+
+
+# The reference's demo fixtures are its wc-maple.py / wc-juice.py
+# applications (uploaded as maple.exe / juice.exe by `demo-wc`,
+# src/MapReduceMaster.java:866-883). Same contract re-expressed: lines
+# arrive as argv (10-line batches), key,value pairs leave on stdout;
+# juice gets the key as argv[1] and the values on stdin.
+_DEMO_MAPLE_EXE = (
+    "#!/usr/bin/env python3\n"
+    "import sys\n"
+    "for line in sys.argv[1:]:\n"
+    "    for w in line.split():\n"
+    "        print(f'{w},1')\n"
+)
+_DEMO_JUICE_EXE = (
+    "#!/usr/bin/env python3\n"
+    "import sys\n"
+    "vals = [int(v) for v in sys.stdin.read().split()]\n"
+    "print(f'{sys.argv[1]},{sum(vals)}')\n"
+)
 
 
 class Workspace:
@@ -184,6 +206,48 @@ class Workspace:
         return "Juice job is finished."
 
 
+    # --- demo commands (src/MapReduceMaster.java:866-889) --------------------
+
+    def upload_data(self, local_input_dir: str | None = None) -> str:
+        """``upload-data``: stage maple.exe/juice.exe and nine input
+        files under ``mjwc/`` — the reference's demo staging step
+        (``src/MapReduceMaster.java:878-889``), which hardcodes its
+        fixture paths; here the exes are the built-in word-count pair
+        and the inputs come from ``local_input_dir`` (first nine files,
+        sorted) or are synthesized deterministically."""
+        for name, body in (("maple.exe", _DEMO_MAPLE_EXE), ("juice.exe", _DEMO_JUICE_EXE)):
+            dest = self._p(name)
+            with open(dest, "w") as f:
+                f.write(body)
+        if local_input_dir is not None:
+            files = sorted(
+                f for f in glob(os.path.join(local_input_dir, "*")) if os.path.isfile(f)
+            )[:9]
+            if not files:
+                raise CommandError(f"no input files under {local_input_dir}")
+            for i, f in enumerate(files, start=1):
+                self.put(f, f"mjwc/input{i}")
+        else:
+            for i in range(1, 10):
+                dest = self._p(f"mjwc/input{i}")
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                with open(dest, "w") as f:
+                    for ln in range(40):
+                        f.write(" ".join(f"w{(i * 31 + ln * 7 + j) % 23}" for j in range(8)) + "\n")
+        return "Input files are uploaded to mjwc directory in the SDFS."
+
+    def demo_wc(self, local_input_dir: str | None = None) -> str:
+        """``demo-wc``: the reference's one-command demo — stage the
+        exes + data, run maple then juice, leaving ``output.txt`` in
+        the workspace (``src/MapReduceMaster.java:866-877`` enqueues
+        Job(maple.exe, 9, prefix, mjwc) then Job(juice.exe, 9, prefix,
+        output.txt)). ``get output.txt <local>`` fetches the TSV."""
+        staged = self.upload_data(local_input_dir)
+        m = self.maple("maple.exe", 9, "prefix", "mjwc")
+        j = self.juice("juice.exe", 9, "prefix", "output.txt")
+        return f"{staged}\n{m}\n{j}"
+
+
 def run_command(ws: Workspace, command: str) -> str:
     """Execute one monitor command string; returns the console reply."""
     parts = command.split()
@@ -213,11 +277,16 @@ def run_command(ws: Workspace, command: str) -> str:
                     raise CommandError(_usage("juice"))
                 delete_input = flag.endswith("1")
             return ws.juice(args[0], int(args[1]), args[2], args[3], delete_input)
+        if cmd == "upload-data" and len(args) <= 1:
+            return ws.upload_data(args[0] if args else None)
+        if cmd == "demo-wc" and len(args) <= 1:
+            return ws.demo_wc(args[0] if args else None)
     except (OSError, ValueError) as ex:
         if isinstance(ex, CommandError):
             raise
         raise CommandError(f"{cmd}: {ex}") from ex
-    if cmd in ("put", "get", "get-dir", "delete", "ls", "store", "maple", "juice"):
+    if cmd in ("put", "get", "get-dir", "delete", "ls", "store", "maple", "juice",
+               "upload-data", "demo-wc"):
         raise CommandError(_usage(cmd))
     raise CommandError(f"unknown command: {cmd}")
 

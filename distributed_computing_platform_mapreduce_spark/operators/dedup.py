@@ -1325,6 +1325,7 @@ def incremental_minhash_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    bloom_prefilter_m_bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW increment against itself and against the
     historical index → ``(id_new, id_other, source 'history'|'new',
@@ -1337,9 +1338,33 @@ def incremental_minhash_pairs(
     at k=32, J=0.5 — size num_hashes to the precision the drop policy
     needs). Candidates still come from band-bucket collisions (one
     shuffle keyed by (band, bucket), never all-pairs); the estimator
-    runs on candidate pairs only."""
+    runs on candidate pairs only.
+
+    ``bloom_prefilter_m_bits`` (r12, VERDICT #4): when set, a Bloom
+    filter (``sketches.bloom_filter_table``) is built over the NEW
+    increment's (band, bucket) keys and probed against the HISTORY
+    bucket table at its scan — at 100 TB the history index dwarfs every
+    increment, and without the prefilter all n_history·bands bucket
+    rows shuffle into the candidate join even though almost none
+    collide with the increment. Output is IDENTICAL by construction:
+    the filter has no false negatives (every colliding history row
+    survives), and a false positive only lets a row into the shuffle
+    where the exact (band, bucket) equi-join discards it (pinned in
+    ``test_incremental_bloom_prefilter_output_identical``). Size it at
+    ~10 bits per new-side key (keys ≈ n_new_docs · bands): the default
+    2^26 = an 8 MB task-closure bitmap, FP < 1% up to ~6.7 M keys."""
     nb = _index_band_buckets(new_index, num_hashes, bands)
     hb = _index_band_buckets(history_index, num_hashes, bands)
+    if bloom_prefilter_m_bits is not None:
+        from distributed_computing_platform_mapreduce_spark.operators import sketches
+
+        bb_key = F.xxhash64("band", "bucket")
+        bloom = sketches.bloom_filter_table(
+            nb.select(bb_key.alias("bb_key")), "bb_key", m_bits=bloom_prefilter_m_bits
+        )
+        hb = sketches.bloom_probe(
+            hb.withColumn("__bb_key", bb_key), "__bb_key", bloom
+        ).drop("__bb_key")
 
     sig_n = new_index.select(F.col("id").alias("id_new"), F.col("signature").alias("sig_n"))
     sig_h = history_index.select(
@@ -1402,6 +1427,7 @@ def incremental_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    bloom_prefilter_m_bits: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The production increment loop: ``(survivors, updated_index)``.
 
@@ -1410,12 +1436,16 @@ def incremental_dedup(
     policy of `dedup_exact`/`dedup_survivors`). The updated index =
     history ∪ survivors' signatures, ready to be written back for the
     next increment — historical text is never read, and the index grows
-    only by the deduped increment."""
+    only by the deduped increment. ``bloom_prefilter_m_bits`` prunes
+    the history bucket table at its scan before the candidate shuffle
+    (see :func:`incremental_minhash_pairs`) — output-identical, history
+    side never fully shuffled."""
     new_index = minhash_index(new_df, id_col, text_col, n, num_hashes).localCheckpoint(
         eager=False
     )
     pairs = incremental_minhash_pairs(
-        new_index, history_index, num_hashes, bands, threshold
+        new_index, history_index, num_hashes, bands, threshold,
+        bloom_prefilter_m_bits=bloom_prefilter_m_bits,
     )
     # any history match kills the new doc; a new-new match kills the
     # HIGHER id (pairs are ordered id_new < id_other for source='new',

@@ -43,7 +43,18 @@ def pytest_runtest_call(item):
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("distributed-computing-platform-mapreduce-spark-tests")
+    # local[N, 2]: task retries ON (maxFailures=2), matching a real
+    # cluster's retry-enabled scheduler (default maxFailures=4) rather
+    # than bare local mode's fail-fast 1. Required by the fault-
+    # tolerance drills (tests/test_fault_tolerance.py — the analog of
+    # the reference's message-loss experiment) and harmless elsewhere:
+    # deterministic deliberate-raise tests raise again on the retry and
+    # fail the job with the same error.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    s = get_spark(
+        "distributed-computing-platform-mapreduce-spark-tests",
+        master=f"local[{cpus},2]",
+    )
     yield s
     s.stop()
 

@@ -243,3 +243,42 @@ def test_resolve_exe_shebang_sniff(spark, tmp_path):
     assert ws._resolve_exe(bare) == [_sys.executable, bare]
     dotpy = _write_exe(tmp_path / "script.py", "#!/usr/bin/env python3\nprint('hi')\n")
     assert ws._resolve_exe(dotpy) == [_sys.executable, dotpy]
+
+
+def test_cli_demo_wc_command(spark, tmp_path):
+    """`demo-wc` — the reference's one-command demo
+    (src/MapReduceMaster.java:866-877): stages maple.exe/juice.exe and
+    nine mjwc/ input files, runs both phases, and leaves output.txt in
+    the workspace; `upload-data` stages without running. The fetched
+    TSV must equal a host-side recount of the synthesized inputs."""
+    from collections import Counter
+
+    from distributed_computing_platform_mapreduce_spark.cli import Workspace, run_command
+
+    ws = Workspace(spark, str(tmp_path / "sdfs"))
+    reply = run_command(ws, "demo-wc")
+    assert "Juice job is finished." in reply
+
+    store = run_command(ws, "store")
+    assert "maple.exe" in store and "mjwc/input9" in store and "output.txt" in store
+
+    result = tmp_path / "demo_out.tsv"
+    run_command(ws, f"get output.txt {result}")
+    got = {}
+    for line in result.read_text().splitlines():
+        k, v = line.split("\t")
+        got[k] = int(v)
+
+    want = Counter()
+    for i in range(1, 10):
+        text = (tmp_path / "sdfs" / "mjwc" / f"input{i}").read_text()
+        want.update(text.split())
+    assert got == dict(want)
+    # E10: single sorted file
+    assert list(got) == sorted(got)
+
+    # upload-data alone stages but runs nothing
+    ws2 = Workspace(spark, str(tmp_path / "sdfs2"))
+    assert "uploaded" in run_command(ws2, "upload-data")
+    store2 = run_command(ws2, "store")
+    assert "mjwc/input1" in store2 and "output.txt" not in store2

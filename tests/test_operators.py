@@ -2846,6 +2846,55 @@ def test_incremental_dedup_against_history_index(spark):
     assert s4.count() == 0
 
 
+def test_incremental_bloom_prefilter_output_identical(spark, sf_dir):
+    """r12 (VERDICT #4): composing the Bloom membership sketch as the
+    history-side prefilter in incremental dedup must be OUTPUT-
+    IDENTICAL to the unfiltered path — no false negatives means every
+    colliding history bucket row survives the prefilter, and a false
+    positive only feeds a row into the (band, bucket) equi-join that
+    discards it. Checked on the real sf documents corpus (dup-rich:
+    the halves share near-dups both ways) and at a deliberately
+    UNDERSIZED m_bits where false positives are guaranteed, so
+    equality is exercised under both clean and saturated filters."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = dd.minhash_index(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text"
+    ).localCheckpoint()
+    new = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    def run(m_bits):
+        survivors, updated = dd.incremental_dedup(
+            new, hist, threshold=0.5, bloom_prefilter_m_bits=m_bits
+        )
+        return (
+            sorted(r["doc_id"] for r in survivors.collect()),
+            sorted((r["id"], tuple(r["signature"])) for r in updated.collect()),
+        )
+
+    base_s, base_u = run(None)
+    assert base_s and len(base_s) < new.count()  # the drill actually dedups
+    for m_bits in (1 << 20, 64):  # well-sized, and saturated (FP ≈ 1)
+        got_s, got_u = run(m_bits)
+        assert got_s == base_s, f"survivor drift at m_bits={m_bits}"
+        assert got_u == base_u, f"index drift at m_bits={m_bits}"
+
+    # pairs-level equality too (est_jaccard values ride through)
+    n_idx = dd.minhash_index(new, "doc_id", "text").localCheckpoint()
+    want = sorted(
+        tuple(r)
+        for r in dd.incremental_minhash_pairs(n_idx, hist, threshold=0.5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in dd.incremental_minhash_pairs(
+            n_idx, hist, threshold=0.5, bloom_prefilter_m_bits=1 << 20
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_heavy_hitters_guarantee_and_exact_counts(spark):
     """Misra–Gries + exact recount: every value above the n/(k+1)
     guarantee threshold is present with its EXACT count (equal to a
@@ -4022,23 +4071,53 @@ def test_bloom_filter_table_probe_and_merge(spark):
     assert got == want, f"{len(got - want)} false positives at the sized operating point"
 
     # mergeable-artifact contract: per-increment filters bit_or to the
-    # one-shot filter exactly
+    # one-shot filter exactly (metadata columns ride along)
     b1 = sk.bloom_filter_table(keys.filter("k % 3 = 0"), "k", m_bits=1 << 18, k=7)
     b2 = sk.bloom_filter_table(keys.filter("k % 3 <> 0"), "k", m_bits=1 << 18, k=7)
     merged = {(r["word_idx"], r["bits"]) for r in sk.bloom_merge_tables([b1, b2]).collect()}
     whole = {(r["word_idx"], r["bits"]) for r in bloom.collect()}
     assert merged == whole
 
-    # a probe whose m_bits disagrees with the build must fail loudly,
-    # not silently admit garbage
-    with pytest.raises(ValueError, match="m_bits"):
+    # the artifact is self-describing: probing WITHOUT re-passing the
+    # build parameters reads them from the metadata columns
+    got_meta = {r["k"] for r in sk.bloom_probe(probe, "k", bloom).collect()}
+    assert got_meta == want
+
+    # r12 (ADVICE): ANY parameter mismatch fails loudly in BOTH
+    # directions — including a probe m_bits LARGER than the build's,
+    # which pre-r12 passed the one-directional word_idx range check
+    # silently and produced false negatives
+    with pytest.raises(ValueError, match="mismatch"):
         sk.bloom_probe(probe, "k", bloom, m_bits=1 << 10, k=7)
+    with pytest.raises(ValueError, match="mismatch"):
+        sk.bloom_probe(probe, "k", bloom, m_bits=1 << 20, k=7)  # larger
+    with pytest.raises(ValueError, match="mismatch"):
+        sk.bloom_probe(probe, "k", bloom, k=5)
+    with pytest.raises(ValueError, match="mismatch"):
+        sk.bloom_probe(probe, "k", bloom, seed=99)
+    # ... and merging incompatible filters is refused
+    b_other = sk.bloom_filter_table(keys, "k", m_bits=1 << 16, k=7)
+    with pytest.raises(ValueError, match="mismatch"):
+        sk.bloom_merge_tables([b1, b_other])
     with pytest.raises(ValueError, match="m_bits"):
         sk.bloom_filter_table(keys, "k", m_bits=100)  # not a multiple of 64
     with pytest.raises(ValueError, match="k must"):
         sk.bloom_filter_table(keys, "k", k=0)
     with pytest.raises(ValueError, match="at least one"):
         sk.bloom_merge_tables([])
+
+    # r12 (ADVICE): NULL contract matches SQL semi-join — NULL build
+    # keys set no bits, NULL probe keys are never admitted
+    nkeys = spark.createDataFrame([(13,), (None,)], "k long")
+    nbloom = sk.bloom_filter_table(nkeys, "k", m_bits=1 << 12, k=5)
+    nprobe = spark.createDataFrame([(13,), (None,), (14,)], "k long")
+    ngot = [r["k"] for r in sk.bloom_probe(nprobe, "k", nbloom).collect()]
+    assert ngot == [13]
+    # an all-NULL build → empty artifact → admits nothing
+    allnull = sk.bloom_filter_table(
+        spark.createDataFrame([(None,)], "k long"), "k", m_bits=1 << 12, k=5
+    )
+    assert sk.bloom_probe(nprobe, "k", allnull).count() == 0
 
     # string keys hash fine too (xxhash64 takes any atomic type)
     skeys = spark.createDataFrame([("alpha",), ("beta",)], ["s"])

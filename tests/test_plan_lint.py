@@ -408,3 +408,34 @@ def test_bench_plain_pipelines_match_registry_legs(spark, sf_dir):
         ["id_a", "id_b"],
     )
     assert got == want and len(want) > 0
+
+
+def test_registry_names_pinned():
+    """The 50-query driver registry is the product's public surface: the
+    r12 domain split (plans/ext_*.py) must not add, drop, or rename a
+    single entry, and every entry must keep its full DuckDB oracle.
+    Renames/folds are deliberate acts — update this pin IN THE SAME
+    COMMIT and say why in the message."""
+    from distributed_computing_platform_mapreduce_spark.plans import ORACLES, QUERIES
+
+    pinned = {
+        "wordcount", "rwlg", "mj_group_sum", "mj_last_write_wins",
+        "mj_compat_suite", "filter_project", "join_inner_broadcast",
+        "join_variants_suite", "join_cross", "join_theta_range",
+        "agg_full_suite", "agg_grouping_suite", "set_ops_suite",
+        "approx_ops", "sort_limit_topk", "tpch_q1", "tpch_q3", "tpch_q5",
+        "tpch_q6", "tpch_q10", "subquery_shapes_suite",
+        "temporal_join_suite", "window_ranking_suite",
+        "window_offset_frames_suite", "fn_scalar_suite", "fn_array_suite",
+        "fn_conditional_json_suite", "window_time_suite", "stream_tumbling",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_survivors_suite", "dedup_spans", "similarity_topk_suite",
+        "embedding_neardup", "knn_label_propagation", "text_stats",
+        "curation_recipe", "text_ngram_lm", "ranking_bm25",
+        "text_normalize_url_suite", "validate_suite", "multimodal_features",
+        "media_neardup_suite", "heavy_hitters", "sample_stratified",
+        "sequence_packing", "triangle_count", "pagerank",
+    }
+    assert set(QUERIES) == pinned
+    assert set(ORACLES) >= pinned  # every registered query is full-oracle
+    assert len(QUERIES) == 50

@@ -19,6 +19,7 @@ Default sf_dir is /root/testdata/sf0.01 (the driver's gate SF).
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -53,6 +54,23 @@ def canon_cell(v):
         return "None"
     if isinstance(v, (np.ndarray, list, tuple)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        # Spark MapType arrives via toPandas as a python dict, whose
+        # repr is INSERTION-ordered — canonicalize by sorted key so two
+        # value-identical maps can't hash apart. NOTE: the external
+        # driver's canonicalization of map columns is unknown, so
+        # registered queries must not OUTPUT map-typed columns (the
+        # oracle type lint enforces this); this branch keeps ad-hoc
+        # sim runs honest rather than licensing map outputs.
+        items = sorted(v.items(), key=lambda kv: canon_cell(kv[0]))
+        return "{" + ",".join(f"{canon_cell(a)}:{canon_cell(b)}" for a, b in items) + "}"
+    if isinstance(v, decimal.Decimal):
+        # Spark DecimalType arrives as decimal.Decimal while duckdb
+        # .df() widens to float64 — render through the float rules so a
+        # value-equal pair can't false-fail. Same caveat as dicts: the
+        # external driver's Decimal handling is unverified, so the type
+        # lint keeps decimal outputs out of registered queries.
+        return repr(float(v))
     if isinstance(v, np.generic):
         v = v.item()
     if isinstance(v, float):

@@ -18,10 +18,99 @@ from distributed_computing_platform_mapreduce_spark.operators.text import _URL_R
 from distributed_computing_platform_mapreduce_spark.plans.registry import query
 from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
 
+#: Pinned merge list for the driver-checked GPT-2-greedy BPE encode leg
+#: (r12, VERDICT stretch #7). Deterministic and corpus-independent, so
+#: both engines compute a pure function of the text; chosen to fire
+#: multi-level merge chains on English tokens, including glued-symbol
+#: reuse (t+h → th+e → the+</w>) and EOW-suffix merges.
+PINNED_BPE_MERGES = [
+    ("e", "</w>"), ("t", "h"), ("th", "e"), ("s", "</w>"), ("d", "</w>"),
+    ("the", "</w>"), ("i", "n"), ("a", "n"), ("o", "n"), ("e", "r"),
+    ("an", "d"), ("and", "</w>"), ("in", "g"), ("ing", "</w>"), ("o", "f"),
+    ("of", "</w>"), ("t", "o"), ("to", "</w>"), ("e", "n"), ("o", "u"),
+]
+
+
+def _bpe_oracle_ctes() -> str:
+    """DuckDB replay of ``bpe._encode_word``'s GPT-2 greedy loop as a
+    recursive CTE: per word, find the lowest-rank adjacent pair
+    (``list_position`` over the rank-ordered key list), then merge every
+    left-to-right non-overlapping occurrence via ``list_reduce`` over a
+    chr(31)-joined accumulator (replacing the last accumulated token
+    when (last, next) == (left, right) — the same non-overlap semantics
+    as the operator's ``_merge_once`` i+=2 skip, because the glued token
+    can never string-equal ``left``: that would need right = '').
+    Terminal states (no pair present) aggregate to the per-doc token
+    count and the md5 fingerprint of the chr(31)-joined flat token
+    stream — bit-comparable with the Spark leg. ``coalesce`` on the
+    empty-prefix concat: DuckDB's array_to_string([]) is NULL, not ''."""
+    pairs = ",".join(
+        f"({r}, '" + l.replace("'", "''") + "', '" + rt.replace("'", "''") + "')"
+        for r, (l, rt) in enumerate(PINNED_BPE_MERGES, start=1)
+    )
+    return f"""
+    bpem AS (
+      SELECT list(lft || chr(31) || rgt ORDER BY rnk) AS keys
+      FROM (VALUES {pairs}) v(rnk, lft, rgt)
+    ),
+    bpew AS (
+      SELECT doc_id, wpos, list_append([x FOR x IN string_split(word, '')], '</w>') AS syms
+      FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word,
+               generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS wpos
+        FROM documents
+      )
+      WHERE word <> ''
+    ),
+    bpeenc AS (
+      SELECT doc_id, wpos, syms FROM bpew
+      UNION ALL
+      SELECT doc_id, wpos,
+        string_split(
+          list_reduce(
+            syms,
+            (acc, x) -> CASE
+              WHEN string_split(acc, chr(31))[-1] = best_l AND x = best_r
+              THEN coalesce(array_to_string(string_split(acc, chr(31))[1:-2], chr(31)), '')
+                   || CASE WHEN len(string_split(acc, chr(31))) > 1 THEN chr(31) ELSE '' END
+                   || best_l || best_r
+              ELSE acc || chr(31) || x
+            END
+          ), chr(31)) AS syms
+      FROM (
+        SELECT e.doc_id, e.wpos, e.syms,
+          string_split(mk.keys[bi], chr(31))[1] AS best_l,
+          string_split(mk.keys[bi], chr(31))[2] AS best_r
+        FROM (
+          SELECT doc_id, wpos, syms,
+            list_min(list_filter(
+              list_transform(
+                list_zip(syms[1:-2], syms[2:]),
+                p -> list_position(mk2.keys, p[1] || chr(31) || p[2])
+              ), r -> r IS NOT NULL AND r > 0)) AS bi
+          FROM bpeenc, bpem mk2
+        ) e, bpem mk
+        WHERE e.bi IS NOT NULL
+      )
+    ),
+    bpeout AS (
+      SELECT doc_id,
+             CAST(sum(len(syms)) AS BIGINT) AS bpe_greedy_n,
+             md5(string_agg(array_to_string(syms, chr(31)), chr(31) ORDER BY wpos))
+               AS bpe_greedy_fp
+      FROM bpeenc, bpem mkf
+      WHERE len(list_filter(
+              list_transform(list_zip(syms[1:-2], syms[2:]),
+                             p -> list_position(mkf.keys, p[1] || chr(31) || p[2])),
+              r -> r IS NOT NULL AND r > 0)) = 0
+      GROUP BY doc_id
+    )"""
+
+
 @query(
     "text_stats",
     oracle="""
-    WITH t AS (
+    WITH RECURSIVE t AS (
       SELECT doc_id, text,
              list_distinct([lower(x) FOR x IN
                list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')]) AS toks,
@@ -66,7 +155,8 @@ from distributed_computing_platform_mapreduce_spark.sources.catalog import load_
              len(list_intersect(sh8.sh, ev.esh)) AS eval_overlap_8,
              len(list_intersect(sh8.sh, ev.esh)) >= 1 AS contaminated
       FROM sh8, ev
-    )
+    ),
+    {bpe_ctes}
     SELECT s.doc_id,
            length(s.text) AS n_chars_computed,
            len(list_filter(regexp_split_to_array(trim(s.text), '\\s+'), t -> t <> '')) AS n_tokens,
@@ -93,9 +183,10 @@ from distributed_computing_platform_mapreduce_spark.sources.catalog import load_
             AND g.bullet_frac <= 0.9 AND g.ellipsis_frac <= 0.3
             AND g.dup_line_frac <= 0.3 AND g.dup_line_char_frac <= 0.2)
              AS gopher_passes,
-           dec.n_shingles_8, dec.eval_overlap_8, dec.contaminated
-    FROM s JOIN g USING (doc_id) JOIN dec USING (doc_id)
-    """,
+           dec.n_shingles_8, dec.eval_overlap_8, dec.contaminated,
+           bpeout.bpe_greedy_n, bpeout.bpe_greedy_fp
+    FROM s JOIN g USING (doc_id) JOIN dec USING (doc_id) JOIN bpeout USING (doc_id)
+    """.replace("{bpe_ctes}", _bpe_oracle_ctes()),
 )
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + token counting + fingerprinting + language ID
@@ -155,7 +246,24 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_overlap").alias("eval_overlap_8"),
         "contaminated",
     )
-    return base.join(flags, "doc_id").join(dec, "doc_id")
+    # r12 (VERDICT stretch #7): the REAL GPT-2-greedy BPE encode,
+    # driver-checked — `bpe.bpe_encode` under the pinned merge list is a
+    # pure function of the text, and the oracle replays the full greedy
+    # loop as a recursive CTE (see `_bpe_oracle_ctes`). Compared by
+    # per-doc token count + md5 of the chr(31)-joined token stream, so
+    # one token out of place anywhere in the corpus is a red row. (The
+    # regex `n_bpe_tokens` above stays: it is the cheap JVM-side count
+    # heuristic; this leg certifies the actual tokenizer.)
+    from distributed_computing_platform_mapreduce_spark.operators import bpe
+
+    enc = bpe.bpe_encode(docs, PINNED_BPE_MERGES, out_col="bpe_greedy").select(
+        "doc_id",
+        F.col("n_bpe_greedy").cast("long").alias("bpe_greedy_n"),
+        F.md5(F.encode(F.concat_ws("\x1f", "bpe_greedy"), "UTF-8")).alias(
+            "bpe_greedy_fp"
+        ),
+    )
+    return base.join(flags, "doc_id").join(dec, "doc_id").join(enc, "doc_id")
 
 
 @query(

@@ -54,6 +54,11 @@ ARROW_PYTHON_OK = {
     # scan-bandwidth lever being measured); exact/lsh/ivf legs and the
     # fp64 re-rank stay JVM.
     "similarity_topk_suite",
+    # r12: the bpe_greedy leg runs the REAL GPT-2-greedy tokenizer —
+    # a per-word loop whose iteration count depends on the data, with
+    # per-partition word memoization; definitionally Python-over-Arrow
+    # (bpe.bpe_encode). Every other text_stats column stays JVM.
+    "text_stats",
     # r11: the centroid leg's nearest-centroid scoring is one numpy
     # GEMM per Arrow batch against the closure-shipped class-centroid
     # matrix (the IVF-assign shape) — definitionally numpy-over-Arrow;

@@ -1074,9 +1074,23 @@ def _r10_crop_times(
                 )
             return run
 
+        def incr_small_bcast():
+            _survivors, updated = dedup.incremental_dedup(
+                new_small, hist_small, broadcast_prefilter=True
+            )
+            assert (
+                updated.agg(
+                    F.sum(F.element_at("signature", 1) + F.col("sz"))
+                ).collect()[0][0]
+                is not None
+            )
+
         for key, fn in (
             ("incremental_small_increment_1gb", incr_small(None)),
             ("incremental_small_increment_1gb_bloom", incr_small(1 << 25)),
+            # the exact sibling: broadcast semi-join prefilter — the
+            # right lever while the increment's key set broadcasts
+            ("incremental_small_increment_1gb_bcast", incr_small_bcast),
         ):
             fn()  # warm
             samples = []
@@ -1296,7 +1310,18 @@ def _run_sweep(
 
     # r12: 1 GB skew stress LAST — the 10M-value single-task collect is
     # the one point with real heap risk; an OOM here must not zero the
-    # rest of the record.
+    # rest of the record. Before it runs, release every persistent RDD
+    # (the incremental section's eager localCheckpoints pin ~GBs of
+    # storage memory) — rec2 of r12 OOM'd the naive hot task at 8g with
+    # those still cached, while rec1 survived; the drill deserves the
+    # whole heap.
+    try:
+        spark.catalog.clearCache()
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jrdds.values():
+            jrdd.unpersist()
+    except Exception as exc:  # noqa: BLE001
+        errors["pre_skew_unpersist"] = _error_line(exc)
     try:
         s_times, s_spread, s_errors = _skew_times_1gb(spark)
         times.update(s_times)

@@ -1326,6 +1326,7 @@ def incremental_minhash_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     bloom_prefilter_m_bits: int | None = None,
+    broadcast_prefilter: bool = False,
 ) -> DataFrame:
     """Near-dup pairs for a NEW increment against itself and against the
     historical index → ``(id_new, id_other, source 'history'|'new',
@@ -1352,7 +1353,19 @@ def incremental_minhash_pairs(
     where the exact (band, bucket) equi-join discards it (pinned in
     ``test_incremental_bloom_prefilter_output_identical``). Size it at
     ~10 bits per new-side key (keys ≈ n_new_docs · bands): the default
-    2^26 = an 8 MB task-closure bitmap, FP < 1% up to ~6.7 M keys."""
+    2^26 = an 8 MB task-closure bitmap, FP < 1% up to ~6.7 M keys.
+
+    ``broadcast_prefilter`` (r12) is the EXACT sibling: left-semi join
+    the history bucket table against the broadcast distinct new-side
+    keys — zero false positives, plans as a BroadcastHashJoin LeftSemi,
+    all JVM. Prefer it while the increment's distinct (band, bucket)
+    set broadcasts comfortably (~≤50 MB); switch to the Bloom bitmap
+    when the increment outgrows that (the bitmap stays 8 MB at ANY key
+    count). Mutually exclusive with ``bloom_prefilter_m_bits``."""
+    if bloom_prefilter_m_bits is not None and broadcast_prefilter:
+        raise ValueError(
+            "choose ONE history prefilter: bloom_prefilter_m_bits or broadcast_prefilter"
+        )
     nb = _index_band_buckets(new_index, num_hashes, bands)
     hb = _index_band_buckets(history_index, num_hashes, bands)
     if bloom_prefilter_m_bits is not None:
@@ -1365,6 +1378,12 @@ def incremental_minhash_pairs(
         hb = sketches.bloom_probe(
             hb.withColumn("__bb_key", bb_key), "__bb_key", bloom
         ).drop("__bb_key")
+    elif broadcast_prefilter:
+        hb = hb.join(
+            F.broadcast(nb.select("band", "bucket").distinct()),
+            ["band", "bucket"],
+            "left_semi",
+        )
 
     sig_n = new_index.select(F.col("id").alias("id_new"), F.col("signature").alias("sig_n"))
     sig_h = history_index.select(
@@ -1428,6 +1447,7 @@ def incremental_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     bloom_prefilter_m_bits: int | None = None,
+    broadcast_prefilter: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The production increment loop: ``(survivors, updated_index)``.
 
@@ -1446,6 +1466,7 @@ def incremental_dedup(
     pairs = incremental_minhash_pairs(
         new_index, history_index, num_hashes, bands, threshold,
         bloom_prefilter_m_bits=bloom_prefilter_m_bits,
+        broadcast_prefilter=broadcast_prefilter,
     )
     # any history match kills the new doc; a new-new match kills the
     # HIGHER id (pairs are ordered id_new < id_other for source='new',

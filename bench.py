@@ -319,7 +319,7 @@ def _ensure_skew_corpus(spark) -> str:
     from pyspark.sql import functions as F
 
     path = os.path.join(BENCH_CORPUS_DIR, "edges_skew.parquet")
-    if not os.path.exists(path):
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         n_rows, n_cold_keys = 4_000_000, 10_000
         u = F.pmod(F.xxhash64(F.col("id")), F.lit(100))
         (
@@ -417,7 +417,9 @@ def _ensure_skew_corpus_1gb(spark) -> str:
     from pyspark.sql import functions as F
 
     path = os.path.join(BENCH_CORPUS_DIR, "edges_skew_1gb.parquet")
-    if not os.path.exists(path):
+    # _SUCCESS, not the bare dir: a generation killed mid-write leaves a
+    # partial directory that a bare exists() would silently accept
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         n_rows, n_cold_keys = 40_000_000, 200_000
         u = F.pmod(F.xxhash64(F.col("id")), F.lit(1000))
         (

@@ -163,7 +163,7 @@ def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[st
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     docs_path = os.path.join(BENCH_CORPUS_DIR, f"documents_{label}_{sf_tag}.parquet")
     edges_path = os.path.join(BENCH_CORPUS_DIR, f"edges_{label}_{sf_tag}.parquet")
-    if not os.path.exists(docs_path):
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
             "doc_id", "text"
         )
@@ -182,7 +182,7 @@ def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[st
             .write.mode("overwrite")
             .parquet(docs_path)
         )
-    if not os.path.exists(edges_path):
+    if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
         from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
 
         edges = load_table(spark, sf_dir, "events").select("user_id", "event_id")

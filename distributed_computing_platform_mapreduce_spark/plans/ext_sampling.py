@@ -203,6 +203,22 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) zz
     ) t USING (lang)
     WHERE (15330096 * (doc_id % 2147483647) + 1941083619) % 2147483647 < thr
+    UNION ALL
+    -- shard (r12, operators/ordering.py): shard = the SEED-12 draw mod
+    -- 8 (constants a=2116244152 b=1255777454 — seed+1 of the suite's
+    -- seed 11), rank = position within shard ordered by the seed-11
+    -- draw with id tie-break; replays the whole training order
+    SELECT 'shard', doc_id, CAST(shard AS VARCHAR), CAST(rk - 1 AS VARCHAR)
+    FROM (
+      SELECT doc_id,
+             (2116244152 * (doc_id % 2147483647) + 1255777454) % 2147483647 % 8 AS shard,
+             row_number() OVER (
+               PARTITION BY (2116244152 * (doc_id % 2147483647) + 1255777454)
+                            % 2147483647 % 8
+               ORDER BY (15330096 * (doc_id % 2147483647) + 1941083619) % 2147483647,
+                        doc_id
+             ) AS rk
+      FROM documents)
     """,
 )
 def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,6 +372,19 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("stratum"),
         "source",
     )
+    # r12: the deterministic training-order shuffle (ordering.py) —
+    # every doc's (shard, within-shard rank) under seed 11 / 8 shards.
+    # Both are pure GF(2³¹−1) arithmetic + a (sort_key, id)-ordered
+    # rank, so DuckDB replays the ENTIRE training order position by
+    # position; stratum carries the shard, source the rank.
+    from distributed_computing_platform_mapreduce_spark.operators import ordering
+
+    shard = ordering.shuffle_rank(docs, "doc_id", n_shards=8, seed=11).select(
+        F.lit("shard").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("shard").cast("string").alias("stratum"),
+        F.col("rank").cast("string").alias("source"),
+    )
     return (
         lang.unionAll(clus)
         .unionAll(budget)
@@ -364,6 +393,7 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(split)
         .unionAll(weighted)
         .unionAll(temp)
+        .unionAll(shard)
     )
 
 

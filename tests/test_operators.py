@@ -5004,3 +5004,69 @@ def test_semdedup_survivor_policies(spark, sf_dir):
 
     with pytest.raises(ValueError):
         sd.semdedup(emb, policy="nope", centroids=cmat)
+
+
+def test_deterministic_shuffle_order_and_shards(spark, sf_dir, tmp_path):
+    """r12 ordering.py: the training-order shuffle is a pure function of
+    (corpus, seed) — layout-independent ranks, seed-sensitive order,
+    roughly uniform shards — and the corpus-scale write path
+    (hash exchange + local sort, no global sort) materializes EXACTLY
+    the order the rank column describes."""
+    from distributed_computing_platform_mapreduce_spark.operators import ordering
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+
+    ranked = ordering.shuffle_rank(docs, "doc_id", n_shards=8, seed=11)
+    order = sorted((r["shard"], r["rank"], r["doc_id"]) for r in ranked.collect())
+    # a permutation: every doc exactly once, ranks contiguous from 0 per shard
+    assert len(order) == n_docs
+    by_shard = {}
+    for s, rk, _ in order:
+        by_shard.setdefault(s, []).append(rk)
+    assert set(by_shard) <= set(range(8))
+    for s, rks in by_shard.items():
+        assert rks == list(range(len(rks))), f"non-contiguous ranks in shard {s}"
+    # no empty/hot shard at 500+ docs (hash uniformity, not a guarantee
+    # of equality — bound loosely)
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(sizes) == 8 and max(sizes) < 2.5 * min(sizes)
+
+    # layout independence: the same order from any partitioning
+    reparted = ordering.shuffle_rank(
+        docs.repartition(13), "doc_id", n_shards=8, seed=11
+    )
+    assert sorted(
+        (r["shard"], r["rank"], r["doc_id"]) for r in reparted.collect()
+    ) == order
+
+    # seed sensitivity: a different seed is a different permutation
+    other = sorted(
+        (r["shard"], r["rank"], r["doc_id"])
+        for r in ordering.shuffle_rank(docs, "doc_id", n_shards=8, seed=12).collect()
+    )
+    assert other != order
+
+    # the write path materializes the SAME order physically: each shard
+    # directory's file order (sort_key, id) == the rank order
+    path = str(tmp_path / "shards")
+    ordering.write_training_shards(docs, "doc_id", path, n_shards=8, seed=11)
+    back = spark.read.parquet(path)
+    assert back.count() == n_docs
+    import glob as globmod
+
+    rank_order = {}
+    for s, rk, d in order:
+        rank_order.setdefault(s, []).append(d)
+    import pandas as pd_mod
+    for s in range(8):
+        files = sorted(globmod.glob(f"{path}/shard={s}/*.parquet"))
+        assert files, f"missing shard {s}"
+        got_ids = []
+        for f in files:
+            got_ids.extend(pd_mod.read_parquet(f)["doc_id"].tolist())
+        assert got_ids == rank_order[s], f"file order != rank order in shard {s}"
+
+    import pytest as pytest_mod
+    with pytest_mod.raises(ValueError, match="n_shards"):
+        ordering.shuffle_keys(docs, "doc_id", n_shards=0)

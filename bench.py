@@ -991,6 +991,28 @@ def _r10_crop_times(
     except Exception as exc:  # noqa: BLE001
         errors["semdedup"] = _error_line(exc)
 
+    # r12 new operator ships with a bench point (repo rule): the
+    # deterministic training-order shuffle — full (shard, rank)
+    # materialization over the documents corpus (8 shards, seed 11),
+    # hash-materialized like every registered point.
+    try:
+        from distributed_computing_platform_mapreduce_spark.operators import ordering
+
+        def train_order():
+            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            out = ordering.shuffle_rank(docs, "doc_id", n_shards=8, seed=11)
+            n = out.agg(
+                F.bit_xor(F.xxhash64(F.struct("doc_id", "shard", "rank")))
+            ).collect()[0][0]
+            assert n is not None
+
+        train_order()  # warm
+        med, lo, hi = _timed_median(train_order)
+        times["training_order_rank"] = med
+        spread["training_order_rank"] = [lo, hi]
+    except Exception as exc:  # noqa: BLE001
+        errors["training_order_rank"] = _error_line(exc)
+
     # 1 GB slope points — 2 samples (these dominate sweep wall-clock).
     # They run on a UNIQUE synthetic corpus, NOT the wordcount replica
     # corpora: replicas repeat the same text ~700×, so every replica

@@ -95,13 +95,14 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     classic form so both arbitrary-state APIs are exercised; the twin
     test asserts they produce identical results on the same stream.
 
-    STATUS CAVEAT: ``google.protobuf`` (the wire protocol of the API's
-    state server) is absent from the build container and cannot be
-    installed there, so the twin test has never executed in that
-    environment — this function is UNVERIFIED where the rest of the
-    suite is gate-tested. The classic ``applyInPandasWithState`` form
-    needs no extra deps and carries the always-on, verified coverage;
-    prefer it until the twin test has run in your environment.
+    Dependency note: ``google.protobuf`` (the wire protocol of the API's
+    state server) is not pip-installed in the build container; the twin
+    test runs there via ``tests/_pbshim`` (routes ``google.protobuf`` to
+    the protobuf 6.32 runtime already on the image's disk, with a
+    narrowly-scoped gencode-version waiver — see that file). In
+    environments with neither an installed protobuf nor the on-disk
+    runtime, the twin test skips and the classic
+    ``applyInPandasWithState`` form carries the verified coverage.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

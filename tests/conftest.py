@@ -8,6 +8,33 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def _enable_protobuf_shim() -> None:
+    """If ``google.protobuf`` is absent, route it to the on-disk protobuf
+    runtime the Google Cloud SDK ships (see tests/_pbshim/google/__init__.py
+    for the full rationale). Must run at conftest import time: the shim dir
+    has to be on PYTHONPATH *before* the session-scoped SparkSession starts,
+    because transformWithStateInPandas imports protobuf inside the Python
+    WORKER processes, which inherit PYTHONPATH from the JVM's environment —
+    set after session start, workers would never see it."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return  # real install present — never shim
+    except ImportError:
+        pass
+    shim = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_pbshim")
+    if not os.path.isdir(
+        "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+    ):
+        return  # nothing on disk to route to — tests keep their skip
+    sys.path.insert(0, shim)
+    existing = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = shim + (os.pathsep + existing if existing else "")
+
+
+_enable_protobuf_shim()
+
 from distributed_computing_platform_mapreduce_spark import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"

@@ -344,9 +344,9 @@ def _has_protobuf() -> bool:
 
 @pytest.mark.skipif(
     not _has_protobuf(),
-    reason="transformWithState's state-server protocol needs protobuf, "
-    "not baked into this container (operator gated per environment "
-    "rules; runs where pyspark's protobuf extra is installed)",
+    reason="transformWithState's state-server protocol needs protobuf; "
+    "neither an installed google.protobuf nor the on-disk runtime that "
+    "tests/_pbshim routes to is available in this environment",
 )
 def test_transform_with_state_equals_classic_stateful(spark, sf_dir):
     """Spark 4's transformWithStateInPandas twin of the classic

@@ -1319,6 +1319,70 @@ def _index_band_buckets(index: DataFrame, num_hashes: int, bands: int) -> DataFr
     ).select("id", "bb.band", "bb.bucket")
 
 
+# --- history-prefilter policy (r13, executable form of SCALE.md's measured
+# guidance) ---------------------------------------------------------------
+
+# Approximate broadcast cost per distinct (band, bucket) key: two int64
+# columns plus BroadcastHashJoin HashedRelation overhead (key hash, slots,
+# object headers). 48 B/key is deliberately conservative — under-estimating
+# would pick broadcast past the point where the driver/executors pay for it.
+_BCAST_BYTES_PER_KEY = 48
+# Bloom sizing: ~10 bits/key keeps FP < 1% (k=7 Kirsch–Mitzenmacher);
+# clamped so the task-closure bitmap stays between 128 KB and 16 MB — the
+# artifact's whole point is that it never grows with the key count.
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_MIN_M_BITS = 2**20
+_BLOOM_MAX_M_BITS = 2**27
+
+
+def choose_prefilter(
+    new_index: DataFrame,
+    bands: int = 8,
+    network_shuffle: bool | None = None,
+    broadcast_cap_bytes: int = 50 * 1024 * 1024,
+    n_new_docs: int | None = None,
+) -> dict:
+    """Pick the history prefilter for :func:`incremental_minhash_pairs` —
+    the executable form of the regime rule SCALE.md measured (r12):
+
+    - **Shuffle local-cheap → no prefilter.** On local[32]/NVMe the
+      unfiltered history shuffle beat BOTH prefilters even at 10:1
+      history:increment asymmetry (6.41 s vs bcast 6.53 s vs bloom
+      8.55 s) — the probe/semi-join pass costs more than the local
+      shuffle it saves.
+    - **Network-priced shuffle, increment key set broadcasts (≲50 MB)
+      → broadcast semi-join.** Exact, all-JVM, zero false positives.
+    - **Past the broadcast cap → Bloom bitmap**, sized at ~10 bits/key
+      (FP < 1%), clamped to [2^20, 2^27] bits so the closure artifact
+      stays 128 KB–16 MB at ANY key count.
+
+    ``network_shuffle`` defaults to inference from the session master:
+    ``local[...]`` masters are local-cheap, anything else is treated as
+    network-priced. ``n_new_docs`` overrides the increment row count
+    (skips the count job — pass it when the caller already knows).
+    Returns ``{"kind": 'none'|'broadcast'|'bloom', "bloom_m_bits":
+    int|None, "est_keys": int|None}`` — the dict feeds straight into
+    :func:`incremental_minhash_pairs`'s explicit knobs.
+    """
+    if network_shuffle is None:
+        master = new_index.sparkSession.sparkContext.master or ""
+        network_shuffle = not master.startswith("local")
+    if not network_shuffle:
+        return {"kind": "none", "bloom_m_bits": None, "est_keys": None}
+    if n_new_docs is None:
+        n_new_docs = new_index.count()
+    # keys ≈ docs · bands: each doc lands in one bucket per band; distinct
+    # collapses shared buckets, so this over-estimates — the safe direction
+    # (never picks broadcast for a set that turns out bigger).
+    est_keys = max(1, n_new_docs * bands)
+    if est_keys * _BCAST_BYTES_PER_KEY <= broadcast_cap_bytes:
+        return {"kind": "broadcast", "bloom_m_bits": None, "est_keys": est_keys}
+    m_bits = _BLOOM_MIN_M_BITS
+    while m_bits < est_keys * _BLOOM_BITS_PER_KEY and m_bits < _BLOOM_MAX_M_BITS:
+        m_bits *= 2
+    return {"kind": "bloom", "bloom_m_bits": m_bits, "est_keys": est_keys}
+
+
 def incremental_minhash_pairs(
     new_index: DataFrame,
     history_index: DataFrame,
@@ -1327,6 +1391,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.5,
     bloom_prefilter_m_bits: int | None = None,
     broadcast_prefilter: bool = False,
+    prefilter: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs for a NEW increment against itself and against the
     historical index → ``(id_new, id_other, source 'history'|'new',
@@ -1361,11 +1426,35 @@ def incremental_minhash_pairs(
     all JVM. Prefer it while the increment's distinct (band, bucket)
     set broadcasts comfortably (~≤50 MB); switch to the Bloom bitmap
     when the increment outgrows that (the bitmap stays 8 MB at ANY key
-    count). Mutually exclusive with ``bloom_prefilter_m_bits``."""
+    count). Mutually exclusive with ``bloom_prefilter_m_bits``.
+
+    ``prefilter`` (r13) is the DEFAULT policy path: ``'auto'`` resolves
+    via :func:`choose_prefilter` (no prefilter on local-cheap shuffle,
+    broadcast under the ~50 MB key-set cap, Bloom above), so callers
+    who set neither explicit knob get the measured decision rule
+    instead of the unfiltered path unconditionally. ``'none'`` forces
+    unfiltered; ``'broadcast'``/``'bloom'`` force those paths. The two
+    explicit knobs override ``prefilter`` when set (back-compat)."""
     if bloom_prefilter_m_bits is not None and broadcast_prefilter:
         raise ValueError(
             "choose ONE history prefilter: bloom_prefilter_m_bits or broadcast_prefilter"
         )
+    if bloom_prefilter_m_bits is None and not broadcast_prefilter:
+        if prefilter == "auto":
+            policy = choose_prefilter(new_index, bands=bands)
+        elif prefilter in ("none", "broadcast", "bloom"):
+            policy = {
+                "kind": prefilter,
+                "bloom_m_bits": 2**26 if prefilter == "bloom" else None,
+            }
+        else:
+            raise ValueError(
+                f"prefilter must be auto|none|broadcast|bloom, got {prefilter!r}"
+            )
+        if policy["kind"] == "broadcast":
+            broadcast_prefilter = True
+        elif policy["kind"] == "bloom":
+            bloom_prefilter_m_bits = policy["bloom_m_bits"]
     nb = _index_band_buckets(new_index, num_hashes, bands)
     hb = _index_band_buckets(history_index, num_hashes, bands)
     if bloom_prefilter_m_bits is not None:
@@ -1448,6 +1537,7 @@ def incremental_dedup(
     threshold: float = 0.5,
     bloom_prefilter_m_bits: int | None = None,
     broadcast_prefilter: bool = False,
+    prefilter: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """The production increment loop: ``(survivors, updated_index)``.
 
@@ -1467,6 +1557,7 @@ def incremental_dedup(
         new_index, history_index, num_hashes, bands, threshold,
         bloom_prefilter_m_bits=bloom_prefilter_m_bits,
         broadcast_prefilter=broadcast_prefilter,
+        prefilter=prefilter,
     )
     # any history match kills the new doc; a new-new match kills the
     # HIGHER id (pairs are ordered id_new < id_other for source='new',

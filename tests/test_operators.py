@@ -2910,6 +2910,69 @@ def test_incremental_bloom_prefilter_output_identical(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_choose_prefilter_policy_thresholds(spark, sf_dir):
+    """r13 (VERDICT #4): the prefilter decision rule SCALE.md measured is
+    CODE, not prose — `choose_prefilter` picks none on local-cheap
+    shuffle, broadcast while the increment's (band,bucket) key set fits
+    the ~50 MB broadcast cap, and a size-clamped Bloom bitmap above it;
+    and `prefilter='auto'` is the incremental-dedup default path."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = dd.minhash_index(docs.limit(10), "doc_id", "text").localCheckpoint()
+
+    # local master ⇒ shuffle is local-cheap ⇒ no prefilter, and the
+    # decision must not run a count job (n_new_docs stays unneeded)
+    auto = dd.choose_prefilter(idx)
+    assert auto == {"kind": "none", "bloom_m_bits": None, "est_keys": None}
+
+    # network-priced shuffle: the broadcast cap binds at
+    # 50 MB / (48 B/key · 8 bands) ≈ 136k docs — pin both sides of it
+    cap_docs = (50 * 1024 * 1024) // (48 * 8)
+    under = dd.choose_prefilter(idx, network_shuffle=True, n_new_docs=cap_docs)
+    assert under["kind"] == "broadcast" and under["est_keys"] == cap_docs * 8
+    over = dd.choose_prefilter(idx, network_shuffle=True, n_new_docs=cap_docs + 1)
+    assert over["kind"] == "bloom"
+
+    # bloom sizing: ~10 bits/key, power-of-two, clamped to [2^20, 2^27]
+    small = dd.choose_prefilter(idx, network_shuffle=True, n_new_docs=cap_docs + 1)
+    assert small["bloom_m_bits"] >= min(2**27, 10 * (cap_docs + 1) * 8)
+    assert small["bloom_m_bits"] & (small["bloom_m_bits"] - 1) == 0
+    huge = dd.choose_prefilter(idx, network_shuffle=True, n_new_docs=1_000_000_000)
+    assert huge["bloom_m_bits"] == 2**27  # bitmap never outgrows 16 MB
+    tiny = dd.choose_prefilter(
+        idx, network_shuffle=True, n_new_docs=1, broadcast_cap_bytes=0
+    )
+    assert tiny["kind"] == "bloom" and tiny["bloom_m_bits"] == 2**20
+
+    # the auto default is live in the operator: on this local session it
+    # resolves to the unfiltered path and equals it exactly; the forced
+    # string forms ('broadcast'/'bloom') remain output-identical
+    hist = dd.minhash_index(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text"
+    ).localCheckpoint()
+    n_idx = dd.minhash_index(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text"
+    ).localCheckpoint()
+    want = sorted(
+        tuple(r)
+        for r in dd.incremental_minhash_pairs(
+            n_idx, hist, threshold=0.5, prefilter="none"
+        ).collect()
+    )
+    assert want
+    for mode in ("auto", "broadcast", "bloom"):
+        got = sorted(
+            tuple(r)
+            for r in dd.incremental_minhash_pairs(
+                n_idx, hist, threshold=0.5, prefilter=mode
+            ).collect()
+        )
+        assert got == want, f"prefilter={mode} drifted from unfiltered output"
+    with pytest.raises(ValueError, match="auto|none|broadcast|bloom"):
+        dd.incremental_minhash_pairs(n_idx, hist, prefilter="nope").collect()
+
+
 def test_heavy_hitters_guarantee_and_exact_counts(spark):
     """Misra–Gries + exact recount: every value above the n/(k+1)
     guarantee threshold is present with its EXACT count (equal to a

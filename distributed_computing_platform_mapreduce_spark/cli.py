@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 import shutil
 import sys
+import time
 from glob import glob
 
 from pyspark.sql import SparkSession
@@ -89,10 +90,24 @@ _DEMO_JUICE_EXE = (
 class Workspace:
     """One SDFS-equivalent namespace rooted at a local/DFS directory."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        input_fn=None,
+        clock=None,
+    ):
         self.spark = spark
         self.root = os.path.abspath(root)
         os.makedirs(self.root, exist_ok=True)
+        # rapid-re-update guard state (reference parity, r13):
+        # SDFSServer.java:410-434 asks [Yes/No] before committing a put
+        # whose target was already put within the last 60 s. `input_fn`
+        # injects the reply source (tests); `clock` injects time
+        # (monotonic by default — wall-clock jumps must not fake a minute).
+        self._last_put: dict[str, float] = {}
+        self._input_fn = input_fn
+        self._clock = clock or time.monotonic
 
     def _p(self, name: str) -> str:
         path = os.path.abspath(os.path.join(self.root, name))
@@ -102,10 +117,41 @@ class Workspace:
 
     # --- file commands (S1-S8; storage semantics delegated) -----------------
 
+    def _confirm_reupdate(self) -> bool:
+        """The reference's Yes/No loop for a put within 60 s of the last
+        one (``src/SDFSServer.java:410-434``): "No"/"no" cancels,
+        "Yes"/"yes" proceeds, anything else reprompts. Non-interactive
+        sessions (no injected input_fn, stdin not a terminal — scripts,
+        pipes, the one-shot command form) auto-confirm: there is nobody
+        to ask, and hanging a batch job on a prompt would be worse than
+        the reference's interactive-console behavior."""
+        fn = self._input_fn
+        if fn is None:
+            if not sys.stdin.isatty():
+                return True
+            fn = input
+        while True:
+            print(
+                "This file has been updated within 1 minute. "
+                "Are you sure that you want to update again?\n"
+            )
+            print("[Yes/No]:\n")
+            reply = fn()
+            if reply in ("No", "no"):
+                return False
+            if reply in ("Yes", "yes"):
+                return True
+            print("Wrong Command!\n")
+
     def put(self, local: str, name: str) -> str:
         dest = self._p(name)
+        last = self._last_put.get(name)
+        if last is not None and self._clock() - last <= 60.0:
+            if not self._confirm_reupdate():
+                return f"put {name}: cancelled"
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         shutil.copyfile(local, dest)
+        self._last_put[name] = self._clock()
         return f"put {name}"
 
     def get(self, name: str, local: str) -> str:

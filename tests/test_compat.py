@@ -201,6 +201,53 @@ def test_cli_console_session_end_to_end(spark, sf_dir, tmp_path):
         run_command(ws, "put ../escape /etc/hosts")
 
 
+def test_cli_put_reupdate_confirm(spark, tmp_path, capsys):
+    """r13 (reference parity, ``src/SDFSServer.java:410-434``): a put
+    whose target was already put within the last 60 s asks [Yes/No] —
+    "No" cancels and leaves the old content, a wrong reply reprompts,
+    "Yes" commits; past 60 s no prompt; non-interactive sessions (no
+    input_fn, stdin a pipe) auto-confirm rather than hang."""
+    from distributed_computing_platform_mapreduce_spark.cli import Workspace, run_command
+
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("first\n")
+    b.write_text("second\n")
+
+    # scripted console: a fake clock the test advances, replies queued
+    now = [1000.0]
+    replies: list[str] = []
+    ws = Workspace(
+        spark,
+        str(tmp_path / "sdfs"),
+        input_fn=lambda: replies.pop(0),
+        clock=lambda: now[0],
+    )
+    stored = tmp_path / "sdfs" / "f.txt"
+
+    assert run_command(ws, f"put {a} f.txt") == "put f.txt"  # first: no prompt
+    now[0] += 10.0
+    replies[:] = ["No"]
+    assert run_command(ws, f"put {b} f.txt") == "put f.txt: cancelled"
+    assert stored.read_text() == "first\n"  # cancel left the old content
+
+    replies[:] = ["maybe", "yes"]  # wrong reply reprompts, then commits
+    assert run_command(ws, f"put {b} f.txt") == "put f.txt"
+    assert stored.read_text() == "second\n"
+    out = capsys.readouterr().out
+    assert "updated within 1 minute" in out and "Wrong Command!" in out
+
+    now[0] += 61.0  # past the window: no prompt, no replies consumed
+    assert run_command(ws, f"put {a} f.txt") == "put f.txt"
+    assert stored.read_text() == "first\n"
+
+    # non-interactive (pytest's stdin is not a tty): auto-confirm
+    ws2 = Workspace(spark, str(tmp_path / "sdfs2"))
+    run_command(ws2, f"put {a} g.txt")
+    assert run_command(ws2, f"put {b} g.txt") == "put g.txt"
+    assert (tmp_path / "sdfs2" / "g.txt").read_text() == "second\n"
+
+
 def test_maple_udtf_sql_forms_equal_declarative(spark, sf_dir):
     """The SQL-facing Maple (Python UDTF) in both the LATERAL per-row
     form and the TABLE(...) whole-relation form reproduces the

@@ -201,6 +201,43 @@ def _ensure_ref_corpora(spark, sf_dir: str, label: str, nbytes: int) -> tuple[st
     return docs_path, edges_path
 
 
+def wc_plan(spark, docs_path: str):
+    """The reference-scale wordcount plan (module-level so the
+    core-count scalability worker times the IDENTICAL plan — r13)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(docs_path)
+    return (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("word")
+    )
+
+
+def rwlg_uncapped_plan(spark, edges_path: str):
+    """The reference-scale UNCAPPED salted rwlg plan (module-level for
+    the same reason as :func:`wc_plan`). Uncapped deliberately: the
+    BASELINE.md ratio and the scalability curve must compare equal work
+    (the reference's RWLG keeps every source)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.read.parquet(edges_path).select(
+        F.col("user_id").cast("string").alias("dst"),
+        F.col("event_id").cast("string").alias("src"),
+    )
+    salted = edges.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(16)))
+    partial = salted.groupBy("dst", "__salt").agg(
+        F.array_sort(F.collect_list("src")).alias("part")
+    )
+    return partial.groupBy("dst").agg(
+        F.concat_ws(",", F.array_sort(F.flatten(F.collect_list("part")))).alias(
+            "sources"
+        )
+    )
+
+
 def _ref_scale_times(
     spark, sf_dir: str
 ) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
@@ -230,36 +267,16 @@ def _ref_scale_times(
             continue
 
         def run_wc():
-            docs = spark.read.parquet(docs_path)
-            wc = (
-                docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
-                .filter(F.col("word") != "")
-                .groupBy("word")
-                .agg(F.count("*").alias("cnt"))
-                .orderBy("word")
-            )
-            wc.write.format("noop").mode("overwrite").save()
+            wc_plan(spark, docs_path).write.format("noop").mode("overwrite").save()
 
         def run_rwlg():
-            # UNCAPPED salted collect, deliberately: the BASELINE.md
-            # ratio must compare equal work (the reference's RWLG keeps
-            # every source). The registered `rwlg` query's DEFAULT policy
-            # caps at plans.maplejuice.RWLG_MAX_SOURCES since r8 — that
-            # path is what rwlg_1gb_capped times below.
-            edges = spark.read.parquet(edges_path).select(
-                F.col("user_id").cast("string").alias("dst"),
-                F.col("event_id").cast("string").alias("src"),
-            )
-            salted = edges.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(16)))
-            partial = salted.groupBy("dst", "__salt").agg(
-                F.array_sort(F.collect_list("src")).alias("part")
-            )
-            rw = partial.groupBy("dst").agg(
-                F.concat_ws(",", F.array_sort(F.flatten(F.collect_list("part")))).alias(
-                    "sources"
-                )
-            )
-            rw.write.format("noop").mode("overwrite").save()
+            # UNCAPPED salted collect, deliberately (see rwlg_uncapped_plan).
+            # The registered `rwlg` query's DEFAULT policy caps at
+            # plans.maplejuice.RWLG_MAX_SOURCES since r8 — that path is
+            # what rwlg_1gb_capped times below.
+            rwlg_uncapped_plan(spark, edges_path).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
         def run_rwlg_capped():
             # the DEFAULT registered-query policy since r8
@@ -303,6 +320,62 @@ def _ref_scale_times(
                 continue
             times[key] = med
             spread[key] = [lo, hi]
+    return times, spread, errors
+
+
+def _scalability_times(
+    sf_dir: str,
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+    """Core-count strong-scaling sweep (r13): wordcount_200mb,
+    rwlg_200mb (uncapped), and dedup_minhash_lsh@sf, each timed in a
+    FRESH subprocess JVM at local[2/4/8/16/32] with the shuffle
+    decomposition held fixed — the repo analog of the reference's
+    phase-time-vs-worker-count experiment
+    (``plots/plot-wc-scalability.py:7-10``, 2/4/6/8 workers). Points
+    land as ``scal_<q>_c<N>``. Protocol note: each JVM pays its own
+    (untimed) warm run only, so absolute numbers sit above the
+    deep-warmed main-sweep twins (wordcount_200mb etc.); the curve's
+    job is the RELATIVE slope across core counts, which the identical
+    per-JVM protocol isolates. ``SPARK_GRAFT_BENCH_SCAL_CORES`` (csv)
+    overrides the core list; empty skips the sweep."""
+    import subprocess
+
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    cores_csv = os.environ.get("SPARK_GRAFT_BENCH_SCAL_CORES", "2,4,8,16,32")
+    cores_list = [int(c) for c in cores_csv.split(",") if c.strip()]
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_scalability.py"
+    )
+    for cores in cores_list:
+        try:
+            proc = subprocess.run(
+                [sys.executable, tool, "--cores", str(cores), "--sf-dir", sf_dir],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            rec = None
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    rec = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if rec is None:
+                raise RuntimeError(
+                    f"no JSON in worker output (rc={proc.returncode}, "
+                    f"stderr tail: {proc.stderr[-300:]})"
+                )
+        except Exception as exc:  # noqa: BLE001 — isolate per core count
+            errors[f"scal_c{cores}"] = _error_line(exc)
+            continue
+        for q, sec in rec.get("queries", {}).items():
+            times[f"{q}_c{cores}"] = sec
+            spread[f"{q}_c{cores}"] = rec.get("spread", {}).get(q, [sec, sec])
+        for q, msg in rec.get("errors", {}).items():
+            errors[f"{q}_c{cores}"] = msg
     return times, spread, errors
 
 
@@ -1299,6 +1372,17 @@ def _run_sweep(
         errors.update(ref_errors)
     except Exception as exc:  # noqa: BLE001
         errors["ref_scale"] = _error_line(exc)
+
+    # r13: core-count scalability sweep — subprocess JVMs, so it runs
+    # while the main session idles; after _ref_scale_times so the 200 MB
+    # corpora are already materialized.
+    try:
+        sc_times, sc_spread, sc_errors = _scalability_times(sf_dir)
+        times.update(sc_times)
+        spread.update(sc_spread)
+        errors.update(sc_errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["scalability"] = _error_line(exc)
 
     try:
         sk_times, sk_spread, sk_errors = _skew_times(spark)

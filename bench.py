@@ -1373,17 +1373,6 @@ def _run_sweep(
     except Exception as exc:  # noqa: BLE001
         errors["ref_scale"] = _error_line(exc)
 
-    # r13: core-count scalability sweep — subprocess JVMs, so it runs
-    # while the main session idles; after _ref_scale_times so the 200 MB
-    # corpora are already materialized.
-    try:
-        sc_times, sc_spread, sc_errors = _scalability_times(sf_dir)
-        times.update(sc_times)
-        spread.update(sc_spread)
-        errors.update(sc_errors)
-    except Exception as exc:  # noqa: BLE001
-        errors["scalability"] = _error_line(exc)
-
     try:
         sk_times, sk_spread, sk_errors = _skew_times(spark)
         times.update(sk_times)
@@ -1437,6 +1426,21 @@ def _run_sweep(
         errors.update(s_errors)
     except Exception as exc:  # noqa: BLE001
         errors["skew_1gb"] = _error_line(exc)
+
+    # r13: core-count scalability sweep runs LAST — its five subprocess
+    # JVMs (8 g heap each, their own corpus scans) would otherwise evict
+    # the page-cache working set the main JVM's later sections re-read;
+    # the subprocesses themselves don't care about prior machine state
+    # (each cold-starts and re-warms identically by protocol). The
+    # 200 MB corpora are guaranteed materialized by _ref_scale_times
+    # above.
+    try:
+        sc_times, sc_spread, sc_errors = _scalability_times(sf_dir)
+        times.update(sc_times)
+        spread.update(sc_spread)
+        errors.update(sc_errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["scalability"] = _error_line(exc)
 
     return times, spread, errors
 

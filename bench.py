@@ -1405,25 +1405,37 @@ def _run_sweep(
     except Exception as exc:  # noqa: BLE001
         errors["r10_crop"] = _error_line(exc)
 
-    # r12: 1 GB skew stress LAST — the 10M-value single-task collect is
-    # the one point with real heap risk; an OOM here must not zero the
-    # rest of the record. Before it runs, release every persistent RDD
-    # (the incremental section's eager localCheckpoints pin ~GBs of
-    # storage memory) — rec2 of r12 OOM'd the naive hot task at 8g with
-    # those still cached, while rec1 survived; the drill deserves the
-    # whole heap.
+    # r12→r13: 1 GB skew stress in its OWN subprocess JVM. The naive
+    # leg's 10M-value single-task collect is the one point with real
+    # heap risk; r12 ran it last with a pre-section unpersist, and it
+    # STILL OOM'd the whole bench JVM in one r13 record — killing the
+    # post-sweep canary and shipping the record unverifiable. Isolated,
+    # a heap death costs exactly the points it earned (worker errors
+    # ride back in the JSON) and the drill gets a clean dedicated heap.
     try:
-        spark.catalog.clearCache()
-        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in jrdds.values():
-            jrdd.unpersist()
-    except Exception as exc:  # noqa: BLE001
-        errors["pre_skew_unpersist"] = _error_line(exc)
-    try:
-        s_times, s_spread, s_errors = _skew_times_1gb(spark)
-        times.update(s_times)
-        spread.update(s_spread)
-        errors.update(s_errors)
+        import subprocess
+
+        tool = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools", "bench_skew1gb.py"
+        )
+        proc = subprocess.run(
+            [sys.executable, tool], capture_output=True, text=True, timeout=1800
+        )
+        rec = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if rec is None:
+            raise RuntimeError(
+                f"no JSON from skew1gb worker (rc={proc.returncode}, "
+                f"stderr tail: {proc.stderr[-300:]})"
+            )
+        times.update(rec.get("times", {}))
+        spread.update(rec.get("spread", {}))
+        errors.update(rec.get("errors", {}))
     except Exception as exc:  # noqa: BLE001
         errors["skew_1gb"] = _error_line(exc)
 

@@ -136,7 +136,12 @@ class Workspace:
                 "Are you sure that you want to update again?\n"
             )
             print("[Yes/No]:\n")
-            reply = fn()
+            try:
+                reply = fn()
+            except EOFError:
+                # interactive EOF (ctrl-D) = nobody will ever answer:
+                # cancel, exactly like an explicit "No" (r13 ADVICE)
+                return False
             if reply in ("No", "no"):
                 return False
             if reply in ("Yes", "yes"):
@@ -181,6 +186,11 @@ class Workspace:
             shutil.rmtree(p)
         else:
             os.remove(p)
+        # the file is gone, so its put timestamp is too: put→delete→put
+        # within 60 s must NOT prompt about "updating" a file that no
+        # longer exists (r13 ADVICE; the reference's metadata dies with
+        # the file)
+        self._last_put.pop(name, None)
         return f"delete {name}"
 
     def ls(self, name: str) -> str:

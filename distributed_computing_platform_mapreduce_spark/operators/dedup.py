@@ -1335,6 +1335,17 @@ _BLOOM_MIN_M_BITS = 2**20
 _BLOOM_MAX_M_BITS = 2**27
 
 
+def _bloom_m_bits_for(est_keys: int) -> int:
+    """The ONE Bloom sizing rule (~10 bits/key, clamped to [2^20, 2^27])
+    — shared by the ``'auto'`` policy and the forced ``'bloom'`` path so
+    a forced caller gets the same 128 KB–16 MB artifact the policy would
+    size, not a hardcoded constant (r13 VERDICT #4)."""
+    m_bits = _BLOOM_MIN_M_BITS
+    while m_bits < est_keys * _BLOOM_BITS_PER_KEY and m_bits < _BLOOM_MAX_M_BITS:
+        m_bits *= 2
+    return m_bits
+
+
 def choose_prefilter(
     new_index: DataFrame,
     bands: int = 8,
@@ -1377,10 +1388,7 @@ def choose_prefilter(
     est_keys = max(1, n_new_docs * bands)
     if est_keys * _BCAST_BYTES_PER_KEY <= broadcast_cap_bytes:
         return {"kind": "broadcast", "bloom_m_bits": None, "est_keys": est_keys}
-    m_bits = _BLOOM_MIN_M_BITS
-    while m_bits < est_keys * _BLOOM_BITS_PER_KEY and m_bits < _BLOOM_MAX_M_BITS:
-        m_bits *= 2
-    return {"kind": "bloom", "bloom_m_bits": m_bits, "est_keys": est_keys}
+    return {"kind": "bloom", "bloom_m_bits": _bloom_m_bits_for(est_keys), "est_keys": est_keys}
 
 
 def incremental_minhash_pairs(
@@ -1392,6 +1400,8 @@ def incremental_minhash_pairs(
     bloom_prefilter_m_bits: int | None = None,
     broadcast_prefilter: bool = False,
     prefilter: str = "auto",
+    n_new_docs: int | None = None,
+    network_shuffle: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW increment against itself and against the
     historical index → ``(id_new, id_other, source 'history'|'new',
@@ -1433,19 +1443,39 @@ def incremental_minhash_pairs(
     broadcast under the ~50 MB key-set cap, Bloom above), so callers
     who set neither explicit knob get the measured decision rule
     instead of the unfiltered path unconditionally. ``'none'`` forces
-    unfiltered; ``'broadcast'``/``'bloom'`` force those paths. The two
-    explicit knobs override ``prefilter`` when set (back-compat)."""
+    unfiltered; ``'broadcast'``/``'bloom'`` force those paths — a
+    forced ``'bloom'`` is sized by the SAME ~10-bits/key clamped rule
+    the policy uses (r14; no hardcoded bitmap). The two explicit knobs
+    override ``prefilter`` when set (back-compat).
+
+    Cost note (r13 ADVICE): on a network-priced master, ``'auto'`` (and
+    forced ``'bloom'``) must size against the increment's row count —
+    ONE extra ``count()`` job per call unless the caller passes
+    ``n_new_docs`` (do so when the increment size is already known —
+    e.g. from the ingest batch that produced it). ``network_shuffle``
+    overrides the master-type inference the same way it does on
+    :func:`choose_prefilter` (local masters short-circuit to 'none',
+    which also skips the count)."""
     if bloom_prefilter_m_bits is not None and broadcast_prefilter:
         raise ValueError(
             "choose ONE history prefilter: bloom_prefilter_m_bits or broadcast_prefilter"
         )
     if bloom_prefilter_m_bits is None and not broadcast_prefilter:
         if prefilter == "auto":
-            policy = choose_prefilter(new_index, bands=bands)
-        elif prefilter in ("none", "broadcast", "bloom"):
+            policy = choose_prefilter(
+                new_index,
+                bands=bands,
+                network_shuffle=network_shuffle,
+                n_new_docs=n_new_docs,
+            )
+        elif prefilter in ("none", "broadcast"):
+            policy = {"kind": prefilter, "bloom_m_bits": None}
+        elif prefilter == "bloom":
+            if n_new_docs is None:
+                n_new_docs = new_index.count()
             policy = {
-                "kind": prefilter,
-                "bloom_m_bits": 2**26 if prefilter == "bloom" else None,
+                "kind": "bloom",
+                "bloom_m_bits": _bloom_m_bits_for(max(1, n_new_docs * bands)),
             }
         else:
             raise ValueError(
@@ -1538,6 +1568,8 @@ def incremental_dedup(
     bloom_prefilter_m_bits: int | None = None,
     broadcast_prefilter: bool = False,
     prefilter: str = "auto",
+    n_new_docs: int | None = None,
+    network_shuffle: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The production increment loop: ``(survivors, updated_index)``.
 
@@ -1549,7 +1581,11 @@ def incremental_dedup(
     only by the deduped increment. ``bloom_prefilter_m_bits`` prunes
     the history bucket table at its scan before the candidate shuffle
     (see :func:`incremental_minhash_pairs`) — output-identical, history
-    side never fully shuffled."""
+    side never fully shuffled. On network-priced masters the default
+    ``prefilter='auto'`` sizes itself against the increment row count —
+    pass ``n_new_docs`` when the batch size is already known to skip
+    the one extra ``count()`` job that sizing otherwise costs (r13
+    ADVICE; local masters resolve to 'none' and never pay it)."""
     new_index = minhash_index(new_df, id_col, text_col, n, num_hashes).localCheckpoint(
         eager=False
     )
@@ -1558,6 +1594,8 @@ def incremental_dedup(
         bloom_prefilter_m_bits=bloom_prefilter_m_bits,
         broadcast_prefilter=broadcast_prefilter,
         prefilter=prefilter,
+        n_new_docs=n_new_docs,
+        network_shuffle=network_shuffle,
     )
     # any history match kills the new doc; a new-new match kills the
     # HIGHER id (pairs are ordered id_new < id_other for source='new',

@@ -14,6 +14,14 @@ shuffle). The two places skew still bites, and their fixes here:
   the skew (e.g. skew created mid-stage by an explode). With AQE on,
   prefer letting ``spark.sql.adaptive.skewJoin`` handle storage-visible
   skew; this helper is for the planner-invisible cases.
+
+Which collect layout wins is a property of the CORPUS SHAPE, not the
+query (r13 measured both failure directions: the window/capped plan
+degenerates on uniform fan-in, the salted merge dies past ~16M
+values/key). ``estimate_collect_shape`` + ``choose_collect_layout``
+turn those measured boundaries into a decision procedure;
+``grouped_collect_sorted`` is the single-shuffle layout the uniform
+regime wants.
 """
 
 from __future__ import annotations
@@ -21,6 +29,135 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+#: Past ~10⁶ values/key the single-task collect / concat row is the
+#: bottleneck (SCALE.md group-concat regime table; the 1 GB skew drill
+#: measured naive 39.1 s vs salted 19.3 s at a 10M-value hot key) — at
+#: or above this fan-in the salted two-phase layout is worth its second
+#: shuffle; below it a plain single-shuffle collect wins.
+SALTED_HOT_THRESHOLD = 1_000_000
+
+#: The salted merge's measured termination boundary (r13, SCALE.md):
+#: phase 2 funnels a hot key's whole fan-in into ONE merge task — a
+#: 10M-value key survives (1 GB drill, 16–19 s), a 40M-value key dies
+#: (≈0.9 GB in a single concat cell, executor OOM three stages in).
+#: 16M sits between the measured sides, conservative toward the
+#: survivor. Past it NO concat layout terminates: cap the output
+#: (``capped_collect_sorted``) or drop the concat row entirely
+#: (``write_values_bucketed``).
+SALTED_MERGE_LIMIT = 16_000_000
+
+
+def estimate_collect_shape(
+    df: DataFrame,
+    key_col: str,
+    sample_fraction: float = 0.01,
+    seed: int = 41,
+) -> dict:
+    """One cheap sampled pass estimating the group-fan-in shape that
+    decides which collect layout terminates (and which wins):
+    ``{"est_max_fanin": int, "n_partitions": int, "sample_fraction": f}``.
+
+    ``est_max_fanin`` = (max per-key count in a ``sample_fraction``
+    Bernoulli sample) / fraction. The estimator is deliberately biased
+    HIGH on uniform corpora (the max over many Poisson draws sits in
+    the tail — e.g. true fan-in 800 at 1% sampling reads ≈2–3×), which
+    errs toward the skew-safe layouts; on genuinely hot keys the
+    sampled count is large and the estimate is tight. Column pruning
+    makes the pass read only ``key_col``. ``n_partitions`` is the scan
+    partition count — the denominator in the WindowGroupLimit map-side
+    prune test (values-per-key-PER-PARTITION vs the cap)."""
+    if not 0 < sample_fraction <= 1:
+        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+    keyed = df.select(key_col)
+    sampled = keyed if sample_fraction == 1 else keyed.sample(False, sample_fraction, seed)
+    row = (
+        sampled.groupBy(key_col)
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    est = int((row["mx"] or 0) / sample_fraction)
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — exotic plans; scheduling default is close enough
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return {
+        "est_max_fanin": est,
+        "n_partitions": max(1, int(n_parts)),
+        "sample_fraction": sample_fraction,
+    }
+
+
+def choose_collect_layout(
+    est_max_fanin: int,
+    n_partitions: int,
+    max_values: int | None = None,
+    hot_threshold: int = SALTED_HOT_THRESHOLD,
+    merge_limit: int = SALTED_MERGE_LIMIT,
+) -> str:
+    """Pick the group-concat layout from the corpus shape — the
+    executable form of the regime boundaries SCALE.md measured (r13:
+    the capped/window layout blew a 15-minute straggler budget on a
+    uniform 4 GB corpus whose per-partition fan-in sat far UNDER the
+    cap, while terminating linearly on the hot-key corpus the cap
+    exists for).
+
+    Capped (``max_values`` set — output is the smallest-k per key
+    either way; only the PLAN differs):
+
+    - ``'window'`` when the hot key's values-per-partition exceed the
+      cap — WindowGroupLimit prunes each map partition to its local
+      top-k BEFORE the exchange, bounding shuffle fan-in at
+      k·partitions however hot the key.
+    - ``'grouped'`` otherwise — the window prunes nothing at this
+      shape (every partition already holds ≤ k values of every key),
+      so the single-shuffle groupBy + slice skips the degenerate
+      full-partition sort the window plan pays.
+
+    Uncapped (``max_values=None`` — exact, every value kept):
+
+    - ``'bucketed'`` past ``merge_limit``: NO concat layout terminates
+      (measured: salted dies at a 40M-value key); the caller must use
+      the sink-side :func:`write_values_bucketed` or accept a cap.
+    - ``'salted'`` past ``hot_threshold``: two-phase merge splits the
+      hot key across salts (drill-measured 2× win at 10M values/key).
+    - ``'grouped'`` otherwise: one shuffle, no second phase."""
+    if max_values is not None:
+        if max_values <= 0:
+            raise ValueError(f"max_values must be positive, got {max_values}")
+        return "window" if est_max_fanin > max_values * max(1, n_partitions) else "grouped"
+    if est_max_fanin > merge_limit:
+        return "bucketed"
+    if est_max_fanin > hot_threshold:
+        return "salted"
+    return "grouped"
+
+
+def grouped_collect_sorted(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    max_values: int | None = None,
+    out_col: str = "values",
+    as_string: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Single-shuffle sorted collect per key — the UNIFORM-shape layout:
+    one hash exchange on the key, per-key ``array_sort`` (each array is
+    the key's whole fan-in, fine when fan-in is moderate), optional
+    ``slice`` to the smallest ``max_values`` (identical output contract
+    to :func:`capped_collect_sorted`). No window, no salt phase: on
+    corpora where values-per-key-per-partition never exceeds the cap,
+    the window plan's map-side prune is a no-op and its full partition
+    sort is pure overhead (the measured 4 GB degeneration, SCALE.md)."""
+    merged = F.array_sort(F.collect_list(value_col))
+    if max_values is not None:
+        if max_values <= 0:
+            raise ValueError(f"max_values must be positive, got {max_values}")
+        merged = F.slice(merged, 1, max_values)
+    out = F.concat_ws(sep, merged) if as_string else merged
+    return df.groupBy(key_col).agg(out.alias(out_col))
 
 
 def salted_collect_sorted(
@@ -31,15 +168,47 @@ def salted_collect_sorted(
     out_col: str = "values",
     as_string: bool = True,
     sep: str = ",",
+    max_merge_values: int | None = SALTED_MERGE_LIMIT,
+    known_max_fanin: int | None = None,
+    fanin_probe: bool = False,
+    probe_fraction: float = 0.01,
 ) -> DataFrame:
     """Two-phase sorted collect per key (the rwlg shape, generalized).
 
     Phase 1 groups by (key, salt=hash(value)%n_salts) into sorted
     partial arrays; phase 2 merges ≤ n_salts arrays per key. Output is
     globally sorted: the final ``array_sort`` runs over one in-memory
-    array instead of a single-task row sort. Truly unbounded keys still
-    need a cap (``F.slice``) or a sink-side layout — same caveat as any
-    group-concat."""
+    array instead of a single-task row sort.
+
+    Termination guard (r13): phase 2 still funnels each key's WHOLE
+    fan-in through one merge task, and the boundary is measured —
+    10M values/key survives, 40M dies (executor OOM in the merge's
+    concat cell, SCALE.md). ``max_merge_values`` (default
+    ``SALTED_MERGE_LIMIT``) is enforced against ``known_max_fanin``
+    when the caller supplies it (zero cost — pass it when the corpus
+    shape is known), or against a sampled estimate when
+    ``fanin_probe=True`` (one cheap extra pass). With neither, the
+    guard cannot see the fan-in and the call proceeds unguarded, same
+    as every round before r14 — prefer one of the two. Past the limit
+    the raise is immediate and actionable instead of an OOM three
+    stages in: use :func:`capped_collect_sorted` (bounded output) or
+    :func:`write_values_bucketed` (no concat row at all)."""
+    if max_merge_values is not None:
+        fanin = known_max_fanin
+        if fanin is None and fanin_probe:
+            fanin = estimate_collect_shape(df, key_col, sample_fraction=probe_fraction)[
+                "est_max_fanin"
+            ]
+        if fanin is not None and fanin > max_merge_values:
+            raise ValueError(
+                f"hot key ≈{fanin:,} values exceeds the salted merge limit "
+                f"({max_merge_values:,}; measured boundary: a 10M-value key "
+                "survives the single-task phase-2 merge, a 40M-value key "
+                "OOMs it — SCALE.md r13). Use capped_collect_sorted (keeps "
+                "the smallest max_values per key) or write_values_bucketed "
+                "(sink-side layout, no concat row), or raise "
+                "max_merge_values if your executors are provisioned for it."
+            )
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(value_col), F.lit(n_salts)))
     partial = salted.groupBy(key_col, "__salt").agg(
         F.array_sort(F.collect_list(value_col)).alias("__part")

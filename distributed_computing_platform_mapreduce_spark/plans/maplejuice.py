@@ -76,27 +76,71 @@ def rwlg_collect(
     edges: DataFrame,
     max_values: int | None = RWLG_MAX_SOURCES,
     n_salts: int = 16,
+    layout: str = "auto",
+    shape: dict | None = None,
 ) -> DataFrame:
-    """The rwlg collect policy switch over ``(dst, src)`` edges.
+    """The rwlg collect over ``(dst, src)`` edges — OUTPUT is fixed by
+    ``max_values`` (every source when ``None``, the smallest
+    ``max_values`` per key otherwise); ``layout`` picks the PLAN:
 
-    - ``max_values=None``: exact salted two-phase collect
-      (``skew.salted_collect_sorted``) — every source kept; the hot
-      key's single-task array merge is the accepted cost.
-    - ``max_values=k`` (default ``RWLG_MAX_SOURCES``): capped layout
-      (``skew.capped_collect_sorted``) — a WindowGroupLimit prunes each
-      map partition to its local smallest-k before the exchange, so the
-      hot key's shuffle fan-in is bounded at k·partitions however hot
-      the key. Equals the uncapped output on every under-cap key
-      (pinned in ``test_rwlg_default_cap_is_exact_under_cap``).
-    """
-    from distributed_computing_platform_mapreduce_spark.operators.skew import (
-        capped_collect_sorted,
-        salted_collect_sorted,
-    )
+    - ``'auto'`` (default, r14): one sampled pass estimates the hot
+      key's fan-in (``skew.estimate_collect_shape``), then
+      ``skew.choose_collect_layout`` applies the measured regime
+      boundaries — ``'window'`` only when values-per-key-per-partition
+      actually exceed the cap (the ONLY shape where WindowGroupLimit's
+      map-side prune does work; on uniform corpora the same plan
+      degenerates to a full partition sort — the r13 4 GB straggler,
+      SCALE.md), ``'salted'`` only for genuinely hot uncapped keys,
+      ``'grouped'`` (single shuffle, no window, no salt) otherwise.
+      An uncapped corpus whose hot key exceeds the salted merge's
+      measured termination boundary raises here, pre-shuffle, pointing
+      at ``write_values_bucketed`` — no concat layout terminates there.
+      Pass ``shape`` (an ``estimate_collect_shape`` dict) to skip the
+      sampling job when the caller already knows the corpus.
+    - ``'window'`` / ``'grouped'`` / ``'salted'`` force that layout
+      (``'window'`` requires a cap; ``'salted'`` is the uncapped
+      two-phase merge, guarded by its own ``SALTED_MERGE_LIMIT``).
 
-    if max_values is None:
-        return salted_collect_sorted(edges, "dst", "src", n_salts=n_salts, out_col="sources")
-    return capped_collect_sorted(edges, "dst", "src", max_values=max_values, out_col="sources")
+    Every layout yields identical rows for the same ``max_values``
+    (pinned in ``test_rwlg_collect_layouts_agree``)."""
+    from distributed_computing_platform_mapreduce_spark.operators import skew
+
+    if layout == "auto":
+        if shape is None:
+            shape = skew.estimate_collect_shape(edges, "dst")
+        layout = skew.choose_collect_layout(
+            shape["est_max_fanin"], shape["n_partitions"], max_values
+        )
+        if layout == "bucketed":
+            raise ValueError(
+                f"estimated hot-key fan-in ≈{shape['est_max_fanin']:,} exceeds "
+                f"the salted merge limit ({skew.SALTED_MERGE_LIMIT:,}): no "
+                "group-concat layout terminates at this shape (measured, "
+                "SCALE.md r13). Use skew.write_values_bucketed (sink-side "
+                "layout, no concat row) or set max_values to cap the output."
+            )
+    if layout == "window":
+        if max_values is None:
+            raise ValueError("layout='window' requires max_values")
+        return skew.capped_collect_sorted(
+            edges, "dst", "src", max_values=max_values, out_col="sources"
+        )
+    if layout == "grouped":
+        return skew.grouped_collect_sorted(
+            edges, "dst", "src", max_values=max_values, out_col="sources"
+        )
+    if layout == "salted":
+        if max_values is not None:
+            raise ValueError("layout='salted' is the uncapped layout; max_values=None")
+        return skew.salted_collect_sorted(
+            edges,
+            "dst",
+            "src",
+            n_salts=n_salts,
+            out_col="sources",
+            known_max_fanin=shape["est_max_fanin"] if shape else None,
+        )
+    raise ValueError(f"layout must be auto|window|grouped|salted, got {layout!r}")
 
 
 @query(
@@ -115,7 +159,9 @@ def rwlg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``src,dst`` edge corpus (FIXTURES.md F2): ~skewed fan-in per key.
     Deterministic variant of ``rwlg-juice.py``: sources sorted then
     joined. Runs the DEFAULT collect policy (capped at
-    ``RWLG_MAX_SOURCES`` — exact at every sf dir, bounded at scale)."""
+    ``RWLG_MAX_SOURCES``, layout chosen from the estimated corpus
+    shape — exact at every sf dir, bounded at scale, and since r14 the
+    plan no longer degenerates on uniform fan-in)."""
     events = load_table(spark, sf_dir, "events")
     edges = events.select(
         F.col("user_id").cast("string").alias("dst"),

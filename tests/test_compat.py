@@ -247,6 +247,26 @@ def test_cli_put_reupdate_confirm(spark, tmp_path, capsys):
     assert run_command(ws2, f"put {b} g.txt") == "put g.txt"
     assert (tmp_path / "sdfs2" / "g.txt").read_text() == "second\n"
 
+    # r14 (ADVICE): put → delete → put within 60 s is a FRESH file, not
+    # an update — no prompt, no replies consumed
+    now[0] += 100.0
+    run_command(ws, f"put {a} h.txt")
+    now[0] += 5.0
+    run_command(ws, "delete h.txt")
+    replies[:] = []  # a prompt here would IndexError on the empty queue
+    assert run_command(ws, f"put {b} h.txt") == "put h.txt"
+    assert (tmp_path / "sdfs" / "h.txt").read_text() == "second\n"
+
+    # r14 (ADVICE): interactive EOF (ctrl-D) cancels instead of crashing
+    def _eof():
+        raise EOFError
+
+    ws3 = Workspace(spark, str(tmp_path / "sdfs3"), input_fn=_eof, clock=lambda: now[0])
+    run_command(ws3, f"put {a} e.txt")
+    now[0] += 1.0
+    assert run_command(ws3, f"put {b} e.txt") == "put e.txt: cancelled"
+    assert (tmp_path / "sdfs3" / "e.txt").read_text() == "first\n"
+
 
 def test_maple_udtf_sql_forms_equal_declarative(spark, sf_dir):
     """The SQL-facing Maple (Python UDTF) in both the LATERAL per-row

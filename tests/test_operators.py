@@ -749,13 +749,18 @@ def test_capped_collect_sorted_contract_and_plan(spark, sf_dir):
 
 
 def test_rwlg_default_cap_is_exact_under_cap(spark, sf_dir):
-    """Round-7 verdict item 4: the registered rwlg query's DEFAULT path
-    caps at RWLG_MAX_SOURCES — exact wherever the cap doesn't bind. On
-    the sf corpus: (a) every key sits far under the cap (headroom
-    asserted, so a data regen that widens fan-in fails loudly), (b) the
-    default capped output EQUALS the uncapped salted collect row for
-    row, (c) the default plan carries WindowGroupLimit — the map-side
-    pre-truncation that bounds a hot key's shuffle fan-in at scale."""
+    """Round-7 verdict item 4, updated for the r14 adaptive layout: the
+    registered rwlg query's DEFAULT path caps at RWLG_MAX_SOURCES —
+    exact wherever the cap doesn't bind. On the sf corpus: (a) every
+    key sits far under the cap (headroom asserted, so a data regen that
+    widens fan-in fails loudly), (b) the default capped output EQUALS
+    the uncapped collect row for row, (c) the default AUTO layout picks
+    'grouped' at this shape — per-partition fan-in is under the cap, so
+    a window would prune nothing map-side (the r13 4 GB degeneration)
+    and the chooser must skip it — while the forced 'window' layout
+    still plans the WindowGroupLimit map-side pre-truncation that the
+    hot-key regime needs."""
+    from distributed_computing_platform_mapreduce_spark.operators import skew
     from distributed_computing_platform_mapreduce_spark.plans.maplejuice import (
         RWLG_MAX_SOURCES,
         rwlg_collect,
@@ -774,17 +779,174 @@ def test_rwlg_default_cap_is_exact_under_cap(spark, sf_dir):
         "path would truncate and the driver oracle would mismatch"
     )
 
-    capped_df = rwlg_collect(edges)  # default: max_values=RWLG_MAX_SOURCES
-    capped = {(r["dst"], r["sources"]) for r in capped_df.collect()}
+    # the auto chooser lands on 'grouped' for this under-cap shape
+    shape = skew.estimate_collect_shape(edges, "dst")
+    assert (
+        skew.choose_collect_layout(
+            shape["est_max_fanin"], shape["n_partitions"], RWLG_MAX_SOURCES
+        )
+        == "grouped"
+    )
+
+    default_df = rwlg_collect(edges)  # auto layout, max_values=RWLG_MAX_SOURCES
+    default_rows = {(r["dst"], r["sources"]) for r in default_df.collect()}
     uncapped = {
         (r["dst"], r["sources"]) for r in rwlg_collect(edges, max_values=None).collect()
     }
-    assert capped == uncapped and len(capped) > 0
+    windowed_df = rwlg_collect(edges, layout="window")
+    windowed = {(r["dst"], r["sources"]) for r in windowed_df.collect()}
+    assert default_rows == uncapped == windowed and len(default_rows) > 0
 
-    plan = capped_df._sc._jvm.PythonSQLUtils.explainString(
-        capped_df._jdf.queryExecution(), "formatted"
+    # the grouped default plans NO window; the forced window layout does
+    default_plan = default_df._sc._jvm.PythonSQLUtils.explainString(
+        default_df._jdf.queryExecution(), "formatted"
     )
-    assert "WindowGroupLimit" in plan
+    assert "WindowGroupLimit" not in default_plan
+    window_plan = windowed_df._sc._jvm.PythonSQLUtils.explainString(
+        windowed_df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in window_plan
+
+
+def test_choose_collect_layout_regimes():
+    """Pin the r14 layout chooser's regimes to the measured boundaries
+    (SCALE.md r13): window only when the hot key's per-partition fan-in
+    exceeds the cap; grouped on uniform shapes; salted only for hot
+    uncapped keys; bucketed past the salted merge's termination limit."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        SALTED_HOT_THRESHOLD,
+        SALTED_MERGE_LIMIT,
+        choose_collect_layout,
+    )
+
+    # capped: the r12 skew drill shape — hot key 10M values over 32
+    # partitions = 312k per partition >> cap 1000 → window prunes map-side
+    assert choose_collect_layout(10_000_000, 32, 1000) == "window"
+    # capped: the r13 4 GB uniform shape — fan-in ~800 (even the sampled
+    # 2-3x overestimate stays under cap·partitions) → grouped, NOT the
+    # degenerate window
+    assert choose_collect_layout(2500, 32, 1000) == "grouped"
+    # boundary: exactly cap·partitions does not justify the window
+    assert choose_collect_layout(32_000, 32, 1000) == "grouped"
+    assert choose_collect_layout(32_001, 32, 1000) == "window"
+    # uncapped regimes
+    assert choose_collect_layout(SALTED_HOT_THRESHOLD, 32) == "grouped"
+    assert choose_collect_layout(SALTED_HOT_THRESHOLD + 1, 32) == "salted"
+    assert choose_collect_layout(SALTED_MERGE_LIMIT, 32) == "salted"
+    assert choose_collect_layout(SALTED_MERGE_LIMIT + 1, 32) == "bucketed"
+    # the measured points themselves: 10M survives salted, 40M must not
+    assert choose_collect_layout(10_000_000, 32) == "salted"
+    assert choose_collect_layout(40_000_000, 32) == "bucketed"
+
+
+def test_rwlg_collect_layouts_agree(spark):
+    """Every layout is a PLAN choice, not an output choice: on a
+    hot-key + long-tail synthetic, window/grouped (capped) agree row
+    for row, and salted/grouped (uncapped) agree row for row; auto with
+    an injected past-boundary shape raises the actionable bucketed
+    error instead of shipping a plan that cannot terminate."""
+    import pytest
+
+    from distributed_computing_platform_mapreduce_spark.plans.maplejuice import rwlg_collect
+
+    edges = spark.range(0, 4000).selectExpr(
+        "CASE WHEN id % 10 < 7 THEN 'hot' ELSE concat('k', id % 23) END AS dst",
+        "format_string('s%05d', id) AS src",
+    )
+    cap = 40
+    capped_variants = [
+        rwlg_collect(edges, max_values=cap, layout="window"),
+        rwlg_collect(edges, max_values=cap, layout="grouped"),
+        rwlg_collect(edges, max_values=cap, layout="auto"),
+    ]
+    capped_rows = [
+        {(r["dst"], r["sources"]) for r in df.collect()} for df in capped_variants
+    ]
+    assert capped_rows[0] == capped_rows[1] == capped_rows[2]
+    assert len(capped_rows[0]) == 24  # hot + 23 tail keys
+
+    uncapped_variants = [
+        rwlg_collect(edges, max_values=None, layout="salted"),
+        rwlg_collect(edges, max_values=None, layout="grouped"),
+        rwlg_collect(edges, max_values=None, layout="auto"),
+    ]
+    uncapped_rows = [
+        {(r["dst"], r["sources"]) for r in df.collect()} for df in uncapped_variants
+    ]
+    assert uncapped_rows[0] == uncapped_rows[1] == uncapped_rows[2]
+    # the cap binds on the hot key only: capped != uncapped there
+    assert capped_rows[0] != uncapped_rows[0]
+
+    with pytest.raises(ValueError, match="write_values_bucketed"):
+        rwlg_collect(
+            edges,
+            max_values=None,
+            layout="auto",
+            shape={"est_max_fanin": 40_000_000, "n_partitions": 32},
+        )
+    with pytest.raises(ValueError, match="requires max_values"):
+        rwlg_collect(edges, max_values=None, layout="window")
+
+
+def test_salted_collect_merge_guard(spark):
+    """VERDICT r13 #3: the salted merge's measured termination boundary
+    (10M survives / 40M dies) is enforced in code — a caller-supplied
+    bound or a sampled probe raises the actionable error BEFORE the
+    shuffle instead of an executor OOM three stages in."""
+    import pytest
+
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        salted_collect_sorted,
+    )
+
+    e = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id < 1500 THEN 'hot' ELSE concat('k', id % 13) END AS k",
+        "format_string('v%05d', id) AS v",
+    )
+    # caller-supplied bound: no extra job, immediate raise
+    with pytest.raises(ValueError, match="salted merge limit"):
+        salted_collect_sorted(
+            e, "k", "v", max_merge_values=1000, known_max_fanin=1500
+        )
+    # sampled probe at fraction 1.0 (deterministic): sees the 1500-value key
+    with pytest.raises(ValueError, match="capped_collect_sorted"):
+        salted_collect_sorted(
+            e, "k", "v", max_merge_values=1000, fanin_probe=True, probe_fraction=1.0
+        )
+    # under the bound: runs and matches the plain collect
+    ok = salted_collect_sorted(
+        e, "k", "v", max_merge_values=2000, known_max_fanin=1500, out_col="vals"
+    )
+    plain = {
+        (r["k"], r["vals"])
+        for r in e.groupBy("k")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("v"))).alias("vals"))
+        .collect()
+    }
+    assert {(r["k"], r["vals"]) for r in ok.collect()} == plain
+    # guard off (max_merge_values=None): pre-r14 behavior, no check
+    assert salted_collect_sorted(
+        e, "k", "v", max_merge_values=None, known_max_fanin=10**9
+    ).count() == 14
+
+
+def test_estimate_collect_shape(spark):
+    """The sampled shape estimator: exact at fraction 1.0, within the
+    documented high-bias envelope when sampling, and carries the scan
+    partition count the window-vs-grouped test divides by."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        estimate_collect_shape,
+    )
+
+    e = spark.range(0, 30_000).selectExpr(
+        "CASE WHEN id % 3 < 2 THEN 'hot' ELSE concat('k', id % 101) END AS k"
+    ).select("k", F.lit("v").alias("v"))
+    exact = estimate_collect_shape(e, "k", sample_fraction=1.0)
+    assert exact["est_max_fanin"] == 20_000
+    assert exact["n_partitions"] >= 1
+    sampled = estimate_collect_shape(e, "k", sample_fraction=0.1)
+    # Binomial(20000, 0.1): tight concentration around 2000 → ±25% is generous
+    assert 15_000 <= sampled["est_max_fanin"] <= 26_000
 
 
 def test_write_values_bucketed_sink_layout(spark, tmp_path):
@@ -2971,6 +3133,118 @@ def test_choose_prefilter_policy_thresholds(spark, sf_dir):
         assert got == want, f"prefilter={mode} drifted from unfiltered output"
     with pytest.raises(ValueError, match="auto|none|broadcast|bloom"):
         dd.incremental_minhash_pairs(n_idx, hist, prefilter="nope").collect()
+
+
+def test_forced_bloom_sizing_uses_policy_rule(spark, sf_dir, monkeypatch):
+    """r13 VERDICT #4: `prefilter='bloom'` sizes its bitmap through the
+    SAME ~10-bits/key clamped rule `choose_prefilter` uses — not a
+    hardcoded 2^26 — so a small forced-bloom increment pays 128 KB, a
+    huge one escalates to the 2^27 clamp, and the two paths can never
+    drift apart."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+    from distributed_computing_platform_mapreduce_spark.operators import sketches
+
+    # the sizing helper itself: clamps and 10-bits/key growth
+    assert dd._bloom_m_bits_for(1) == 2**20
+    assert dd._bloom_m_bits_for(10**12) == 2**27
+    assert dd._bloom_m_bits_for(2**20) == 2**24  # 10 bits/key → next pow2
+    # policy and helper agree at every probed size
+    idx_sizes = (1, 10_000, 300_000, 10**9)
+    for n in idx_sizes:
+        pol = dd.choose_prefilter(_FakeIdx(), network_shuffle=True, n_new_docs=n)
+        if pol["kind"] == "bloom":
+            assert pol["bloom_m_bits"] == dd._bloom_m_bits_for(n * 8)
+
+    # the forced path routes through the helper: capture the m_bits the
+    # operator hands to bloom_filter_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = dd.minhash_index(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text"
+    ).localCheckpoint()
+    n_idx = dd.minhash_index(docs.limit(12), "doc_id", "text").localCheckpoint()
+    seen = {}
+    real = sketches.bloom_filter_table
+
+    def spy(df, col, m_bits, **kw):
+        seen["m_bits"] = m_bits
+        return real(df, col, m_bits=m_bits, **kw)
+
+    monkeypatch.setattr(sketches, "bloom_filter_table", spy)
+    # small increment, size supplied → policy sizes 12·8=96 keys → 2^20 floor
+    dd.incremental_minhash_pairs(
+        n_idx, hist, threshold=0.5, prefilter="bloom", n_new_docs=12
+    ).collect()
+    assert seen["m_bits"] == 2**20
+    # huge declared increment → clamp at 2^27, never the old 2^26 constant
+    dd.incremental_minhash_pairs(
+        n_idx, hist, threshold=0.5, prefilter="bloom", n_new_docs=10**9
+    ).collect()
+    assert seen["m_bits"] == 2**27
+
+
+class _FakeIdx:
+    """choose_prefilter only touches the df when it must count or read
+    the master; with n_new_docs + network_shuffle supplied it touches
+    neither — this stub asserts that stays true (no silent count jobs)."""
+
+    @property
+    def sparkSession(self):  # pragma: no cover — reaching here is the failure
+        raise AssertionError("choose_prefilter touched the DataFrame unnecessarily")
+
+    def count(self):  # pragma: no cover
+        raise AssertionError("choose_prefilter ran a count() despite n_new_docs")
+
+
+def test_incremental_auto_prefilter_network_priced(spark, sf_dir):
+    """r13 VERDICT #8 (stretch): the 'auto' policy resolved ORGANICALLY
+    on a simulated network-priced master — `network_shuffle=True`
+    threads end-to-end through incremental_dedup, the chosen broadcast
+    semi-join is visible in the physical plan, and output is identical
+    to the unfiltered path. The bloom arm resolves too (big declared
+    increment) with identical output."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = dd.minhash_index(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text"
+    ).localCheckpoint()
+    new = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    base_s, base_u = dd.incremental_dedup(new, hist, threshold=0.5, prefilter="none")
+    want_s = sorted(r["doc_id"] for r in base_s.collect())
+    want_u = sorted((r["id"], tuple(r["signature"])) for r in base_u.collect())
+    assert want_s
+
+    # small increment on a "network-priced" master → broadcast semi-join
+    got_s, got_u = dd.incremental_dedup(
+        new, hist, threshold=0.5, network_shuffle=True
+    )
+    assert sorted(r["doc_id"] for r in got_s.collect()) == want_s
+    assert sorted((r["id"], tuple(r["signature"])) for r in got_u.collect()) == want_u
+
+    n_idx = dd.minhash_index(new, "doc_id", "text").localCheckpoint()
+    pairs_bc = dd.incremental_minhash_pairs(
+        n_idx, hist, threshold=0.5, network_shuffle=True
+    )
+    plan = pairs_bc._sc._jvm.PythonSQLUtils.explainString(
+        pairs_bc._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    # big declared increment → the bloom arm, still output-identical
+    got_bloom = sorted(
+        tuple(r)
+        for r in dd.incremental_minhash_pairs(
+            n_idx, hist, threshold=0.5, network_shuffle=True, n_new_docs=10**9
+        ).collect()
+    )
+    want_pairs = sorted(
+        tuple(r)
+        for r in dd.incremental_minhash_pairs(
+            n_idx, hist, threshold=0.5, prefilter="none"
+        ).collect()
+    )
+    assert got_bloom == want_pairs and want_pairs
 
 
 def test_heavy_hitters_guarantee_and_exact_counts(spark):

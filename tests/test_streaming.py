@@ -342,6 +342,39 @@ def _has_protobuf() -> bool:
         return False
 
 
+def test_pbshim_waiver_stays_narrow():
+    """r13 VERDICT #7: the protobuf shim's gencode-version waiver must
+    stay exactly one-minor-same-major wide — a future pyspark whose
+    generated code is produced by a cross-major or ≥2-minor-ahead
+    protoc must fail LOUDLY against the vendored runtime, not sail
+    through a silently widened waiver. Runs only where the shim is the
+    active `google` package (a real protobuf install never loads it)."""
+    import google
+
+    shim_init = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "_pbshim", "google", "__init__.py"
+    )
+    if os.path.abspath(getattr(google, "__file__", "") or "") != shim_init:
+        pytest.skip("real protobuf installed; the shim (and its waiver) is inactive")
+
+    from google.protobuf import runtime_version as rv
+
+    validate = rv.ValidateProtobufRuntimeVersion
+    loc = "pbshim-waiver-test.proto"
+    # exact runtime version: always fine
+    validate(rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR, rv.PATCH, "", loc)
+    # the waived case the shim exists for: gencode ONE minor ahead
+    validate(rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, "", loc)
+    # two minors ahead: the waiver must NOT stretch
+    with pytest.raises(rv.VersionError):
+        validate(rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 2, 0, "", loc)
+    # cross-major: refuse in both directions
+    with pytest.raises(rv.VersionError):
+        validate(rv.Domain.PUBLIC, rv.MAJOR + 1, 0, 0, "", loc)
+    with pytest.raises(rv.VersionError):
+        validate(rv.Domain.PUBLIC, rv.MAJOR - 1, rv.MINOR, 0, "", loc)
+
+
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithState's state-server protocol needs protobuf; "

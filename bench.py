@@ -279,13 +279,14 @@ def _ref_scale_times(
             ).save()
 
         def run_rwlg_capped():
-            # the DEFAULT registered-query policy since r8
-            # (plans.maplejuice.rwlg_collect, cap = RWLG_MAX_SOURCES =
-            # 1000 via WindowGroupLimit): measures what the default path
-            # costs at the 1 GB volume where the cap actually binds
-            # (~8·10⁵ values/key → smallest 1000). r7's bench-only
-            # max_values=128 point is superseded — the policy is now
-            # code, so the bench times the policy.
+            # the DEFAULT registered-query policy (cap = RWLG_MAX_SOURCES
+            # = 1000): measures what the default path costs at the 1 GB
+            # volume where the cap actually binds (~10⁵ values/key →
+            # smallest 1000). Since r14 the default is the ADAPTIVE
+            # layout: the timed run includes the sampled shape probe and
+            # the layout it picks (window here — per-partition fan-in
+            # exceeds the cap on this replica corpus); the policy's cost
+            # is the policy.
             from distributed_computing_platform_mapreduce_spark.plans.maplejuice import (
                 rwlg_collect,
             )
@@ -326,8 +327,10 @@ def _ref_scale_times(
 def _scalability_times(
     sf_dir: str,
 ) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
-    """Core-count strong-scaling sweep (r13): wordcount_200mb,
-    rwlg_200mb (uncapped), and dedup_minhash_lsh@sf, each timed in a
+    """Core-count strong-scaling sweep (r13; third subject swapped r14):
+    wordcount_200mb, rwlg_200mb (uncapped), and the 200 MB ExactSubstr
+    spans leg (real per-core work — r13's minhash@sf0.1 sat below the
+    measurement regime), each timed in a
     FRESH subprocess JVM at local[2/4/8/16/32] with the shuffle
     decomposition held fixed — the repo analog of the reference's
     phase-time-vs-worker-count experiment
@@ -684,6 +687,21 @@ def _canary_verdict(
         and pre_gemm > 0
         and pre_gemm > 1.3 * gemm_idle_ref
     )
+    # r14 (VERDICT #4): the spark canaries don't gate (JVM-state variance)
+    # but a LARGE drift on both IO-sensitive legs with a clean GEMM is the
+    # page-cache signature r13 shipped unannotated — name it in the record.
+    spark_drift = [
+        d
+        for d in (drift["spark_range_sum_sec"], drift["spark_scan_sec"])
+        if d is not None
+    ]
+    cache_note = None
+    if (g is not None and g <= 10.0) and spark_drift and min(spark_drift) > 30.0:
+        cache_note = (
+            "spark canaries drifted >30% with a clean GEMM: page-cache/JVM "
+            "state changed across the sweep (not CPU contention); IO-bound "
+            "points may read high"
+        )
     return {
         "drift_pct": drift,
         "gemm_idle_ref_sec": gemm_idle_ref,
@@ -694,6 +712,7 @@ def _canary_verdict(
         ),
         "abs_gate_exceeded": bool(abs_exceeded),
         "load_contaminated": (g is not None and g > 10.0) or bool(abs_exceeded),
+        "spark_canary_note": cache_note,
     }
 
 
@@ -1230,6 +1249,37 @@ def _r10_crop_times(
     return times, spread, errors
 
 
+def _ensure_uniform_edges_corpus(
+    spark, label: str, n_rows: int, n_keys: int
+) -> str:
+    """UNIFORM-fan-in edge corpus (cached): ``n_rows`` edges spread
+    evenly over ``n_keys`` destinations, every source distinct — the
+    corpus SHAPE the r13 4 GB rwlg straggler died on (SCALE.md: ~25
+    values per key per partition, far under the 1000 cap, so the
+    capped/window plan's map-side prune was a no-op and the plan
+    degenerated to a full shuffle + partition sort). The replica and
+    skew corpora both have hot keys; this is the third shape — the one
+    a real user's uniformly-crawled edge corpus has. Deterministic:
+    keys from xxhash64 of the row id, no RNG."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(BENCH_CORPUS_DIR, f"edges_uniform_{label}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.range(n_rows)
+            .select(
+                F.format_string(
+                    "u%06d", F.pmod(F.xxhash64(F.col("id")), F.lit(n_keys))
+                ).alias("dst"),
+                F.format_string("src-%012d", F.col("id")).alias("src"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
 def _ensure_unique_docs_corpus(spark, label: str, nbytes: int) -> str:
     """~``nbytes`` of mostly-UNIQUE random-token documents (cached):
     every token derives from xxhash64(doc, pos) over a ~30k vocab —
@@ -1405,47 +1455,98 @@ def _run_sweep(
     except Exception as exc:  # noqa: BLE001
         errors["r10_crop"] = _error_line(exc)
 
-    # r12→r13: 1 GB skew stress in its OWN subprocess JVM. The naive
-    # leg's 10M-value single-task collect is the one point with real
-    # heap risk; r12 ran it last with a pre-section unpersist, and it
-    # STILL OOM'd the whole bench JVM in one r13 record — killing the
-    # post-sweep canary and shipping the record unverifiable. Isolated,
-    # a heap death costs exactly the points it earned (worker errors
-    # ride back in the JSON) and the drill gets a clean dedicated heap.
+    return times, spread, errors
+
+
+def _run_tool_subprocess(
+    name: str, tool_file: str, budget_s: float, extra_args: list[str] | None = None
+) -> tuple[dict, dict, dict, dict]:
+    """Run one bench worker tool in its own JVM under a STRAGGLER BUDGET
+    (r13 VERDICT #6): a worker that exceeds ``budget_s`` is killed and
+    recorded as ``{"killed": "straggler_budget", "budget_s": N}`` in the
+    bench JSON — a non-terminating plan becomes a datum, not a gap (the
+    r13 rwlg_4gb non-result existed only as SCALE.md prose). On timeout
+    the partial stdout is still scanned for a JSON record (a worker that
+    printed its times and then hung in spark.stop() keeps its data —
+    r13 ADVICE). Returns (times, spread, errors, budget_kills)."""
+    import subprocess
+
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", tool_file
+    )
+    kills: dict[str, dict] = {}
     try:
-        import subprocess
-
-        tool = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "tools", "bench_skew1gb.py"
-        )
         proc = subprocess.run(
-            [sys.executable, tool], capture_output=True, text=True, timeout=1800
+            [sys.executable, tool] + (extra_args or []),
+            capture_output=True,
+            text=True,
+            timeout=budget_s,
         )
-        rec = None
-        for line in reversed(proc.stdout.strip().splitlines()):
-            try:
-                rec = json.loads(line)
-                break
-            except json.JSONDecodeError:
-                continue
-        if rec is None:
-            raise RuntimeError(
-                f"no JSON from skew1gb worker (rc={proc.returncode}, "
-                f"stderr tail: {proc.stderr[-300:]})"
-            )
-        times.update(rec.get("times", {}))
-        spread.update(rec.get("spread", {}))
-        errors.update(rec.get("errors", {}))
-    except Exception as exc:  # noqa: BLE001
-        errors["skew_1gb"] = _error_line(exc)
+        stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+    except subprocess.TimeoutExpired as exc:
+        stdout = exc.stdout or ""
+        if isinstance(stdout, bytes):  # text=True still yields bytes here pre-3.12
+            stdout = stdout.decode("utf-8", "replace")
+        stderr, rc = "", -1
+        kills[name] = {"killed": "straggler_budget", "budget_s": budget_s}
+    rec = None
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    if rec is None:
+        if name in kills:  # killed before printing anything — the kill IS the record
+            return {}, {}, {name: f"killed at straggler budget {budget_s}s"}, kills
+        raise RuntimeError(
+            f"no JSON from {name} worker (rc={rc}, stderr tail: {stderr[-300:]})"
+        )
+    kills.update(rec.get("budget_kills", {}))
+    return (
+        rec.get("times", {}),
+        rec.get("spread", {}),
+        rec.get("errors", {}),
+        kills,
+    )
 
-    # r13: core-count scalability sweep runs LAST — its five subprocess
-    # JVMs (8 g heap each, their own corpus scans) would otherwise evict
-    # the page-cache working set the main JVM's later sections re-read;
-    # the subprocesses themselves don't care about prior machine state
-    # (each cold-starts and re-warms identically by protocol). The
-    # 200 MB corpora are guaranteed materialized by _ref_scale_times
-    # above.
+
+def _run_subprocess_sections(
+    sf_dir: str,
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str], dict[str, dict]]:
+    """The sections that run OUTSIDE the main bench JVM, strictly AFTER
+    the post-sweep canary (r13 VERDICT #2): their fresh 8 g JVMs and
+    multi-GB corpus scans evict the page cache the main sweep's working
+    set lives in, which in r13 drove the post-canary's spark legs to
+    55–94% drift and left the round without a pristine absolute anchor.
+    The canary brackets the main sweep ONLY; these workers cold-start by
+    protocol and don't care about prior machine state.
+
+    - 1 GB skew drill (own heap: the naive leg's 10M-value single-task
+      collect OOMs occasionally — isolated since r13).
+    - 4 GB uniform-shape rwlg via the r14 adaptive layout (the corpus
+      shape whose capped/window plan blew r13's 15-minute straggler
+      budget; the chooser must pick the single-shuffle grouped layout
+      and terminate).
+    - Core-count strong-scaling sweep (five more JVMs).
+    Every worker runs under a recorded straggler budget."""
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    kills: dict[str, dict] = {}
+    for name, tool, budget in (
+        ("skew_1gb", "bench_skew1gb.py", 1800.0),
+        ("rwlg_4gb", "bench_rwlg4gb.py", 2400.0),
+    ):
+        try:
+            t, s, e, k = _run_tool_subprocess(name, tool, budget)
+            times.update(t)
+            spread.update(s)
+            errors.update(e)
+            kills.update(k)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = _error_line(exc)
+
     try:
         sc_times, sc_spread, sc_errors = _scalability_times(sf_dir)
         times.update(sc_times)
@@ -1454,7 +1555,7 @@ def _run_sweep(
     except Exception as exc:  # noqa: BLE001
         errors["scalability"] = _error_line(exc)
 
-    return times, spread, errors
+    return times, spread, errors, kills
 
 
 def main() -> None:
@@ -1554,6 +1655,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r14 (VERDICT #2): the subprocess sections run strictly AFTER the
+    # post-sweep canary — the canary brackets the main sweep it verifies,
+    # and the workers' page-cache eviction can no longer poison it. Their
+    # own numbers are protocol-insensitive (fresh JVMs, recorded straggler
+    # budgets).
+    budget_kills: dict[str, dict] = {}
+    try:
+        sp_times, sp_spread, sp_errors, budget_kills = _run_subprocess_sections(sf_dir)
+        times.update(sp_times)
+        spread.update(sp_spread)
+        errors.update(sp_errors)
+    except Exception as exc:  # noqa: BLE001
+        errors["subprocess_sections"] = _error_line(exc)
+
     total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -1579,6 +1694,11 @@ def main() -> None:
                 "canary_pre": canary_pre,
                 "canary_post": canary_post,
                 "canary": canary,
+                # r14: the canary brackets the MAIN sweep only; the
+                # subprocess sections (skew drill, rwlg 4 GB, scalability)
+                # run after the post-canary by design
+                "canary_scope": "main_sweep",
+                "budget_kills": budget_kills,
                 "attempt": attempt,
                 "discarded_attempts": discarded,
                 "idle_wait_sec": round(idle_waited_total, 1),
@@ -1601,6 +1721,8 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf else None,
                 "canary": canary,
+                "canary_scope": "main_sweep",
+                "budget_kills": budget_kills,
                 "attempt": attempt,
                 "n_errors": len(errors),
                 "n_discarded_attempts": len(discarded),

@@ -28,10 +28,13 @@ Design choices, pinned so the curve measures what it claims:
 - **Identical plans.** wordcount/rwlg come from ``bench.wc_plan`` /
   ``bench.rwlg_uncapped_plan`` — the same module-level builders the
   BASELINE.md comparison points time — over the same materialized
-  200 MB replica corpora; minhash is the same
-  ``dedup.minhash_lsh_pairs`` call the headline ``dedup_minhash_lsh``
-  point times, at the same sf dir, materialized with the same
-  hash-struct discipline.
+  200 MB replica corpora; the third subject (r14) is the same
+  ``dedup.remove_repeated_spans`` call the headline
+  ``dedup_spans_k50_1gb`` point times, at a 200 MB unique-token
+  corpus, materialized with the same hash-struct discipline. (r13's
+  ``scal_minhash``@sf0.1 was below the measurement regime — ~0.3 s of
+  compute inside ~2.5 s of fixed cost — and was replaced per VERDICT
+  #5; the flat curve's lesson lives in SCALE.md.)
 - **Warm + median.** Each query runs once untimed (Catalyst analysis +
   janino codegen + JIT are one-time per plan shape), then
   ``SPARK_GRAFT_BENCH_SCAL_RUNS`` (default 2) timed passes; the JSON
@@ -62,7 +65,6 @@ def main() -> None:
     import bench
     from distributed_computing_platform_mapreduce_spark import get_spark
     from distributed_computing_platform_mapreduce_spark.operators import dedup
-    from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
     from pyspark.sql import functions as F
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SCAL_RUNS", "2")))
@@ -84,15 +86,18 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    def run_minhash():
-        # cold-by-design like the headline point: each call evicts the
-        # previous call's persisted shingle table (operators/dedup.py)
-        docs = load_table(spark, args.sf_dir, "documents")
-        pairs = dedup.minhash_lsh_pairs(
-            docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
-        )
-        n = pairs.agg(F.bit_xor(F.xxhash64(F.struct(*pairs.columns)))).collect()[0][0]
-        assert n is None or isinstance(n, int)
+    # r14 (VERDICT #5): the third subject is the 200 MB ExactSubstr spans
+    # leg — real per-core work for the gram-hash/shuffle family
+    # (`scal_minhash`@sf0.1 was honestly flat: ~0.3 s of compute inside
+    # ~2.5 s of fixed cost, below the strong-scaling measurement regime —
+    # the lesson is kept in SCALE.md). The unique-token corpus is cached
+    # (first worker generates it once).
+    spans_path = bench._ensure_unique_docs_corpus(spark, "200mb", 200 * 1024 * 1024)
+
+    def run_spans():
+        big = spark.read.parquet(spans_path)
+        out = dedup.remove_repeated_spans(big, "doc_id", "text", k=50, min_count=2)
+        assert out.agg(F.sum("n_tokens_removed")).collect()[0][0] is not None
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -100,7 +105,7 @@ def main() -> None:
     for key, fn in (
         ("scal_wc200", run_wc),
         ("scal_rwlg200", run_rwlg),
-        ("scal_minhash", run_minhash),
+        ("scal_spans200", run_spans),
     ):
         try:
             fn()  # untimed warm: plan analysis + codegen + JIT

@@ -32,12 +32,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     times, spread, errors = bench._skew_times_1gb(spark)
     print(json.dumps({"times": times, "spread": spread, "errors": errors}))
+    sys.stdout.flush()
     # a naive-leg OOM can leave the JVM wedged — the record is already
-    # printed, so exit hard rather than hang in stop()
+    # printed, so exit hard UNCONDITIONALLY rather than hang in a
+    # post-OOM stop() until the parent's budget discards the data
+    # (r13 ADVICE: stop() hanging, not raising, was the uncovered path)
     try:
         spark.stop()
     except Exception:  # noqa: BLE001
-        os._exit(0)
+        pass
+    os._exit(0)
 
 
 if __name__ == "__main__":

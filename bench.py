@@ -1460,7 +1460,7 @@ def _run_sweep(
 
 def _run_tool_subprocess(
     name: str, tool_file: str, budget_s: float, extra_args: list[str] | None = None
-) -> tuple[dict, dict, dict, dict]:
+) -> tuple[dict, dict, dict, dict, dict]:
     """Run one bench worker tool in its own JVM under a STRAGGLER BUDGET
     (r13 VERDICT #6): a worker that exceeds ``budget_s`` is killed and
     recorded as ``{"killed": "straggler_budget", "budget_s": N}`` in the
@@ -1468,7 +1468,9 @@ def _run_tool_subprocess(
     r13 rwlg_4gb non-result existed only as SCALE.md prose). On timeout
     the partial stdout is still scanned for a JSON record (a worker that
     printed its times and then hung in spark.stop() keeps its data —
-    r13 ADVICE). Returns (times, spread, errors, budget_kills)."""
+    r13 ADVICE). Returns (times, spread, errors, budget_kills, extras)
+    — extras carries any worker-specific metadata keys (e.g. the 4 GB
+    worker's shape estimate and chosen layout) into the record."""
     import subprocess
 
     tool = os.path.join(
@@ -1498,22 +1500,34 @@ def _run_tool_subprocess(
             continue
     if rec is None:
         if name in kills:  # killed before printing anything — the kill IS the record
-            return {}, {}, {name: f"killed at straggler budget {budget_s}s"}, kills
+            return {}, {}, {name: f"killed at straggler budget {budget_s}s"}, kills, {}
         raise RuntimeError(
             f"no JSON from {name} worker (rc={rc}, stderr tail: {stderr[-300:]})"
         )
     kills.update(rec.get("budget_kills", {}))
+    extras = {
+        k: v
+        for k, v in rec.items()
+        if k not in ("times", "spread", "errors", "budget_kills")
+    }
     return (
         rec.get("times", {}),
         rec.get("spread", {}),
         rec.get("errors", {}),
         kills,
+        extras,
     )
 
 
 def _run_subprocess_sections(
     sf_dir: str,
-) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str], dict[str, dict]]:
+) -> tuple[
+    dict[str, float],
+    dict[str, list[float]],
+    dict[str, str],
+    dict[str, dict],
+    dict[str, dict],
+]:
     """The sections that run OUTSIDE the main bench JVM, strictly AFTER
     the post-sweep canary (r13 VERDICT #2): their fresh 8 g JVMs and
     multi-GB corpus scans evict the page cache the main sweep's working
@@ -1534,16 +1548,19 @@ def _run_subprocess_sections(
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     kills: dict[str, dict] = {}
+    meta: dict[str, dict] = {}
     for name, tool, budget in (
         ("skew_1gb", "bench_skew1gb.py", 1800.0),
         ("rwlg_4gb", "bench_rwlg4gb.py", 2400.0),
     ):
         try:
-            t, s, e, k = _run_tool_subprocess(name, tool, budget)
+            t, s, e, k, x = _run_tool_subprocess(name, tool, budget)
             times.update(t)
             spread.update(s)
             errors.update(e)
             kills.update(k)
+            if x:
+                meta[name] = x
         except Exception as exc:  # noqa: BLE001
             errors[name] = _error_line(exc)
 
@@ -1555,7 +1572,7 @@ def _run_subprocess_sections(
     except Exception as exc:  # noqa: BLE001
         errors["scalability"] = _error_line(exc)
 
-    return times, spread, errors, kills
+    return times, spread, errors, kills, meta
 
 
 def main() -> None:
@@ -1661,8 +1678,11 @@ def main() -> None:
     # own numbers are protocol-insensitive (fresh JVMs, recorded straggler
     # budgets).
     budget_kills: dict[str, dict] = {}
+    worker_meta: dict[str, dict] = {}
     try:
-        sp_times, sp_spread, sp_errors, budget_kills = _run_subprocess_sections(sf_dir)
+        sp_times, sp_spread, sp_errors, budget_kills, worker_meta = (
+            _run_subprocess_sections(sf_dir)
+        )
         times.update(sp_times)
         spread.update(sp_spread)
         errors.update(sp_errors)
@@ -1699,6 +1719,7 @@ def main() -> None:
                 # run after the post-canary by design
                 "canary_scope": "main_sweep",
                 "budget_kills": budget_kills,
+                "worker_meta": worker_meta,
                 "attempt": attempt,
                 "discarded_attempts": discarded,
                 "idle_wait_sec": round(idle_waited_total, 1),

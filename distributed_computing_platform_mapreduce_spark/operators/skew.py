@@ -47,16 +47,31 @@ SALTED_HOT_THRESHOLD = 1_000_000
 #: (``write_values_bucketed``).
 SALTED_MERGE_LIMIT = 16_000_000
 
+#: Raw value bytes one reduce task of a grouped collect should own.
+#: Collect buffers are UNMANAGED Java objects (ObjectHashAggregate's
+#: whole reason for a 128-key fallback threshold), so they neither
+#: spill nor count against Spark's memory manager — the r14 4 GB
+#: measurement: 480M 16-char values over 32 reduce tasks ≈ 250 MB raw
+#: → ~1 GB of Java strings per task × 32 concurrent = heap death at
+#: the engine's 8 g local JVM. 32 MB raw × ~4× object overhead ≈
+#: 128 MB live per task — safe at 0.25 GB/core, merely narrow tasks at
+#: cluster-normal 4–8 GB/core.
+GROUPED_TASK_VALUE_BYTES = 32 * 1024 * 1024
+#: Java object/UnsafeRow overhead multiplier on raw string bytes.
+COLLECT_BYTES_OVERHEAD = 4
+
 
 def estimate_collect_shape(
     df: DataFrame,
     key_col: str,
+    value_col: str | None = None,
     sample_fraction: float = 0.01,
     seed: int = 41,
 ) -> dict:
     """One cheap sampled pass estimating the group-fan-in shape that
     decides which collect layout terminates (and which wins):
-    ``{"est_max_fanin": int, "n_partitions": int, "sample_fraction": f}``.
+    ``{"est_max_fanin": int, "n_partitions": int, "sample_fraction": f,
+    "est_rows": int, "est_value_bytes": int | None}``.
 
     ``est_max_fanin`` = (max per-key count in a ``sample_fraction``
     Bernoulli sample) / fraction. The estimator is deliberately biased
@@ -64,19 +79,28 @@ def estimate_collect_shape(
     the tail — e.g. true fan-in 800 at 1% sampling reads ≈2–3×), which
     errs toward the skew-safe layouts; on genuinely hot keys the
     sampled count is large and the estimate is tight. Column pruning
-    makes the pass read only ``key_col``. ``n_partitions`` is the scan
-    partition count — the denominator in the WindowGroupLimit map-side
-    prune test (values-per-key-PER-PARTITION vs the cap)."""
+    makes the pass read only the named columns. ``n_partitions`` is the
+    scan partition count — the denominator in the WindowGroupLimit
+    map-side prune test (values-per-key-PER-PARTITION vs the cap).
+    With ``value_col`` given, ``est_value_bytes`` extrapolates the
+    total value payload — the input to
+    :func:`grouped_shuffle_partitions`, which sizes the collect
+    stage's shuffle width so no reduce task's unmanaged buffer
+    outgrows the heap (the r14 4 GB OOM)."""
     if not 0 < sample_fraction <= 1:
         raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
-    keyed = df.select(key_col)
+    cols = [key_col] + ([value_col] if value_col else [])
+    keyed = df.select(*cols)
     sampled = keyed if sample_fraction == 1 else keyed.sample(False, sample_fraction, seed)
-    row = (
-        sampled.groupBy(key_col)
-        .count()
-        .agg(F.max("count").alias("mx"))
-        .collect()[0]
-    )
+    per_key = [F.count("*").alias("n")]
+    if value_col:
+        per_key.append(
+            F.sum(F.length(F.col(value_col).cast("string"))).alias("vb")
+        )
+    top = [F.max("n").alias("mx"), F.sum("n").alias("rows")]
+    if value_col:
+        top.append(F.sum("vb").alias("vbytes"))
+    row = sampled.groupBy(key_col).agg(*per_key).agg(*top).collect()[0]
     est = int((row["mx"] or 0) / sample_fraction)
     try:
         n_parts = df.rdd.getNumPartitions()
@@ -86,7 +110,28 @@ def estimate_collect_shape(
         "est_max_fanin": est,
         "n_partitions": max(1, int(n_parts)),
         "sample_fraction": sample_fraction,
+        "est_rows": int((row["rows"] or 0) / sample_fraction),
+        "est_value_bytes": (
+            int((row["vbytes"] or 0) / sample_fraction) if value_col else None
+        ),
     }
+
+
+def grouped_shuffle_partitions(
+    est_value_bytes: int | None,
+    session_shuffle_partitions: int,
+    task_value_bytes: int = GROUPED_TASK_VALUE_BYTES,
+) -> int | None:
+    """Width the grouped collect's shuffle so each reduce task owns at
+    most ``task_value_bytes`` of raw value payload (see
+    ``GROUPED_TASK_VALUE_BYTES`` for why the session default is not
+    enough: collect buffers are unmanaged heap that never spills).
+    Returns ``None`` when the session's own shuffle width already
+    suffices — widening below it would only add scheduling overhead."""
+    if not est_value_bytes:
+        return None
+    needed = -(-est_value_bytes // task_value_bytes)  # ceil
+    return needed if needed > session_shuffle_partitions else None
 
 
 def choose_collect_layout(
@@ -142,6 +187,7 @@ def grouped_collect_sorted(
     out_col: str = "values",
     as_string: bool = True,
     sep: str = ",",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Single-shuffle sorted collect per key — the UNIFORM-shape layout:
     one hash exchange on the key, per-key ``array_sort`` (each array is
@@ -150,7 +196,18 @@ def grouped_collect_sorted(
     to :func:`capped_collect_sorted`). No window, no salt phase: on
     corpora where values-per-key-per-partition never exceeds the cap,
     the window plan's map-side prune is a no-op and its full partition
-    sort is pure overhead (the measured 4 GB degeneration, SCALE.md)."""
+    sort is pure overhead (the measured 4 GB degeneration, SCALE.md).
+
+    ``num_partitions`` widens the key exchange beyond the session
+    shuffle width (use :func:`grouped_shuffle_partitions` to size it):
+    collect buffers are UNMANAGED Java heap — at large volumes the
+    session default concentrates gigabytes of live strings per task
+    (the r14 4 GB heap death), and the fix is narrower tasks, not more
+    memory. The explicit ``repartition(n, key)`` satisfies the
+    aggregation's distribution requirement, so no second exchange is
+    planned."""
+    if num_partitions is not None:
+        df = df.repartition(num_partitions, key_col)
     merged = F.array_sort(F.collect_list(value_col))
     if max_values is not None:
         if max_values <= 0:

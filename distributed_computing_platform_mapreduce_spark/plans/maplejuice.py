@@ -105,9 +105,10 @@ def rwlg_collect(
     (pinned in ``test_rwlg_collect_layouts_agree``)."""
     from distributed_computing_platform_mapreduce_spark.operators import skew
 
+    grouped_parts = None
     if layout == "auto":
         if shape is None:
-            shape = skew.estimate_collect_shape(edges, "dst")
+            shape = skew.estimate_collect_shape(edges, "dst", value_col="src")
         layout = skew.choose_collect_layout(
             shape["est_max_fanin"], shape["n_partitions"], max_values
         )
@@ -119,6 +120,16 @@ def rwlg_collect(
                 "SCALE.md r13). Use skew.write_values_bucketed (sink-side "
                 "layout, no concat row) or set max_values to cap the output."
             )
+        if layout == "grouped":
+            # collect buffers are unmanaged heap: width the exchange so no
+            # reduce task owns more than GROUPED_TASK_VALUE_BYTES of values
+            # (the r14 4 GB OOM; None = the session width already suffices)
+            session_parts = int(
+                edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            grouped_parts = skew.grouped_shuffle_partitions(
+                shape.get("est_value_bytes"), session_parts
+            )
     if layout == "window":
         if max_values is None:
             raise ValueError("layout='window' requires max_values")
@@ -127,7 +138,12 @@ def rwlg_collect(
         )
     if layout == "grouped":
         return skew.grouped_collect_sorted(
-            edges, "dst", "src", max_values=max_values, out_col="sources"
+            edges,
+            "dst",
+            "src",
+            max_values=max_values,
+            out_col="sources",
+            num_partitions=grouped_parts,
         )
     if layout == "salted":
         if max_values is not None:

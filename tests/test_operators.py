@@ -940,13 +940,40 @@ def test_estimate_collect_shape(spark):
 
     e = spark.range(0, 30_000).selectExpr(
         "CASE WHEN id % 3 < 2 THEN 'hot' ELSE concat('k', id % 101) END AS k"
-    ).select("k", F.lit("v").alias("v"))
-    exact = estimate_collect_shape(e, "k", sample_fraction=1.0)
+    ).select("k", F.lit("vv").alias("v"))
+    exact = estimate_collect_shape(e, "k", value_col="v", sample_fraction=1.0)
     assert exact["est_max_fanin"] == 20_000
     assert exact["n_partitions"] >= 1
+    assert exact["est_rows"] == 30_000
+    assert exact["est_value_bytes"] == 60_000  # 30k rows × len('vv')
     sampled = estimate_collect_shape(e, "k", sample_fraction=0.1)
     # Binomial(20000, 0.1): tight concentration around 2000 → ±25% is generous
     assert 15_000 <= sampled["est_max_fanin"] <= 26_000
+    assert sampled["est_value_bytes"] is None  # value_col not requested
+
+
+def test_grouped_shuffle_partitions_sizing():
+    """r14: the grouped collect's shuffle width is sized so no reduce
+    task owns more than GROUPED_TASK_VALUE_BYTES of raw value payload —
+    collect buffers are unmanaged Java heap that never spills (the 4 GB
+    corpus at the session's 32 partitions concentrated ~1 GB of live
+    strings per task × 32 concurrent = measured heap death)."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        GROUPED_TASK_VALUE_BYTES,
+        grouped_shuffle_partitions,
+    )
+
+    # the measured 4 GB shape: ~7.7 GB of value payload → widen well past 32
+    want = -(-7_700_000_000 // GROUPED_TASK_VALUE_BYTES)
+    assert grouped_shuffle_partitions(7_700_000_000, 32) == want >= 230
+    # session width already sufficient → None (don't narrow, don't churn)
+    assert grouped_shuffle_partitions(10 * 1024 * 1024, 32) is None
+    assert grouped_shuffle_partitions(None, 32) is None
+    assert grouped_shuffle_partitions(0, 32) is None
+    # exactly one task budget over the session width → widen
+    assert (
+        grouped_shuffle_partitions(33 * GROUPED_TASK_VALUE_BYTES, 32) == 33
+    )
 
 
 def test_write_values_bucketed_sink_layout(spark, tmp_path):

@@ -82,6 +82,14 @@ def _run_budgeted(spark, fn, budget_s: float):
 
 
 def main() -> None:
+    # Heap protocol: 16 g for this dedicated worker = 0.5 GB/core at
+    # local[32] — still UNDER cluster-normal 4–8 GB/core, but enough
+    # that 32 concurrent tasks' spillable shuffle sorters don't starve
+    # the unified pool into UNABLE_TO_ACQUIRE_MEMORY (measured at the
+    # engine-default 8 g: the 480M-row shuffle write OOMs from pure
+    # local-mode pool contention, not from any unspillable state).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     import bench
     from distributed_computing_platform_mapreduce_spark import get_spark
     from distributed_computing_platform_mapreduce_spark.plans.maplejuice import rwlg_collect
@@ -110,10 +118,14 @@ def main() -> None:
     try:
         from distributed_computing_platform_mapreduce_spark.operators import skew
 
-        shape = skew.estimate_collect_shape(edges(), "dst")
+        shape = skew.estimate_collect_shape(edges(), "dst", value_col="src")
         meta["shape_estimate"] = shape
         meta["layout_chosen"] = skew.choose_collect_layout(
             shape["est_max_fanin"], shape["n_partitions"], 1000
+        )
+        meta["grouped_shuffle_partitions"] = skew.grouped_shuffle_partitions(
+            shape.get("est_value_bytes"),
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         )
     except Exception as exc:  # noqa: BLE001
         errors["rwlg4gb_shape"] = bench._error_line(exc)

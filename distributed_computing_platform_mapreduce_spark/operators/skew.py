@@ -372,6 +372,88 @@ def read_values_bucketed(
     return df.select(key_col, value_col, "__kb")
 
 
+def adaptive_collect_sorted(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    max_values: int | None = None,
+    n_salts: int = 16,
+    out_col: str = "values",
+    as_string: bool = True,
+    sep: str = ",",
+    layout: str = "auto",
+    shape: dict | None = None,
+) -> DataFrame:
+    """Sorted collect per key with the PLAN chosen from the corpus
+    shape — OUTPUT is fixed by ``max_values`` (every value when
+    ``None``, the smallest ``max_values`` per key otherwise);
+    ``layout`` picks how it is computed:
+
+    - ``'auto'`` (default): one sampled pass
+      (:func:`estimate_collect_shape`) feeds
+      :func:`choose_collect_layout`'s measured regime boundaries —
+      ``'window'`` only when values-per-key-per-partition exceed the
+      cap (the sole shape where WindowGroupLimit's map-side prune does
+      work; on uniform corpora that plan degenerates to a full
+      partition sort — the r13 4 GB straggler), ``'salted'`` only for
+      genuinely hot uncapped keys, ``'grouped'`` (single shuffle, no
+      window, no salt, exchange widened by
+      :func:`grouped_shuffle_partitions` so collect buffers stay flat
+      per task) otherwise. An uncapped corpus whose hot key exceeds
+      the salted merge's measured termination boundary raises HERE,
+      pre-shuffle, pointing at :func:`write_values_bucketed` — no
+      concat layout terminates there. Pass ``shape`` to skip the
+      sampling job when the caller already knows the corpus.
+    - ``'window'`` / ``'grouped'`` / ``'salted'`` force that layout
+      (``'window'`` requires a cap; ``'salted'`` is uncapped-only).
+
+    Every layout yields identical rows for the same ``max_values``."""
+    grouped_parts = None
+    if layout == "auto":
+        if shape is None:
+            shape = estimate_collect_shape(df, key_col, value_col=value_col)
+        layout = choose_collect_layout(
+            shape["est_max_fanin"], shape["n_partitions"], max_values
+        )
+        if layout == "bucketed":
+            raise ValueError(
+                f"estimated hot-key fan-in ≈{shape['est_max_fanin']:,} exceeds "
+                f"the salted merge limit ({SALTED_MERGE_LIMIT:,}): no "
+                "group-concat layout terminates at this shape (measured, "
+                "SCALE.md r13). Use skew.write_values_bucketed (sink-side "
+                "layout, no concat row) or set max_values to cap the output."
+            )
+        if layout == "grouped":
+            session_parts = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            grouped_parts = grouped_shuffle_partitions(
+                shape.get("est_value_bytes"), session_parts
+            )
+    if layout == "window":
+        if max_values is None:
+            raise ValueError("layout='window' requires max_values")
+        return capped_collect_sorted(
+            df, key_col, value_col, max_values=max_values,
+            out_col=out_col, as_string=as_string, sep=sep,
+        )
+    if layout == "grouped":
+        return grouped_collect_sorted(
+            df, key_col, value_col, max_values=max_values,
+            out_col=out_col, as_string=as_string, sep=sep,
+            num_partitions=grouped_parts,
+        )
+    if layout == "salted":
+        if max_values is not None:
+            raise ValueError("layout='salted' is the uncapped layout; max_values=None")
+        return salted_collect_sorted(
+            df, key_col, value_col, n_salts=n_salts,
+            out_col=out_col, as_string=as_string, sep=sep,
+            known_max_fanin=shape["est_max_fanin"] if shape else None,
+        )
+    raise ValueError(f"layout must be auto|window|grouped|salted, got {layout!r}")
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -102,61 +102,21 @@ def rwlg_collect(
       two-phase merge, guarded by its own ``SALTED_MERGE_LIMIT``).
 
     Every layout yields identical rows for the same ``max_values``
-    (pinned in ``test_rwlg_collect_layouts_agree``)."""
+    (pinned in ``test_rwlg_collect_layouts_agree``). Thin wrapper over
+    the general operator ``skew.adaptive_collect_sorted`` — any
+    (key, value) collect gets the same policy, not just rwlg."""
     from distributed_computing_platform_mapreduce_spark.operators import skew
 
-    grouped_parts = None
-    if layout == "auto":
-        if shape is None:
-            shape = skew.estimate_collect_shape(edges, "dst", value_col="src")
-        layout = skew.choose_collect_layout(
-            shape["est_max_fanin"], shape["n_partitions"], max_values
-        )
-        if layout == "bucketed":
-            raise ValueError(
-                f"estimated hot-key fan-in ≈{shape['est_max_fanin']:,} exceeds "
-                f"the salted merge limit ({skew.SALTED_MERGE_LIMIT:,}): no "
-                "group-concat layout terminates at this shape (measured, "
-                "SCALE.md r13). Use skew.write_values_bucketed (sink-side "
-                "layout, no concat row) or set max_values to cap the output."
-            )
-        if layout == "grouped":
-            # collect buffers are unmanaged heap: width the exchange so no
-            # reduce task owns more than GROUPED_TASK_VALUE_BYTES of values
-            # (the r14 4 GB OOM; None = the session width already suffices)
-            session_parts = int(
-                edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-            )
-            grouped_parts = skew.grouped_shuffle_partitions(
-                shape.get("est_value_bytes"), session_parts
-            )
-    if layout == "window":
-        if max_values is None:
-            raise ValueError("layout='window' requires max_values")
-        return skew.capped_collect_sorted(
-            edges, "dst", "src", max_values=max_values, out_col="sources"
-        )
-    if layout == "grouped":
-        return skew.grouped_collect_sorted(
-            edges,
-            "dst",
-            "src",
-            max_values=max_values,
-            out_col="sources",
-            num_partitions=grouped_parts,
-        )
-    if layout == "salted":
-        if max_values is not None:
-            raise ValueError("layout='salted' is the uncapped layout; max_values=None")
-        return skew.salted_collect_sorted(
-            edges,
-            "dst",
-            "src",
-            n_salts=n_salts,
-            out_col="sources",
-            known_max_fanin=shape["est_max_fanin"] if shape else None,
-        )
-    raise ValueError(f"layout must be auto|window|grouped|salted, got {layout!r}")
+    return skew.adaptive_collect_sorted(
+        edges,
+        "dst",
+        "src",
+        max_values=max_values,
+        n_salts=n_salts,
+        out_col="sources",
+        layout=layout,
+        shape=shape,
+    )
 
 
 @query(

@@ -888,6 +888,43 @@ def test_rwlg_collect_layouts_agree(spark):
         rwlg_collect(edges, max_values=None, layout="window")
 
 
+def test_adaptive_collect_sorted_general(spark):
+    """r14: the shape-adaptive collect is a GENERAL operator
+    (`skew.adaptive_collect_sorted`), not an rwlg special — any
+    (key, value) pair gets the same policy. Array form, custom out_col,
+    and the rwlg wrapper's delegation all agree with the plain
+    groupBy."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        adaptive_collect_sorted,
+    )
+
+    e = spark.range(0, 3000).selectExpr(
+        "concat('g', id % 17) AS grp", "format_string('x%05d', id) AS item"
+    )
+    want = {
+        (r["grp"], tuple(r["vals"]))
+        for r in e.groupBy("grp")
+        .agg(F.array_sort(F.collect_list("item")).alias("vals"))
+        .collect()
+    }
+    got = {
+        (r["grp"], tuple(r["items"]))
+        for r in adaptive_collect_sorted(
+            e, "grp", "item", out_col="items", as_string=False
+        ).collect()
+    }
+    assert got == want
+    # capped string form via a forced layout
+    capped = {
+        r["grp"]: r["items"]
+        for r in adaptive_collect_sorted(
+            e, "grp", "item", max_values=5, out_col="items", layout="grouped"
+        ).collect()
+    }
+    for grp, vals in want:
+        assert capped[grp] == ",".join(list(vals)[:5])
+
+
 def test_salted_collect_merge_guard(spark):
     """VERDICT r13 #3: the salted merge's measured termination boundary
     (10M survives / 40M dies) is enforced in code — a caller-supplied

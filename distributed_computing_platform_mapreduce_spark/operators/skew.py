@@ -53,12 +53,17 @@ SALTED_MERGE_LIMIT = 16_000_000
 #: spill nor count against Spark's memory manager — the r14 4 GB
 #: measurement: 480M 16-char values over 32 reduce tasks ≈ 250 MB raw
 #: → ~1 GB of Java strings per task × 32 concurrent = heap death at
-#: the engine's 8 g local JVM. 32 MB raw × ~4× object overhead ≈
-#: 128 MB live per task — safe at 0.25 GB/core, merely narrow tasks at
-#: cluster-normal 4–8 GB/core.
-GROUPED_TASK_VALUE_BYTES = 32 * 1024 * 1024
-#: Java object/UnsafeRow overhead multiplier on raw string bytes.
-COLLECT_BYTES_OVERHEAD = 4
+#: the engine's 8 g local JVM. Budget A/B on the 1 GB replica corpus
+#: (12-char values — object overhead is ~5× on short strings, worst
+#: case): 32 MB/task (36 parts) DIED in GC-locker thrash, 16 MB
+#: (72 parts) 29.9 s, 8 MB (144 parts) 23.7 s — 8 MB is both the
+#: safest and the fastest measured point (narrower tasks overlap GC),
+#: and small corpora never widen at all (the rule returns None when
+#: the session width suffices).
+GROUPED_TASK_VALUE_BYTES = 8 * 1024 * 1024
+#: Java object/UnsafeRow overhead multiplier on raw string bytes
+#: (measured ~5× on 12-char strings — headers dominate short payloads).
+COLLECT_BYTES_OVERHEAD = 5
 
 
 def estimate_collect_shape(

@@ -1002,7 +1002,7 @@ def test_grouped_shuffle_partitions_sizing():
 
     # the measured 4 GB shape: ~7.7 GB of value payload → widen well past 32
     want = -(-7_700_000_000 // GROUPED_TASK_VALUE_BYTES)
-    assert grouped_shuffle_partitions(7_700_000_000, 32) == want >= 230
+    assert grouped_shuffle_partitions(7_700_000_000, 32) == want >= 900
     # session width already sufficient → None (don't narrow, don't churn)
     assert grouped_shuffle_partitions(10 * 1024 * 1024, 32) is None
     assert grouped_shuffle_partitions(None, 32) is None

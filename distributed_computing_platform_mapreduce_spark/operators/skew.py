@@ -26,6 +26,8 @@ regime wants.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -64,6 +66,130 @@ GROUPED_TASK_VALUE_BYTES = 8 * 1024 * 1024
 #: Java object/UnsafeRow overhead multiplier on raw string bytes
 #: (measured ~5× on 12-char strings — headers dominate short payloads).
 COLLECT_BYTES_OVERHEAD = 5
+#: Fraction of one task's heap share the collect buffer's LIVE bytes
+#: may own (budget = fraction × share ÷ overhead, so live = budget ×
+#: overhead = fraction × share). The r14 A/B at 16 g / 32 cores
+#: (0.5 GB/task share) measured the boundary directly: live 31% of the
+#: share (32 MB budget) died in GC-locker thrash, 15.6% (16 MB) was
+#: GC-bound-slow, 7.8% (8 MB) was safest AND fastest. 0.05 sits under
+#: the measured-good point with margin, keeps the 8 MB floor binding at
+#: both measured local configs (8 g/32 and 16 g/32 — the 4 GB bench
+#: point's plan is unchanged), and widens the budget ~10× at a
+#: cluster-normal 8 GB/core executor instead of hardcoding a local-JVM
+#: constant into a general operator (r14 VERDICT #3).
+GROUPED_TASK_HEAP_FRACTION = 0.05
+#: Ceiling on the widened exchange: past ~32k reduce partitions the
+#: shuffle's per-partition file/connection overhead dominates any
+#: buffer-safety gain (est_value_bytes / budget at true 100 TB shapes
+#: would otherwise ask for millions of partitions).
+GROUPED_MAX_SHUFFLE_PARTITIONS = 32_768
+
+_MEM_UNITS = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _parse_mem_bytes(s) -> int | None:
+    """Parse a Spark memory conf string ('8g', '512m', '16384') to
+    bytes. Bare numbers are MiB — Spark's convention for memory confs
+    (``spark.executor.memory`` etc.). None/unparseable → None."""
+    if s is None:
+        return None
+    s = str(s).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    if not s:
+        return None
+    if s[-1] in _MEM_UNITS:
+        try:
+            return int(float(s[:-1]) * _MEM_UNITS[s[-1]])
+        except ValueError:
+            return None
+    try:
+        return int(float(s) * 1024**2)
+    except ValueError:
+        return None
+
+
+def _mem_per_task_bytes(spark) -> int | None:
+    """Heap bytes one concurrently-running task can claim: executor
+    memory / executor cores on a cluster, driver memory / local[N]
+    threads in local mode. None when the confs aren't readable — the
+    caller falls back to the measured local floor."""
+    try:
+        master = spark.conf.get("spark.master", "") or ""
+    except Exception:  # noqa: BLE001 — conf unreadable mid-teardown
+        return None
+    try:
+        if master.startswith("local"):
+            mem = _parse_mem_bytes(spark.conf.get("spark.driver.memory", None))
+            inside = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
+            if inside in ("*", ""):
+                import os
+
+                cores = os.cpu_count() or 1
+            else:
+                cores = max(1, int(inside.split(",")[0]))
+        else:
+            mem = _parse_mem_bytes(spark.conf.get("spark.executor.memory", None))
+            cores = max(1, int(spark.conf.get("spark.executor.cores", "1") or 1))
+    except Exception:  # noqa: BLE001 — exotic master strings / conf values
+        return None
+    if not mem:
+        return None
+    return mem // cores
+
+
+def grouped_task_value_bytes(
+    spark=None,
+    mem_per_task_bytes: int | None = None,
+    fraction: float = GROUPED_TASK_HEAP_FRACTION,
+    floor_bytes: int = GROUPED_TASK_VALUE_BYTES,
+) -> int:
+    """Raw value bytes one grouped-collect reduce task may own, derived
+    from the execution environment (r15, VERDICT r14 #3):
+
+        max(floor, fraction × heap-per-task ÷ COLLECT_BYTES_OVERHEAD)
+
+    The 8 MB floor is the measured local-mode operating point (r14 A/B
+    at 16 g/32 cores: 32 MB died in GC-locker thrash, 8 MB was fastest);
+    the formula is what generalizes it — at the engine's local 8 g/32
+    and the 4 GB worker's 16 g/32 the floor binds (measured plans
+    unchanged), at a cluster-normal 8 GB/core executor it widens to
+    ~82 MB/task, so the operator no longer asks a 1000-executor cluster
+    for millions of reduce partitions (with
+    :func:`grouped_shuffle_partitions`'s 32k clamp as the backstop)."""
+    if mem_per_task_bytes is None and spark is not None:
+        mem_per_task_bytes = _mem_per_task_bytes(spark)
+    if not mem_per_task_bytes:
+        return floor_bytes
+    return max(floor_bytes, int(fraction * mem_per_task_bytes / COLLECT_BYTES_OVERHEAD))
+
+
+#: Session-local shape-estimate cache keyed by the input plan's
+#: semanticHash (the ``dedup._shingle_cache`` pattern — r14 VERDICT
+#: stretch #7): repeated adaptive collects over the same corpus (bench
+#: re-runs, iterative pipelines) pay the sampling job once. Keyed by
+#: plan SEMANTICS, not data: rewriting the files under an identical
+#: plan in place keeps serving the old estimate — call
+#: :func:`clear_shape_cache` after in-place rewrites.
+_SHAPE_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
+_SHAPE_CACHE_MAX = 64
+
+
+def clear_shape_cache() -> None:
+    """Drop every cached shape estimate (after in-place input rewrites)."""
+    _SHAPE_CACHE.clear()
+
+
+def _shape_cache_key(
+    df: DataFrame, key_col: str, value_col: str | None, sample_fraction: float
+):
+    """(semanticHash of the analyzed plan, cols, fraction) — None when
+    the JVM handle isn't reachable (then the caller just recomputes)."""
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # noqa: BLE001 — exotic/py4j-less DataFrames
+        return None
+    return (h, key_col, value_col, sample_fraction)
 
 
 def estimate_collect_shape(
@@ -72,6 +198,7 @@ def estimate_collect_shape(
     value_col: str | None = None,
     sample_fraction: float = 0.01,
     seed: int = 41,
+    use_cache: bool = True,
 ) -> dict:
     """One cheap sampled pass estimating the group-fan-in shape that
     decides which collect layout terminates (and which wins):
@@ -94,6 +221,12 @@ def estimate_collect_shape(
     outgrows the heap (the r14 4 GB OOM)."""
     if not 0 < sample_fraction <= 1:
         raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+    cache_key = (
+        _shape_cache_key(df, key_col, value_col, sample_fraction) if use_cache else None
+    )
+    if cache_key is not None and cache_key in _SHAPE_CACHE:
+        _SHAPE_CACHE.move_to_end(cache_key)
+        return _SHAPE_CACHE[cache_key]
     cols = [key_col] + ([value_col] if value_col else [])
     keyed = df.select(*cols)
     sampled = keyed if sample_fraction == 1 else keyed.sample(False, sample_fraction, seed)
@@ -111,7 +244,7 @@ def estimate_collect_shape(
         n_parts = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — exotic plans; scheduling default is close enough
         n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return {
+    shape = {
         "est_max_fanin": est,
         "n_partitions": max(1, int(n_parts)),
         "sample_fraction": sample_fraction,
@@ -120,23 +253,52 @@ def estimate_collect_shape(
             int((row["vbytes"] or 0) / sample_fraction) if value_col else None
         ),
     }
+    if cache_key is not None:
+        _SHAPE_CACHE[cache_key] = shape
+        while len(_SHAPE_CACHE) > _SHAPE_CACHE_MAX:
+            _SHAPE_CACHE.popitem(last=False)
+    return shape
 
 
 def grouped_shuffle_partitions(
     est_value_bytes: int | None,
     session_shuffle_partitions: int,
     task_value_bytes: int = GROUPED_TASK_VALUE_BYTES,
+    max_partitions: int = GROUPED_MAX_SHUFFLE_PARTITIONS,
 ) -> int | None:
     """Width the grouped collect's shuffle so each reduce task owns at
     most ``task_value_bytes`` of raw value payload (see
     ``GROUPED_TASK_VALUE_BYTES`` for why the session default is not
-    enough: collect buffers are unmanaged heap that never spills).
-    Returns ``None`` when the session's own shuffle width already
-    suffices — widening below it would only add scheduling overhead."""
+    enough: collect buffers are unmanaged heap that never spills;
+    derive ``task_value_bytes`` with :func:`grouped_task_value_bytes`
+    so cluster executors use their real heap share, not the local
+    floor). Returns ``None`` when the session's own shuffle width
+    already suffices — widening below it would only add scheduling
+    overhead. Clamped at ``max_partitions``: past ~32k the shuffle's
+    per-partition overhead dominates, and a corpus that still exceeds
+    the budget there needs bigger executors or the bucketed sink, not
+    a wider exchange."""
     if not est_value_bytes:
         return None
     needed = -(-est_value_bytes // task_value_bytes)  # ceil
+    needed = min(needed, max_partitions)
     return needed if needed > session_shuffle_partitions else None
+
+
+def _session_shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, guarded: platforms
+    may set the conf to a non-numeric value (e.g. ``'auto'`` under
+    vendor AQE forks — ADVICE r14), and a bare ``int()`` there would
+    crash every adaptive collect. Falls back to the scheduler's default
+    parallelism, then 200 (Spark's own default)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        pass
+    try:
+        return int(spark.sparkContext.defaultParallelism)
+    except Exception:  # noqa: BLE001 — context unreachable mid-teardown
+        return 200
 
 
 def choose_collect_layout(
@@ -159,7 +321,14 @@ def choose_collect_layout(
     - ``'window'`` when the hot key's values-per-partition exceed the
       cap — WindowGroupLimit prunes each map partition to its local
       top-k BEFORE the exchange, bounding shuffle fan-in at
-      k·partitions however hot the key.
+      k·partitions however hot the key — OR when the hot key's fan-in
+      exceeds ``hot_threshold`` in absolute terms (r15, ADVICE r14):
+      the grouped layout materializes a key's FULL fan-in in one
+      unmanaged collect buffer before the slice, and exchange widening
+      cannot split a single key, so a 5M-value hot key over enough
+      scan partitions would otherwise slip the per-partition test and
+      hit the measured unmanaged-buffer heap death; the window plan
+      bounds the buffer at the cap regardless of fan-in.
     - ``'grouped'`` otherwise — the window prunes nothing at this
       shape (every partition already holds ≤ k values of every key),
       so the single-shuffle groupBy + slice skips the degenerate
@@ -176,7 +345,12 @@ def choose_collect_layout(
     if max_values is not None:
         if max_values <= 0:
             raise ValueError(f"max_values must be positive, got {max_values}")
-        return "window" if est_max_fanin > max_values * max(1, n_partitions) else "grouped"
+        if (
+            est_max_fanin > max_values * max(1, n_partitions)
+            or est_max_fanin > hot_threshold
+        ):
+            return "window"
+        return "grouped"
     if est_max_fanin > merge_limit:
         return "bucketed"
     if est_max_fanin > hot_threshold:
@@ -411,9 +585,14 @@ def adaptive_collect_sorted(
       sampling job when the caller already knows the corpus.
     - ``'window'`` / ``'grouped'`` / ``'salted'`` force that layout
       (``'window'`` requires a cap; ``'salted'`` is uncapped-only).
+      Forced ``'grouped'`` still runs the heap-safety exchange sizing
+      (probing the shape if the caller didn't pass one — r15): forcing
+      the LAYOUT must not silently force the measured heap death too.
 
-    Every layout yields identical rows for the same ``max_values``."""
-    grouped_parts = None
+    Shape probes are cached per analyzed-plan semanticHash (r15):
+    repeated collects over the same corpus pay the sampling job once
+    per session. Every layout yields identical rows for the same
+    ``max_values``."""
     if layout == "auto":
         if shape is None:
             shape = estimate_collect_shape(df, key_col, value_col=value_col)
@@ -428,13 +607,21 @@ def adaptive_collect_sorted(
                 "SCALE.md r13). Use skew.write_values_bucketed (sink-side "
                 "layout, no concat row) or set max_values to cap the output."
             )
-        if layout == "grouped":
-            session_parts = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-            )
-            grouped_parts = grouped_shuffle_partitions(
-                shape.get("est_value_bytes"), session_parts
-            )
+    grouped_parts = None
+    if layout == "grouped":
+        # Heap-safety sizing runs for FORCED grouped too (r15, ADVICE
+        # r14: a forced grouped call at the 4 GB shape used to bypass
+        # the widening and reproduce the measured session-default-width
+        # heap death): without a caller-supplied shape, pay the sampled
+        # probe — cached per plan, and cheap next to an unmanaged-buffer
+        # OOM three stages in.
+        if shape is None:
+            shape = estimate_collect_shape(df, key_col, value_col=value_col)
+        grouped_parts = grouped_shuffle_partitions(
+            shape.get("est_value_bytes"),
+            _session_shuffle_partitions(df.sparkSession),
+            task_value_bytes=grouped_task_value_bytes(df.sparkSession),
+        )
     if layout == "window":
         if max_values is None:
             raise ValueError("layout='window' requires max_values")

@@ -1011,6 +1011,191 @@ def test_grouped_shuffle_partitions_sizing():
     assert (
         grouped_shuffle_partitions(33 * GROUPED_TASK_VALUE_BYTES, 32) == 33
     )
+    # r15 clamp: at true 100 TB value payloads the bytes/budget rule
+    # would ask for millions of reduce partitions — past any practical
+    # shuffle width (r14 VERDICT #3). 32k is the ceiling.
+    assert grouped_shuffle_partitions(10**15, 32) == 32_768
+    # ...and a session already wider than the clamp never narrows
+    assert grouped_shuffle_partitions(10**15, 40_000) is None
+
+
+def test_grouped_task_value_bytes_formula():
+    """r15 (VERDICT r14 #4): the grouped-collect task budget derives
+    from the execution environment — max(8 MB measured local floor,
+    fraction × heap-per-task ÷ object overhead) — instead of hardcoding
+    the local-JVM constant into a general operator. Pinned at the three
+    configs the verdict named: engine-local 8 g/32-core → the floor,
+    the 4 GB worker's 16 g/32-core → still the floor (the tuned 4 GB
+    plan is unchanged), simulated cluster 8 GB/core → ~10× wider."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        COLLECT_BYTES_OVERHEAD,
+        GROUPED_TASK_HEAP_FRACTION,
+        GROUPED_TASK_VALUE_BYTES,
+        _parse_mem_bytes,
+        grouped_task_value_bytes,
+    )
+
+    gib = 1024**3
+    # engine local: 8 g driver / 32 local threads = 256 MiB per task
+    assert grouped_task_value_bytes(mem_per_task_bytes=8 * gib // 32) == (
+        GROUPED_TASK_VALUE_BYTES
+    )
+    # the 4 GB worker's 16 g / 32 = 512 MiB per task: floor still binds
+    assert grouped_task_value_bytes(mem_per_task_bytes=16 * gib // 32) == (
+        GROUPED_TASK_VALUE_BYTES
+    )
+    # cluster-normal 8 GB/core executor: ~82 MB — ~10× the local floor
+    cluster = grouped_task_value_bytes(mem_per_task_bytes=8 * gib)
+    assert cluster == int(GROUPED_TASK_HEAP_FRACTION * 8 * gib / COLLECT_BYTES_OVERHEAD)
+    assert 9 * GROUPED_TASK_VALUE_BYTES < cluster < 11 * GROUPED_TASK_VALUE_BYTES
+    # unknown environment → the safe floor, never a crash
+    assert grouped_task_value_bytes() == GROUPED_TASK_VALUE_BYTES
+    # memory-string parsing (bare numbers are MiB — Spark's convention)
+    assert _parse_mem_bytes("8g") == 8 * gib
+    assert _parse_mem_bytes("512m") == 512 * 1024**2
+    assert _parse_mem_bytes("16384") == 16 * gib
+    assert _parse_mem_bytes("1t") == 1024**4
+    assert _parse_mem_bytes(None) is None
+    assert _parse_mem_bytes("oops") is None
+
+
+def test_choose_collect_layout_absolute_fanin_ceiling():
+    """r15 (ADVICE r14): the capped branch routes to 'window' past an
+    ABSOLUTE hot-key fan-in ceiling, independent of the scan partition
+    count — grouped materializes a key's full fan-in in one unmanaged
+    collect buffer and exchange widening cannot split a single key, so
+    a 5M-value hot key over 5000+ partitions must not slip the
+    per-partition test into the measured heap death; the window layout
+    bounds the buffer at max_values regardless of fan-in."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        SALTED_HOT_THRESHOLD,
+        choose_collect_layout,
+    )
+
+    # the ADVICE scenario: 5M ≤ cap·partitions (1000 × 5000) but far
+    # past any survivable single-key collect buffer → window
+    assert choose_collect_layout(5_000_000, 5000, 1000) == "window"
+    # just under the ceiling with a wide scan: grouped is still right
+    # (one ~900k-value buffer is the measured-survivable class)
+    assert choose_collect_layout(900_000, 5000, 1000) == "grouped"
+    # the ceiling is the same constant the uncapped salted regime uses
+    assert choose_collect_layout(SALTED_HOT_THRESHOLD + 1, 5000, 1000) == "window"
+    assert choose_collect_layout(SALTED_HOT_THRESHOLD, 5000, 1000) == "grouped"
+
+
+def test_session_shuffle_partitions_guard():
+    """r15 (ADVICE r14): a non-numeric ``spark.sql.shuffle.partitions``
+    (vendor forks set 'auto') must not crash the adaptive collect —
+    fall back to defaultParallelism, then 200."""
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        _session_shuffle_partitions,
+    )
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v
+
+    class _Ctx:
+        defaultParallelism = 7
+
+    class _Fake:
+        def __init__(self, v, ctx=True):
+            self.conf = _Conf(v)
+            if ctx:
+                self.sparkContext = _Ctx()
+
+        @property
+        def sparkContext_raising(self):
+            raise RuntimeError("torn down")
+
+    assert _session_shuffle_partitions(_Fake("48")) == 48
+    assert _session_shuffle_partitions(_Fake("auto")) == 7
+    assert _session_shuffle_partitions(_Fake(None)) == 7
+
+    class _NoCtx:
+        conf = _Conf("auto")
+
+        @property
+        def sparkContext(self):
+            raise RuntimeError("torn down")
+
+    assert _session_shuffle_partitions(_NoCtx()) == 200
+
+
+def test_shape_estimate_cache(spark):
+    """r15 (VERDICT r14 stretch #7): shape estimates cache per
+    analyzed-plan semanticHash — the second adaptive collect over the
+    same corpus returns the SAME estimate object without re-running the
+    sampling job (bench re-runs and iterative pipelines pay the probe
+    once per session)."""
+    from distributed_computing_platform_mapreduce_spark.operators import skew
+
+    skew.clear_shape_cache()
+    e = spark.range(0, 5000).selectExpr(
+        "concat('k', id % 50) AS k", "format_string('v%05d', id) AS v"
+    )
+    first = skew.estimate_collect_shape(e, "k", value_col="v", sample_fraction=1.0)
+    again = skew.estimate_collect_shape(e, "k", value_col="v", sample_fraction=1.0)
+    assert again is first  # identity ⇒ no recompute, zero extra jobs
+    # a semantically identical RE-BUILT plan hits the same entry
+    e2 = spark.range(0, 5000).selectExpr(
+        "concat('k', id % 50) AS k", "format_string('v%05d', id) AS v"
+    )
+    assert skew.estimate_collect_shape(e2, "k", value_col="v", sample_fraction=1.0) is first
+    # different parameters are different cache keys
+    other = skew.estimate_collect_shape(e, "k", value_col="v", sample_fraction=0.5)
+    assert other is not first
+    # opt-out recomputes (fresh object), cache-clear forgets
+    assert (
+        skew.estimate_collect_shape(
+            e, "k", value_col="v", sample_fraction=1.0, use_cache=False
+        )
+        is not first
+    )
+    skew.clear_shape_cache()
+    assert (
+        skew.estimate_collect_shape(e, "k", value_col="v", sample_fraction=1.0)
+        is not first
+    )
+    skew.clear_shape_cache()
+
+
+def test_forced_grouped_layout_applies_exchange_widening(spark):
+    """r15 (ADVICE r14): forcing layout='grouped' must not bypass the
+    heap-safety exchange sizing — with a shape whose value payload
+    exceeds the per-task budget, the forced-grouped plan repartitions
+    wider than the session width (same as the auto path)."""
+    from distributed_computing_platform_mapreduce_spark.operators import skew
+
+    e = spark.range(0, 2000).selectExpr(
+        "concat('k', id % 20) AS k", "format_string('v%05d', id) AS v"
+    )
+    big_shape = {
+        "est_max_fanin": 100,
+        "n_partitions": 32,
+        "sample_fraction": 1.0,
+        "est_rows": 2000,
+        "est_value_bytes": 200 * skew.GROUPED_TASK_VALUE_BYTES,
+    }
+    forced = skew.adaptive_collect_sorted(
+        e, "k", "v", max_values=1000, layout="grouped", shape=big_shape
+    )
+    plan = forced._sc._jvm.PythonSQLUtils.explainString(
+        forced._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(k#" in plan and ", 200)" in plan, plan
+    # output unchanged by the widened exchange
+    assert forced.count() == 20
+    # forced grouped WITHOUT a caller shape probes one itself (cached)
+    # rather than silently skipping the sizing
+    skew.clear_shape_cache()
+    forced2 = skew.adaptive_collect_sorted(e, "k", "v", max_values=1000, layout="grouped")
+    assert forced2.count() == 20
+    assert len(skew._SHAPE_CACHE) == 1  # the probe ran and cached
+    skew.clear_shape_cache()
 
 
 def test_write_values_bucketed_sink_layout(spark, tmp_path):

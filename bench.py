@@ -131,6 +131,194 @@ BENCH_CORPUS_DIR = os.environ.get(
 # the median rejects one outlier run.
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+# ---------------------------------------------------------------------------
+# Global deadline + section shedding (r15, VERDICT r14 #1).
+#
+# BENCH_r14.json is rc=124/parsed=null: the bench outgrew the driver's wall
+# budget (3 potential sweep attempts × ~65 points, plus subprocess sections
+# with 1800 s + 2400 s straggler budgets, plus five scalability JVMs) and the
+# driver's timeout killed it before ANY record line printed. The fix is a
+# hard internal deadline, checked between sections: optional work is shed in
+# a declared order with `{"skipped": "deadline"}` markers, retries are capped
+# when the remaining budget cannot fit another sweep, and the record is
+# printed after the MAIN sweep and re-printed after every section — a kill
+# at any point leaves the driver tail holding a complete parseable record.
+#
+# Default 2700 s: r13's bench (same sections minus the 4 GB worker and the
+# spans scalability subject) finished inside the driver's window, r14's
+# longer sweep did not — so the driver's budget sits somewhere above r13's
+# ~45+ min runtime; 2700 s of work + margin stays under it while fitting the
+# main sweep (~20-25 min) plus the highest-priority sections.
+# ---------------------------------------------------------------------------
+BENCH_DEADLINE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2700"))
+_BENCH_T0 = time.monotonic()
+#: Seconds reserved at the very end for emitting records + spark.stop().
+FINAL_MARGIN_SEC = 90.0
+
+#: Post-sweep subprocess sections in EXECUTION order (= judge priority:
+#: the 4 GB adaptive-layout point is the round's headline scale evidence
+#: — r14 VERDICT #3 — and sheds last; scalability sheds first). The
+#: estimate is the section's typical cost with corpora cached; the gate
+#: is `remaining > est + FINAL_MARGIN_SEC`.
+SECTION_PLAN = [
+    ("rwlg_4gb", 700.0),
+    ("skew_1gb", 420.0),
+    ("scalability", 900.0),
+]
+
+#: Sections/points shed by the deadline this run: name → reason. The
+#: record carries it as {"skipped": "deadline"} markers (VERDICT #1).
+_SHED: dict[str, str] = {}
+
+
+def _remaining_sec() -> float:
+    return BENCH_DEADLINE_SEC - (time.monotonic() - _BENCH_T0)
+
+
+def _gate(est_cost_sec: float, margin: float = FINAL_MARGIN_SEC) -> bool:
+    """True when the remaining deadline budget fits `est_cost_sec` of
+    work plus the final emission margin."""
+    return _remaining_sec() > est_cost_sec + margin
+
+
+def _shed(name: str, reason: str = "deadline") -> None:
+    _SHED[name] = reason
+
+
+def plan_sections(
+    remaining_sec: float,
+    sections=tuple(SECTION_PLAN),
+    margin: float = FINAL_MARGIN_SEC,
+) -> list[tuple[str, str]]:
+    """Pure decision procedure for the post-sweep sections (testable
+    without Spark): walk the plan in order, 'run' while the remaining
+    budget fits est + margin, 'shed' otherwise. Mirrors main()'s live
+    gating (which re-reads the clock between sections)."""
+    out = []
+    rem = remaining_sec
+    for name, est in sections:
+        if rem > est + margin:
+            out.append((name, "run"))
+            rem -= est
+        else:
+            out.append((name, "shed"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Record emission (r15, VERDICT r14 #2).
+#
+# The driver records only the LAST 2000 chars of the merged process output,
+# and the old single end-of-run "compact" line had grown to ~2.3 KB — parsed
+# has been null since r13 even at rc=0. The compact line now (a) rounds to
+# 2 dp, (b) drops zero-information fields, (c) keeps queries in a declared
+# priority order and drops tail keys until the line fits under 1.9 KB, and
+# (d) points at records/bench_last_full.json, where the COMPLETE record
+# (full-precision times, spreads, errors, canaries, worker metadata) is
+# written on every emission.
+# ---------------------------------------------------------------------------
+COMPACT_TAIL_LIMIT = 1900
+RECORDS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "records")
+FULL_RECORD_REL = "records/bench_last_full.json"
+
+#: Queries kept in the compact line, in keep-priority order: the four
+#: BASELINE.md ratio points first, then the scale-evidence points (4 GB
+#: adaptive layout, 1 GB slopes, skew A/B), then the headline registered
+#: queries, then the strong-scaling endpoints. Everything else follows
+#: alphabetically and is the first to drop when the line must shrink.
+COMPACT_PRIORITY = [
+    "wordcount_50mb", "wordcount_200mb", "rwlg_50mb", "rwlg_200mb",
+    "rwlg_4gb_uniform_auto", "rwlg_4gb_uniform_window",
+    "wordcount_1gb", "rwlg_1gb", "rwlg_1gb_capped",
+    "rwlg_skew_naive_1gb", "rwlg_skew_salted_1gb", "rwlg_skew_capped_1gb",
+    "dedup_spans_k50_1gb", "incremental_increment_1gb",
+    "incremental_small_increment_1gb", "incremental_small_increment_1gb_bloom",
+    "incremental_small_increment_1gb_bcast", "bpe_train_incr_30k_1gb",
+    "rwlg_skew_naive", "rwlg_skew_salted",
+    "wordcount", "rwlg", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "dedup_minhash_lsh", "dedup_cc_survivors", "similarity_topk_suite",
+    "dedup_spans_k50", "image_neardup", "stream_incr_dedup_3batch",
+    "scal_wc200_c2", "scal_wc200_c32", "scal_rwlg200_c2", "scal_rwlg200_c32",
+    "scal_spans200_c2", "scal_spans200_c32",
+]
+
+
+def _compact_canary(canary: dict | None) -> dict:
+    c = canary or {}
+    drift = c.get("drift_pct") or {}
+    return {
+        "load_contaminated": c.get("load_contaminated"),
+        "gemm_drift_pct": drift.get("gemm_sec") if isinstance(drift, dict) else None,
+        "abs_gate": c.get("abs_gate_exceeded"),
+    }
+
+
+def _compact_record(record: dict, limit: int = COMPACT_TAIL_LIMIT) -> str:
+    """One JSON line, guaranteed ≤ `limit` chars, carrying the verdict-
+    critical fields: total, the priority query medians (2 dp), the
+    canary verdict, kills/sheds, and the pointer to the full record."""
+    q = record.get("queries", {})
+    prio = set(COMPACT_PRIORITY)
+    ordered = [k for k in COMPACT_PRIORITY if k in q]
+    ordered += sorted(k for k in q if k not in prio)
+    base = {
+        "metric": record.get("metric"),
+        "value": record.get("value"),
+        "unit": "sec",
+        "sf": record.get("sf"),
+        "queries": {},
+        "q_omitted": 0,
+        "canary": _compact_canary(record.get("canary")),
+        "budget_kills": sorted(record.get("budget_kills", {})),
+        "shed": sorted(record.get("shed", {})),
+        "attempt": record.get("attempt"),
+        "n_errors": len(record.get("errors", {})),
+        "n_discarded_attempts": len(record.get("discarded_attempts", [])),
+        "partial": record.get("partial"),
+        "elapsed_sec": record.get("elapsed_sec"),
+        "full_record": FULL_RECORD_REL,
+        "compact": True,
+    }
+    # prefix-sum fit (each kept entry costs its own JSON bytes), then a
+    # decrement-verify loop — the check that matters runs on the REAL
+    # dumped line, so the returned string is ≤ limit by construction
+    base["queries"] = {}
+    base["q_omitted"] = len(ordered)
+    slack = limit - len(json.dumps(base, separators=(",", ":"))) - 8
+    keep = used = 0
+    for k in ordered:
+        c = len(json.dumps(k)) + 1 + len(json.dumps(round(q[k], 2))) + 1
+        if used + c > slack:
+            break
+        used += c
+        keep += 1
+    while True:
+        base["queries"] = {k: round(q[k], 2) for k in ordered[:keep]}
+        base["q_omitted"] = len(ordered) - keep
+        line = json.dumps(base, separators=(",", ":"))
+        if len(line) <= limit or keep == 0:
+            return line
+        keep -= 1
+
+
+def _emit_records(record: dict) -> str:
+    """Print the full record line, persist it to records/, then print
+    the compact line LAST. Called after the main sweep and after every
+    subprocess section (VERDICT #1b): a kill at ANY later point leaves
+    the tail holding the most recent complete, parseable record —
+    `partial` says what it covers."""
+    print(json.dumps(record))
+    try:
+        os.makedirs(RECORDS_DIR, exist_ok=True)
+        with open(os.path.join(RECORDS_DIR, "bench_last_full.json"), "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout lines are still the record
+    compact = _compact_record(record)
+    print(compact)
+    sys.stdout.flush()
+    return compact
+
 # NOTE on dedup_minhash_lsh timings: since r3 each minhash call evicts the
 # previous call's persisted shingle table (operators/dedup.py), so timed
 # runs pay the full shingle+signature cost — COLD-cache by design (r02's
@@ -260,6 +448,12 @@ def _ref_scale_times(
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for label, nbytes in REF_SCALES.items():
+        # the 50/200 MB points are the BASELINE.md ratios — only the 1 GB
+        # slope block is sheddable, and only near the deadline (the
+        # declared shed order keeps 1 GB extras until almost last)
+        if label == "1gb" and not _gate(240.0):
+            _shed("ref_scale_1gb")
+            continue
         try:
             docs_path, edges_path = _ensure_ref_corpora(spark, sf_dir, label, nbytes)
         except Exception as exc:  # noqa: BLE001 — isolate per scale point
@@ -306,14 +500,26 @@ def _ref_scale_times(
             try:
                 fn()  # warm the plan shape (codegen/JIT) before timing
                 if label == "1gb":
-                    # slope point, not a baseline ratio: one timed run
-                    # (rwlg alone is ~22 s — median-of-3 would add ~90 s
-                    # of bench wall for a number whose job is only to
-                    # show the 200 MB → 1 GB scaling exponent)
+                    # slope point, not a baseline ratio — but MIN-OF-2,
+                    # not once-timed (r15, VERDICT r14 #5: the r14 anchor
+                    # carried a +60% one-run artifact on rwlg_1gb that a
+                    # second run would have halved). min, not median:
+                    # the slope wants the least-perturbed run. The second
+                    # timing is skipped only when the deadline leaves no
+                    # room (1 GB extras shed nearly last).
+                    samples = []
                     t0 = time.perf_counter()
                     fn()
-                    med = round(time.perf_counter() - t0, 3)
-                    lo = hi = med
+                    samples.append(time.perf_counter() - t0)
+                    if _gate(samples[0] * 1.5 + 600.0):
+                        t0 = time.perf_counter()
+                        fn()
+                        samples.append(time.perf_counter() - t0)
+                    else:
+                        _shed(f"{key}_second_run")
+                    med = round(min(samples), 3)
+                    lo = round(min(samples), 3)
+                    hi = round(max(samples), 3)
                 else:
                     med, lo, hi = _timed_median(fn)
             except Exception as exc:  # noqa: BLE001
@@ -346,18 +552,26 @@ def _scalability_times(
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    cores_csv = os.environ.get("SPARK_GRAFT_BENCH_SCAL_CORES", "2,4,8,16,32")
+    # Endpoint-first order (r15): the curve's information is the c2→c32
+    # slope, so if the deadline sheds mid-sweep the endpoints land
+    # first. Each JVM is fresh, so point order can't contaminate points.
+    cores_csv = os.environ.get("SPARK_GRAFT_BENCH_SCAL_CORES", "2,32,16,8,4")
     cores_list = [int(c) for c in cores_csv.split(",") if c.strip()]
     tool = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_scalability.py"
     )
     for cores in cores_list:
+        # low-core JVMs are the slow ones (~2-6 min with the spans
+        # subject); shed per-JVM as the deadline approaches
+        if not _gate(420.0 if cores <= 4 else 240.0):
+            _shed(f"scal_c{cores}")
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, tool, "--cores", str(cores), "--sf-dir", sf_dir],
                 capture_output=True,
                 text=True,
-                timeout=1800,
+                timeout=max(120.0, min(1800.0, _remaining_sec() - FINAL_MARGIN_SEC)),
             )
             rec = None
             for line in reversed(proc.stdout.strip().splitlines()):
@@ -518,7 +732,9 @@ def _ensure_skew_corpus_1gb(spark) -> str:
     return path
 
 
-def _skew_times_1gb(spark) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+def _skew_times_1gb(
+    spark, progress=None
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
     """The three rwlg collect policies on the 1 GB hot-key corpus
     (r12, VERDICT #5): naive collect-per-key, two-phase salted collect,
     and the capped WindowGroupLimit layout (the engine's default rwlg
@@ -597,6 +813,10 @@ def _skew_times_1gb(spark) -> tuple[dict[str, float], dict[str, list[float]], di
                 errors["skew_1gb_equivalence"] = (
                     f"salted vs naive signatures differ: {salted_sig} vs {got}"
                 )
+        if progress is not None:
+            # per-leg cumulative flush (r15, ADVICE r14): a parent
+            # timeout salvage keeps the completed legs
+            progress(times, spread, errors)
     if not checked and "rwlg_skew_naive_1gb" in times:
         errors["skew_1gb_equivalence"] = "salted leg missing; equality unchecked"
     return times, spread, errors
@@ -1105,6 +1325,13 @@ def _r10_crop_times(
     except Exception as exc:  # noqa: BLE001
         errors["training_order_rank"] = _error_line(exc)
 
+    if not _gate(300.0):
+        # the whole 1 GB slope block is sheddable, but nearly last in
+        # the declared order (r15): it is scale evidence second only to
+        # the 4 GB point
+        _shed("slope_1gb")
+        return times, spread, errors
+
     # 1 GB slope points — 2 samples (these dominate sweep wall-clock).
     # They run on a UNIQUE synthetic corpus, NOT the wordcount replica
     # corpora: replicas repeat the same text ~700×, so every replica
@@ -1201,21 +1428,28 @@ def _r10_crop_times(
                 is not None
             )
 
-        for key, fn in (
-            ("incremental_small_increment_1gb", incr_small(None)),
-            ("incremental_small_increment_1gb_bloom", incr_small(1 << 25)),
-            # the exact sibling: broadcast semi-join prefilter — the
-            # right lever while the increment's key set broadcasts
-            ("incremental_small_increment_1gb_bcast", incr_small_bcast),
-        ):
-            fn()  # warm
-            samples = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn()
-                samples.append(time.perf_counter() - t0)
-            times[key] = round(statistics.median(samples), 3)
-            spread[key] = [round(min(samples), 3), round(max(samples), 3)]
+        # The forced-A/B legs are FIRST in the declared shed order (r15,
+        # VERDICT #1: "forced-A/B legs → scalability → 4 GB → 1 GB
+        # extras") — their information is a within-record ratio, the
+        # cheapest evidence to re-derive next round.
+        if not _gate(1200.0):
+            _shed("incremental_prefilter_ab")
+        else:
+            for key, fn in (
+                ("incremental_small_increment_1gb", incr_small(None)),
+                ("incremental_small_increment_1gb_bloom", incr_small(1 << 25)),
+                # the exact sibling: broadcast semi-join prefilter — the
+                # right lever while the increment's key set broadcasts
+                ("incremental_small_increment_1gb_bcast", incr_small_bcast),
+            ):
+                fn()  # warm
+                samples = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn()
+                    samples.append(time.perf_counter() - t0)
+                times[key] = round(statistics.median(samples), 3)
+                spread[key] = [round(min(samples), 3), round(max(samples), 3)]
 
         # r11: the PRODUCTION-vocab BPE point the r10 verdict asked for.
         # The sf corpora can't carry it (31 distinct words — pair space
@@ -1370,6 +1604,9 @@ def _run_sweep(
     # an `errors` entry and the rest still report.
     plain = _bench_plain_queries(spark, sf_dir)
     for name in BENCH_QUERIES:
+        if not _gate(45.0):
+            _shed(f"query_{name}")
+            continue
 
         def run(q=name):
             df = plain[q]() if q in plain else QUERIES[q](spark, sf_dir)
@@ -1423,37 +1660,22 @@ def _run_sweep(
     except Exception as exc:  # noqa: BLE001
         errors["ref_scale"] = _error_line(exc)
 
-    try:
-        sk_times, sk_spread, sk_errors = _skew_times(spark)
-        times.update(sk_times)
-        spread.update(sk_spread)
-        errors.update(sk_errors)
-    except Exception as exc:  # noqa: BLE001
-        errors["skew"] = _error_line(exc)
-
-    try:
-        m_times, m_spread, m_errors = _media_times(spark, sf_dir)
-        times.update(m_times)
-        spread.update(m_spread)
-        errors.update(m_errors)
-    except Exception as exc:  # noqa: BLE001
-        errors["media"] = _error_line(exc)
-
-    try:
-        c_times, c_spread, c_errors = _r8_crop_times(spark, sf_dir)
-        times.update(c_times)
-        spread.update(c_spread)
-        errors.update(c_errors)
-    except Exception as exc:  # noqa: BLE001
-        errors["r8_crop"] = _error_line(exc)
-
-    try:
-        c_times, c_spread, c_errors = _r10_crop_times(spark, sf_dir)
-        times.update(c_times)
-        spread.update(c_spread)
-        errors.update(c_errors)
-    except Exception as exc:  # noqa: BLE001
-        errors["r10_crop"] = _error_line(exc)
+    for section, est, fn in (
+        ("skew", 180.0, lambda: _skew_times(spark)),
+        ("media", 240.0, lambda: _media_times(spark, sf_dir)),
+        ("r8_crop", 240.0, lambda: _r8_crop_times(spark, sf_dir)),
+        ("r10_crop", 240.0, lambda: _r10_crop_times(spark, sf_dir)),
+    ):
+        if not _gate(est):
+            _shed(section)
+            continue
+        try:
+            s_times, s_spread, s_errors = fn()
+            times.update(s_times)
+            spread.update(s_spread)
+            errors.update(s_errors)
+        except Exception as exc:  # noqa: BLE001
+            errors[section] = _error_line(exc)
 
     return times, spread, errors
 
@@ -1519,8 +1741,8 @@ def _run_tool_subprocess(
     )
 
 
-def _run_subprocess_sections(
-    sf_dir: str,
+def _run_one_section(
+    name: str, sf_dir: str
 ) -> tuple[
     dict[str, float],
     dict[str, list[float]],
@@ -1528,50 +1750,59 @@ def _run_subprocess_sections(
     dict[str, dict],
     dict[str, dict],
 ]:
-    """The sections that run OUTSIDE the main bench JVM, strictly AFTER
-    the post-sweep canary (r13 VERDICT #2): their fresh 8 g JVMs and
-    multi-GB corpus scans evict the page cache the main sweep's working
-    set lives in, which in r13 drove the post-canary's spark legs to
-    55–94% drift and left the round without a pristine absolute anchor.
-    The canary brackets the main sweep ONLY; these workers cold-start by
-    protocol and don't care about prior machine state.
+    """One post-sweep section by name. These run OUTSIDE the main bench
+    JVM, strictly AFTER the post-sweep canary (r13 VERDICT #2): their
+    fresh JVMs and multi-GB corpus scans evict the page cache the main
+    sweep's working set lives in, which in r13 drove the post-canary's
+    spark legs to 55–94% drift. The canary brackets the main sweep
+    ONLY; these workers cold-start by protocol.
 
-    - 1 GB skew drill (own heap: the naive leg's 10M-value single-task
-      collect OOMs occasionally — isolated since r13).
-    - 4 GB uniform-shape rwlg via the r14 adaptive layout (the corpus
-      shape whose capped/window plan blew r13's 15-minute straggler
-      budget; the chooser must pick the single-shuffle grouped layout
-      and terminate).
-    - Core-count strong-scaling sweep (five more JVMs).
-    Every worker runs under a recorded straggler budget."""
+    - ``rwlg_4gb``: 4 GB uniform-shape rwlg via the r14 adaptive layout
+      (the corpus shape whose capped/window plan blew r13's 15-minute
+      straggler budget) — FIRST: it is the round's headline scale
+      evidence (r14 VERDICT #3) and must land even if later sections
+      shed. The worker flushes a cumulative record after every leg, so
+      a straggler kill salvages completed legs (ADVICE r14).
+    - ``skew_1gb``: 1 GB skew drill (own heap: the naive leg's
+      10M-value single-task collect OOMs occasionally).
+    - ``scalability``: core-count strong-scaling sweep (five more JVMs,
+      endpoint-first, per-JVM sheddable).
+    Every worker runs under a recorded straggler budget, itself capped
+    by the remaining global deadline."""
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     kills: dict[str, dict] = {}
     meta: dict[str, dict] = {}
-    for name, tool, budget in (
-        ("skew_1gb", "bench_skew1gb.py", 1800.0),
-        ("rwlg_4gb", "bench_rwlg4gb.py", 2400.0),
-    ):
+    if name == "scalability":
         try:
-            t, s, e, k, x = _run_tool_subprocess(name, tool, budget)
-            times.update(t)
-            spread.update(s)
-            errors.update(e)
-            kills.update(k)
-            if x:
-                meta[name] = x
+            sc_times, sc_spread, sc_errors = _scalability_times(sf_dir)
+            times.update(sc_times)
+            spread.update(sc_spread)
+            errors.update(sc_errors)
         except Exception as exc:  # noqa: BLE001
-            errors[name] = _error_line(exc)
-
+            errors["scalability"] = _error_line(exc)
+        return times, spread, errors, kills, meta
+    tool, default_budget = {
+        "skew_1gb": ("bench_skew1gb.py", 1800.0),
+        # the 4 GB worker's internal legs sum to ~2700 s worst-case
+        # (corpus gen + probe + warm + 2 timed runs at 900 s each); the
+        # parent budget sits ABOVE that so a slow-but-terminating worker
+        # is never killed mid-leg (ADVICE r14) — and the worker's
+        # per-leg cumulative flush makes any kill salvage partial legs.
+        "rwlg_4gb": ("bench_rwlg4gb.py", 3000.0),
+    }[name]
+    budget = max(120.0, min(default_budget, _remaining_sec() - FINAL_MARGIN_SEC))
     try:
-        sc_times, sc_spread, sc_errors = _scalability_times(sf_dir)
-        times.update(sc_times)
-        spread.update(sc_spread)
-        errors.update(sc_errors)
+        t, s, e, k, x = _run_tool_subprocess(name, tool, budget)
+        times.update(t)
+        spread.update(s)
+        errors.update(e)
+        kills.update(k)
+        if x:
+            meta[name] = x
     except Exception as exc:  # noqa: BLE001
-        errors["scalability"] = _error_line(exc)
-
+        errors[name] = _error_line(exc)
     return times, spread, errors, kills, meta
 
 
@@ -1606,9 +1837,14 @@ def main() -> None:
     canary_pre = canary_post = None
     canary: dict = {"drift_pct": None, "load_contaminated": None}
     attempt = 0
+    last_sweep_elapsed = 0.0
 
     for attempt in range(1, max_attempts + 1):
-        idle_waited_total += _wait_for_idle(idle_wait)
+        # deadline-aware idle wait: never wait past the point where the
+        # sweep itself couldn't fit (r15)
+        idle_waited_total += _wait_for_idle(
+            max(0.0, min(idle_wait, _remaining_sec() - 1200.0))
+        )
         errors = {}
         try:
             canary_pre = _measure_canary(spark)
@@ -1642,7 +1878,10 @@ def main() -> None:
             )
             continue
 
+        _SHED.clear()  # a discarded attempt's shed markers don't describe this one
+        sweep_t0 = time.monotonic()
         times, spread, sweep_errors = _run_sweep(spark, sf_dir)
+        last_sweep_elapsed = time.monotonic() - sweep_t0
         errors.update(sweep_errors)
 
         try:
@@ -1666,6 +1905,17 @@ def main() -> None:
                 "drift_pct": canary["drift_pct"],
             }
         )
+        # r15 (VERDICT #1): cap retries by the deadline — a rerun that
+        # cannot finish is worse than a flagged record (the r14 failure
+        # mode was an EMPTY record, not a flagged one)
+        if _remaining_sec() < last_sweep_elapsed * 1.1 + 300.0:
+            _shed("canary_rerun", "deadline")
+            print(
+                f"# attempt {attempt} canary-red but the deadline cannot fit "
+                "another sweep — shipping the flagged attempt",
+                file=sys.stderr,
+            )
+            break
         print(
             f"# attempt {attempt} canary-red "
             f"(gemm drift {canary['drift_pct']['gemm_sec']}%) — discarding and rerunning",
@@ -1676,83 +1926,81 @@ def main() -> None:
     # post-sweep canary — the canary brackets the main sweep it verifies,
     # and the workers' page-cache eviction can no longer poison it. Their
     # own numbers are protocol-insensitive (fresh JVMs, recorded straggler
-    # budgets).
+    # budgets). r15: the record is emitted after the MAIN sweep and
+    # re-emitted after every section, each section is deadline-gated in
+    # the declared priority order, and the compact line always fits the
+    # driver's tail window — a kill anywhere leaves a parsed record.
     budget_kills: dict[str, dict] = {}
     worker_meta: dict[str, dict] = {}
-    try:
-        sp_times, sp_spread, sp_errors, budget_kills, worker_meta = (
-            _run_subprocess_sections(sf_dir)
-        )
-        times.update(sp_times)
-        spread.update(sp_spread)
-        errors.update(sp_errors)
-    except Exception as exc:  # noqa: BLE001
-        errors["subprocess_sections"] = _error_line(exc)
-
-    total = round(sum(times.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "errors": errors,
-                "spread_min_max": spread,
-                "runs_per_query": N_RUNS,
-                # r10 measurement-policy marker: registered queries are
-                # timed under bit_xor(xxhash64(struct(*))) — count()
-                # let Catalyst prune agg expressions and eliminate
-                # joins, under-measuring r≤9 records 1.3–2.5× on these
-                # points (wordcount/rwlg always collected; baseline
-                # ratios unaffected). Cross-round deltas on other
-                # points are policy, not regressions.
-                "materialization": "hash_struct_v2",
-                "sf": float(sf) if sf else None,
-                "baseline_sec": BASELINE_SEC,
-                "canary_pre": canary_pre,
-                "canary_post": canary_post,
-                "canary": canary,
-                # r14: the canary brackets the MAIN sweep only; the
-                # subprocess sections (skew drill, rwlg 4 GB, scalability)
-                # run after the post-canary by design
-                "canary_scope": "main_sweep",
-                "budget_kills": budget_kills,
-                "worker_meta": worker_meta,
-                "attempt": attempt,
-                "discarded_attempts": discarded,
-                "idle_wait_sec": round(idle_waited_total, 1),
-            }
-        )
-    )
-    # FINAL compact line (r9): the driver records only the last ~4 KB of
-    # stdout, and BENCH_r08's discarded-attempt history pushed the
-    # medians dict out of that tail ("parsed": null). This line repeats
-    # every verdict-critical field — total, per-query medians, the
-    # canary verdict — in well under 4 KB, so the tail ALWAYS carries a
-    # complete parseable record no matter how large the full record
-    # above grows.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf else None,
-                "canary": canary,
-                "canary_scope": "main_sweep",
-                "budget_kills": budget_kills,
-                "attempt": attempt,
-                "n_errors": len(errors),
-                "n_discarded_attempts": len(discarded),
-                "materialization": "hash_struct_v2",
-                "compact": True,
-            }
-        )
-    )
-    spark.stop()
+
+    def _record(partial: str | None) -> dict:
+        return {
+            "metric": "headline_queries_total_time",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "errors": errors,
+            "spread_min_max": spread,
+            "runs_per_query": N_RUNS,
+            # r10 measurement-policy marker: registered queries are
+            # timed under bit_xor(xxhash64(struct(*))) — count()
+            # let Catalyst prune agg expressions and eliminate
+            # joins, under-measuring r≤9 records 1.3–2.5× on these
+            # points (wordcount/rwlg always collected; baseline
+            # ratios unaffected). Cross-round deltas on other
+            # points are policy, not regressions.
+            "materialization": "hash_struct_v2",
+            "sf": float(sf) if sf else None,
+            "baseline_sec": BASELINE_SEC,
+            "canary_pre": canary_pre,
+            "canary_post": canary_post,
+            "canary": canary,
+            # the canary brackets the MAIN sweep only; the subprocess
+            # sections run after the post-canary by design (r14)
+            "canary_scope": "main_sweep",
+            "budget_kills": budget_kills,
+            "worker_meta": worker_meta,
+            "shed": dict(_SHED),
+            "attempt": attempt,
+            "discarded_attempts": discarded,
+            "idle_wait_sec": round(idle_waited_total, 1),
+            "deadline_sec": BENCH_DEADLINE_SEC,
+            "elapsed_sec": round(time.monotonic() - _BENCH_T0, 1),
+            # None = every planned section ran (or is marked shed);
+            # otherwise names the last completed stage — what a
+            # mid-section kill's salvaged tail covers
+            "partial": partial,
+        }
+
+    _emit_records(_record("main_sweep"))
+
+    for name, est in SECTION_PLAN:
+        if not _gate(est):
+            _shed(name)
+            _emit_records(_record(f"shed_{name}"))
+            continue
+        try:
+            t, s, e, k, x = _run_one_section(name, sf_dir)
+            times.update(t)
+            spread.update(s)
+            errors.update(e)
+            budget_kills.update(k)
+            worker_meta.update(x)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = _error_line(exc)
+        _emit_records(_record(f"after_{name}"))
+
+    final_compact = _emit_records(_record(None))
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001 — the record is already out
+        pass
+    # re-print the compact line AFTER stop(): JVM shutdown can write to
+    # stderr, and the driver tails the MERGED stream — the last thing in
+    # it must be the parseable record
+    print(final_compact)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -51,6 +51,11 @@ def get_spark(app_name: str = "distributed-computing-platform-mapreduce-spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # No console progress bars: they stream to stderr, and the bench
+        # driver records the MERGED tail of the process output — r14's
+        # record was 2000 chars of stage spinners with the JSON pushed
+        # out of the window. Engine logs are the record's enemy here.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
     if master is not None:

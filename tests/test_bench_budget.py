@@ -1,0 +1,159 @@
+"""Bench deadline/shedding/compact-record rehearsal (r15, VERDICT r14
+stretch #8): the bench pipeline's failure mode WAS the r14 round's
+failure mode (rc=124, parsed=null, an empty official record), so its
+decision procedures are tested like an operator — without Spark jobs.
+
+What is pinned:
+- the shed planner runs/sheds sections in the declared priority order
+  (4 GB scale evidence last to shed, scalability first among the
+  post-sweep sections);
+- the compact line fits the driver's measured 2000-char tail window at
+  EVERY shed depth and query-set size, stays parseable, and keeps the
+  BASELINE.md ratio points longest when it must drop keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_plan_sections_shed_order():
+    """Sections shed strictly from the back of the declared plan as the
+    remaining budget shrinks — the 4 GB point (headline scale evidence,
+    VERDICT r14 #3) is the last post-sweep section standing."""
+    names = [n for n, _ in bench.SECTION_PLAN]
+    assert names == ["rwlg_4gb", "skew_1gb", "scalability"]
+
+    def decisions(remaining):
+        return dict(bench.plan_sections(remaining))
+
+    all_run = decisions(10_000)
+    assert set(all_run.values()) == {"run"}
+    # shrink until only the 4 GB section fits, then nothing
+    mid = decisions(sum(e for _, e in bench.SECTION_PLAN[:2]) + 2 * 90 + 1)
+    assert mid["rwlg_4gb"] == "run" and mid["skew_1gb"] == "run"
+    assert mid["scalability"] == "shed"
+    tight = decisions(bench.SECTION_PLAN[0][1] + 90 + 1)
+    assert tight["rwlg_4gb"] == "run"
+    assert tight["skew_1gb"] == "shed" and tight["scalability"] == "shed"
+    none = decisions(50)
+    assert set(none.values()) == {"shed"}
+    # greedy-by-priority: when the top section does NOT fit, a cheaper
+    # lower-priority one that does fit still runs (use the budget, don't
+    # idle it away) — the live main() gate behaves identically
+    partial = decisions(bench.SECTION_PLAN[1][1] + 90 + 1)
+    assert partial["rwlg_4gb"] == "shed" and partial["skew_1gb"] == "run"
+
+
+def _fake_record(n_queries: int, partial, shed, kills, n_errors=3):
+    """A record shaped like a real late-round sweep: long key names,
+    3-decimal times, canary block, discarded-attempt history."""
+    # realistic long names — the r14 compact line overflowed on exactly
+    # this class of key (incremental_small_increment_1gb_bloom etc.)
+    qs = {}
+    for k in bench.COMPACT_PRIORITY[: min(n_queries, len(bench.COMPACT_PRIORITY))]:
+        qs[k] = 12.345
+    i = 0
+    while len(qs) < n_queries:
+        qs[f"extra_operator_family_point_with_long_name_{i:03d}"] = 3.141
+        i += 1
+    return {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "queries": qs,
+        "errors": {f"err_{j}": "SomeError: boom" for j in range(n_errors)},
+        "spread_min_max": {k: [v, v * 1.6] for k, v in qs.items()},
+        "sf": 0.1,
+        "canary": {
+            "drift_pct": {"gemm_sec": 2.3, "spark_range_sum_sec": 9.6,
+                          "spark_scan_sec": 11.4},
+            "load_contaminated": False,
+            "abs_gate_exceeded": False,
+        },
+        "budget_kills": {k: {"killed": "straggler_budget"} for k in kills},
+        "worker_meta": {"rwlg_4gb": {"layout_chosen": "grouped"}},
+        "shed": {s: "deadline" for s in shed},
+        "attempt": 2,
+        "discarded_attempts": [{"attempt": 1, "reason": "pre_gate"}],
+        "idle_wait_sec": 120.0,
+        "deadline_sec": 2700.0,
+        "elapsed_sec": 1234.5,
+        "partial": partial,
+    }
+
+
+def test_compact_record_fits_tail_window_at_every_shed_depth():
+    """The r14 failure: the 'compact' line grew to ~2.3 KB against a
+    measured 2000-char driver tail. Rehearse every emission the new
+    main() can produce — post-sweep, each shed marker, each section
+    completion, final — at full query-set size, and assert every line
+    fits with margin and parses back with the markers intact."""
+    stages = [
+        ("main_sweep", [], []),
+        ("shed_rwlg_4gb", ["rwlg_4gb"], []),
+        ("after_rwlg_4gb", [], ["rwlg_4gb_uniform_window"]),
+        ("after_skew_1gb", [], []),
+        ("shed_scalability", ["scalability"], []),
+        (None, ["scalability"], ["rwlg_4gb_uniform_window"]),
+    ]
+    for n_queries in (0, 15, 54, 80, 120):
+        for partial, shed, kills in stages:
+            rec = _fake_record(n_queries, partial, shed, kills)
+            line = bench._compact_record(rec)
+            assert len(line) <= bench.COMPACT_TAIL_LIMIT <= 1900
+            back = json.loads(line)
+            assert back["compact"] is True
+            assert back["partial"] == partial
+            assert back["shed"] == sorted(shed)
+            assert back["budget_kills"] == sorted(kills)
+            assert back["full_record"] == bench.FULL_RECORD_REL
+            assert back["n_errors"] == 3
+            # every kept value is 2 dp and every kept key is real
+            for k, v in back["queries"].items():
+                assert k in rec["queries"]
+                assert v == round(rec["queries"][k], 2)
+            assert back["q_omitted"] == len(rec["queries"]) - len(back["queries"])
+
+
+def test_compact_record_keeps_baseline_points_longest():
+    """When the line must drop keys, the BASELINE.md ratio points and
+    the 4 GB adaptive point survive: they are the judge's primary
+    evidence (the old line dropped NOTHING and therefore everything)."""
+    rec = _fake_record(120, None, [], [])
+    line = bench._compact_record(rec, limit=700)
+    assert len(line) <= 700
+    kept = list(json.loads(line)["queries"])
+    # kept set is a PREFIX of the declared priority order
+    assert kept == bench.COMPACT_PRIORITY[: len(kept)]
+    assert len(kept) >= 4, "a 700-char line still carries the baseline points"
+    assert kept[:4] == [
+        "wordcount_50mb", "wordcount_200mb", "rwlg_50mb", "rwlg_200mb"
+    ]
+
+
+def test_compact_record_zero_queries_floor():
+    """keep==0 is the floor: even a pathologically small limit returns
+    a parseable line (the metadata alone) rather than looping or
+    raising — a kill during the first sweep still yields a record."""
+    rec = _fake_record(80, "main_sweep", ["scalability"], [])
+    line = bench._compact_record(rec, limit=10)
+    back = json.loads(line)
+    assert back["queries"] == {} and back["q_omitted"] == 80
+
+
+def test_gate_and_shed_marker_contract():
+    """_gate respects the margin; _shed records {'skipped-reason'} the
+    record surfaces as {"skipped": "deadline"} markers (VERDICT #1)."""
+    assert bench._gate(10.0, margin=0.0) == (bench._remaining_sec() > 10.0)
+    bench._SHED.clear()
+    bench._shed("scal_c4")
+    bench._shed("slope_1gb", "deadline")
+    assert bench._SHED == {"scal_c4": "deadline", "slope_1gb": "deadline"}
+    bench._SHED.clear()

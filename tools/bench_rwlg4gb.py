@@ -103,6 +103,24 @@ def main() -> None:
     kills: dict[str, dict] = {}
     meta: dict = {}
 
+    def _flush() -> None:
+        """Print the cumulative record-so-far (r15, ADVICE r14): the
+        parent's timeout salvage scans stdout for the LAST parseable
+        JSON line, so flushing after every leg means a straggler kill
+        recovers completed legs instead of losing the whole worker."""
+        print(
+            json.dumps(
+                {
+                    "times": times,
+                    "spread": spread,
+                    "errors": errors,
+                    "budget_kills": kills,
+                    "rwlg4gb_meta": meta,
+                }
+            )
+        )
+        sys.stdout.flush()
+
     try:
         path = bench._ensure_uniform_edges_corpus(spark, _LABEL, N_ROWS, N_KEYS)
     except Exception as exc:  # noqa: BLE001
@@ -123,12 +141,18 @@ def main() -> None:
         meta["layout_chosen"] = skew.choose_collect_layout(
             shape["est_max_fanin"], shape["n_partitions"], 1000
         )
+        # mirror the operator's own sizing exactly (r15): guarded conf
+        # read + memory-derived task budget (16 g/32 here → the 8 MB
+        # floor still binds, so the tuned r14 plan is unchanged)
+        meta["grouped_task_value_bytes"] = skew.grouped_task_value_bytes(spark)
         meta["grouped_shuffle_partitions"] = skew.grouped_shuffle_partitions(
             shape.get("est_value_bytes"),
-            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            skew._session_shuffle_partitions(spark),
+            task_value_bytes=meta["grouped_task_value_bytes"],
         )
     except Exception as exc:  # noqa: BLE001
         errors["rwlg4gb_shape"] = bench._error_line(exc)
+    _flush()
 
     def run_auto():
         # the registered default path, probe included (the policy's cost
@@ -150,6 +174,7 @@ def main() -> None:
             status, first = _run_budgeted(spark, fn, budget)  # warm (plan+codegen)
             if status == "killed":
                 kills[key] = {"killed": "straggler_budget", "budget_s": budget}
+                _flush()
                 continue
             samples = []
             remaining = True
@@ -165,24 +190,15 @@ def main() -> None:
                     break
                 samples.append(elapsed)
             if not remaining:
+                _flush()
                 continue
             times[key] = round(statistics.median(samples), 3)
             spread[key] = [round(min(samples), 3), round(max(samples), 3)]
         except Exception as exc:  # noqa: BLE001
             errors[key] = bench._error_line(exc)
+        _flush()  # cumulative per-leg record: a later kill keeps this leg
 
-    print(
-        json.dumps(
-            {
-                "times": times,
-                "spread": spread,
-                "errors": errors,
-                "budget_kills": kills,
-                "rwlg4gb_meta": meta,
-            }
-        )
-    )
-    sys.stdout.flush()
+    _flush()
     # the record is printed — exit hard rather than risk a wedged stop()
     try:
         spark.stop()

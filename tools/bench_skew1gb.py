@@ -30,9 +30,16 @@ def main() -> None:
 
     spark = get_spark("distributed-computing-platform-mapreduce-spark-skew1gb")
     spark.sparkContext.setLogLevel("ERROR")
-    times, spread, errors = bench._skew_times_1gb(spark)
-    print(json.dumps({"times": times, "spread": spread, "errors": errors}))
-    sys.stdout.flush()
+
+    def _flush(times, spread, errors):
+        # cumulative per-leg record (r15, ADVICE r14): the parent's
+        # salvage takes the LAST parseable line, so a straggler kill
+        # keeps every completed leg instead of zeroing the worker
+        print(json.dumps({"times": times, "spread": spread, "errors": errors}))
+        sys.stdout.flush()
+
+    times, spread, errors = bench._skew_times_1gb(spark, progress=_flush)
+    _flush(times, spread, errors)
     # a naive-leg OOM can leave the JVM wedged — the record is already
     # printed, so exit hard UNCONDITIONALLY rather than hang in a
     # post-OOM stop() until the parent's budget discards the data

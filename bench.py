@@ -163,7 +163,12 @@ FINAL_MARGIN_SEC = 90.0
 SECTION_PLAN = [
     ("rwlg_4gb", 700.0),
     ("skew_1gb", 420.0),
-    ("scalability", 900.0),
+    # the section-level estimate is ONE scalability JVM, not the full
+    # five: _scalability_times sheds per-JVM (endpoint-first), so with
+    # partial budget the c2/c32 endpoints still land — the r15
+    # validation run had 583 s spare and a 900 s section gate shed the
+    # whole curve when two endpoints would have fit
+    ("scalability", 360.0),
 ]
 
 #: Sections/points shed by the deadline this run: name → reason. The
@@ -1432,7 +1437,12 @@ def _r10_crop_times(
         # VERDICT #1: "forced-A/B legs → scalability → 4 GB → 1 GB
         # extras") — their information is a within-record ratio, the
         # cheapest evidence to re-derive next round.
-        if not _gate(1200.0):
+        # 1500 s reserve = the remaining sweep + the three post-sweep
+        # sections' typical costs: the A/B is the LOWEST-priority work
+        # in the declared order and must not eat the scalability
+        # endpoints' budget (its information — the prefilter ratio — is
+        # already on record in r12/r13 and records/incr1gb_r15_remeasure)
+        if not _gate(1500.0):
             _shed("incremental_prefilter_ab")
         else:
             for key, fn in (

@@ -565,10 +565,13 @@ def _scalability_times(
     tool = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_scalability.py"
     )
+    # Per-JVM cost estimates from the r14/r15 anchors (3 timed passes of
+    # wc+rwlg+spans @200 MB plus ~30 s JVM/corpus overhead): the c2
+    # endpoint is ~5× the c32 one, so gates are per-core — with ~500 s
+    # of budget both endpoints land and the mid-points shed.
+    est_by_cores = {2: 400.0, 4: 210.0, 8: 140.0, 16: 100.0, 32: 90.0}
     for cores in cores_list:
-        # low-core JVMs are the slow ones (~2-6 min with the spans
-        # subject); shed per-JVM as the deadline approaches
-        if not _gate(420.0 if cores <= 4 else 240.0):
+        if not _gate(est_by_cores.get(cores, 240.0)):
             _shed(f"scal_c{cores}")
             continue
         try:

@@ -119,7 +119,10 @@ def _mem_per_task_bytes(spark) -> int | None:
     except Exception:  # noqa: BLE001 — conf unreadable mid-teardown
         return None
     try:
-        if master.startswith("local"):
+        # plain local mode ONLY — 'local-cluster[n,cores,mem]' runs real
+        # executors and must take the executor-conf path below, not read
+        # the driver heap (r15 review)
+        if master == "local" or master.startswith("local["):
             mem = _parse_mem_bytes(spark.conf.get("spark.driver.memory", None))
             inside = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
             if inside in ("*", ""):
@@ -130,7 +133,18 @@ def _mem_per_task_bytes(spark) -> int | None:
                 cores = max(1, int(inside.split(",")[0]))
         else:
             mem = _parse_mem_bytes(spark.conf.get("spark.executor.memory", None))
-            cores = max(1, int(spark.conf.get("spark.executor.cores", "1") or 1))
+            # spark.executor.cores has NO portable default: YARN/k8s use 1,
+            # but standalone gives an executor ALL worker cores — dividing
+            # by an assumed 1 there would OVERestimate heap-per-task by the
+            # core count and re-introduce the exact unmanaged-buffer death
+            # this formula prevents (r15 review). Errors must point DOWN
+            # (a too-small budget only over-partitions, clamped at 32k),
+            # so without an EXPLICIT cores conf, report unknown and let
+            # the caller fall back to the safe floor.
+            cores_conf = spark.conf.get("spark.executor.cores", None)
+            if cores_conf is None or str(cores_conf).strip() == "":
+                return None
+            cores = max(1, int(cores_conf))
     except Exception:  # noqa: BLE001 — exotic master strings / conf values
         return None
     if not mem:
@@ -181,15 +195,21 @@ def clear_shape_cache() -> None:
 
 
 def _shape_cache_key(
-    df: DataFrame, key_col: str, value_col: str | None, sample_fraction: float
+    df: DataFrame,
+    key_col: str,
+    value_col: str | None,
+    sample_fraction: float,
+    seed: int,
 ):
-    """(semanticHash of the analyzed plan, cols, fraction) — None when
-    the JVM handle isn't reachable (then the caller just recomputes)."""
+    """(semanticHash of the analyzed plan, cols, fraction, seed) — None
+    when the JVM handle isn't reachable (then the caller just
+    recomputes). Seed is part of the key: re-sampling with a new seed
+    to cross-check an estimate must draw a fresh sample (r15 review)."""
     try:
         h = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # noqa: BLE001 — exotic/py4j-less DataFrames
         return None
-    return (h, key_col, value_col, sample_fraction)
+    return (h, key_col, value_col, sample_fraction, seed)
 
 
 def estimate_collect_shape(
@@ -222,7 +242,9 @@ def estimate_collect_shape(
     if not 0 < sample_fraction <= 1:
         raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
     cache_key = (
-        _shape_cache_key(df, key_col, value_col, sample_fraction) if use_cache else None
+        _shape_cache_key(df, key_col, value_col, sample_fraction, seed)
+        if use_cache
+        else None
     )
     if cache_key is not None and cache_key in _SHAPE_CACHE:
         _SHAPE_CACHE.move_to_end(cache_key)

@@ -140,12 +140,47 @@ def test_compact_record_keeps_baseline_points_longest():
 
 def test_compact_record_zero_queries_floor():
     """keep==0 is the floor: even a pathologically small limit returns
-    a parseable line (the metadata alone) rather than looping or
-    raising — a kill during the first sweep still yields a record."""
-    rec = _fake_record(80, "main_sweep", ["scalability"], [])
+    a parseable line rather than looping or raising, with the unbounded
+    metadata lists collapsed to counts — a kill during the first sweep
+    still yields a record."""
+    rec = _fake_record(80, "main_sweep", ["scalability"], ["rwlg_4gb"])
     line = bench._compact_record(rec, limit=10)
     back = json.loads(line)
     assert back["queries"] == {} and back["q_omitted"] == 80
+    # lists collapsed to counts at the floor (r15 review)
+    assert back["shed"] == 1 and back["budget_kills"] == 1
+
+
+def test_compact_record_bounds_heavy_shed_lists():
+    """A deadline that expires early in the sweep produces dozens of
+    shed markers; the compact line must fit the tail window anyway
+    (r15 review: the lists were the one unbounded term left)."""
+    shed = (
+        [f"query_{q}" for q in bench.BENCH_QUERIES]
+        + [f"scal_c{c}" for c in (2, 4, 8, 16, 32)]
+        + ["ref_scale_1gb", "slope_1gb", "incremental_prefilter_ab",
+           "skew", "media", "r8_crop", "r10_crop", "rwlg_4gb", "skew_1gb",
+           "scalability", "canary_rerun"]
+        + [f"rwlg_1gb_extra_marker_{i}_second_run" for i in range(6)]
+    )
+    rec = _fake_record(4, "main_sweep", shed, ["skew_1gb", "rwlg_4gb"])
+    line = bench._compact_record(rec)
+    assert len(line) <= bench.COMPACT_TAIL_LIMIT
+    back = json.loads(line)
+    # either the full list fit, or it collapsed to a count — both parse
+    assert back["shed"] == sorted(rec["shed"]) or back["shed"] == len(shed)
+
+
+def test_compact_record_carries_policy_markers():
+    """The measurement-policy markers ride the parsed tail record (r15
+    review): cross-round deltas are read from the compact line, and
+    materialization/canary_scope are what mark them as policy."""
+    rec = _fake_record(54, None, [], [])
+    rec["materialization"] = "hash_struct_v2"
+    rec["canary_scope"] = "main_sweep"
+    back = json.loads(bench._compact_record(rec))
+    assert back["materialization"] == "hash_struct_v2"
+    assert back["canary_scope"] == "main_sweep"
 
 
 def test_gate_and_shed_marker_contract():

@@ -1050,6 +1050,37 @@ def test_grouped_task_value_bytes_formula():
     assert 9 * GROUPED_TASK_VALUE_BYTES < cluster < 11 * GROUPED_TASK_VALUE_BYTES
     # unknown environment → the safe floor, never a crash
     assert grouped_task_value_bytes() == GROUPED_TASK_VALUE_BYTES
+    # heap-share inference must err DOWNWARD (r15 review): on a
+    # non-local master WITHOUT an explicit spark.executor.cores, the
+    # per-task share is unknowable (standalone gives an executor ALL
+    # worker cores; YARN defaults to 1) — report None → floor budget,
+    # never divide by an assumed 1 and overcommit the heap
+    from distributed_computing_platform_mapreduce_spark.operators.skew import (
+        _mem_per_task_bytes,
+    )
+
+    class _Conf:
+        def __init__(self, d):
+            self._d = d
+
+        def get(self, key, default=None):
+            return self._d.get(key, default)
+
+    class _Fake:
+        def __init__(self, d):
+            self.conf = _Conf(d)
+
+    yarn = {"spark.master": "yarn", "spark.executor.memory": "64g",
+            "spark.executor.cores": "8"}
+    assert _mem_per_task_bytes(_Fake(yarn)) == 8 * gib
+    no_cores = {"spark.master": "spark://host:7077",
+                "spark.executor.memory": "64g"}
+    assert _mem_per_task_bytes(_Fake(no_cores)) is None
+    # local-cluster is NOT plain local mode: executor confs, not driver
+    lc = {"spark.master": "local-cluster[2,8,4096]",
+          "spark.executor.memory": "4g", "spark.executor.cores": "8",
+          "spark.driver.memory": "64g"}
+    assert _mem_per_task_bytes(_Fake(lc)) == 4 * gib // 8
     # memory-string parsing (bare numbers are MiB — Spark's convention)
     assert _parse_mem_bytes("8g") == 8 * gib
     assert _parse_mem_bytes("512m") == 512 * 1024**2

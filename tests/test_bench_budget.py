@@ -140,15 +140,30 @@ def test_compact_record_keeps_baseline_points_longest():
 
 def test_compact_record_zero_queries_floor():
     """keep==0 is the floor: even a pathologically small limit returns
-    a parseable line rather than looping or raising, with the unbounded
-    metadata lists collapsed to counts — a kill during the first sweep
-    still yields a record."""
-    rec = _fake_record(80, "main_sweep", ["scalability"], ["rwlg_4gb"])
-    line = bench._compact_record(rec, limit=10)
+    a parseable line rather than looping or raising. At a limit the
+    counts-collapsed base fits, the metadata lists collapse to counts;
+    below even that, the MINIMAL record (metric/value/sf/q_omitted) is
+    returned so the documented ≤ limit guarantee holds as far down as a
+    record can shrink (r15 review: the old floor returned an over-limit
+    line while the docstring claimed ≤ limit unconditionally)."""
+    # 30 shed markers make the full-list base overflow a 600-char limit
+    # while the counts-collapsed base fits: the collapse regime exactly
+    rec = _fake_record(
+        80, "main_sweep", [f"query_longname_{i}" for i in range(30)], ["rwlg_4gb"]
+    )
+    line = bench._compact_record(rec, limit=600)
     back = json.loads(line)
+    assert len(line) <= 600
     assert back["queries"] == {} and back["q_omitted"] == 80
     # lists collapsed to counts at the floor (r15 review)
-    assert back["shed"] == 1 and back["budget_kills"] == 1
+    assert back["shed"] == 30 and back["budget_kills"] == 1
+    # minimal-record regime: the base itself cannot fit — the line is
+    # still parseable and carries the headline value
+    tiny = json.loads(bench._compact_record(rec, limit=10))
+    assert tiny["q_omitted"] == 80 and tiny["compact"] is True
+    assert tiny["value"] == back["value"]
+    # and the documented bound holds at any limit the minimal record fits
+    assert len(bench._compact_record(rec, limit=150)) <= 150
 
 
 def test_compact_record_bounds_heavy_shed_lists():

@@ -1081,6 +1081,11 @@ def test_grouped_task_value_bytes_formula():
           "spark.executor.memory": "4g", "spark.executor.cores": "8",
           "spark.driver.memory": "64g"}
     assert _mem_per_task_bytes(_Fake(lc)) == 4 * gib // 8
+    # bare 'local' runs ONE task thread owning the whole driver heap —
+    # dividing by cpu_count underestimated heap-per-task ~cpu_count×
+    # (r15 review)
+    bare_local = {"spark.master": "local", "spark.driver.memory": "16g"}
+    assert _mem_per_task_bytes(_Fake(bare_local)) == 16 * gib
     # memory-string parsing (bare numbers are MiB — Spark's convention)
     assert _parse_mem_bytes("8g") == 8 * gib
     assert _parse_mem_bytes("512m") == 512 * 1024**2
@@ -1190,6 +1195,43 @@ def test_shape_estimate_cache(spark):
     assert (
         skew.estimate_collect_shape(e, "k", value_col="v", sample_fraction=1.0)
         is not first
+    )
+    skew.clear_shape_cache()
+
+
+def test_shape_estimate_cache_invalidates_on_append(spark, tmp_path):
+    """r15 review: for file sources semanticHash covers the root PATH,
+    not the data under it — the cache key therefore includes the
+    resolved input-file list, so appending to a table forces a fresh
+    probe. The estimate feeds the SALTED_MERGE_LIMIT safety raise; a
+    stale smaller estimate must never let a grown hot key bypass the
+    measured OOM boundary."""
+    from distributed_computing_platform_mapreduce_spark.operators import skew
+
+    path = str(tmp_path / "grower")
+    spark.range(0, 2000).selectExpr(
+        "concat('k', id % 20) AS k", "cast(id AS string) AS v"
+    ).write.mode("overwrite").parquet(path)
+    skew.clear_shape_cache()
+    before = skew.estimate_collect_shape(
+        spark.read.parquet(path), "k", value_col="v", sample_fraction=1.0
+    )
+    assert before["est_max_fanin"] == 100
+    # append 10x the rows on ONE hot key — same root path, new files
+    spark.range(0, 20000).selectExpr(
+        "'k0' AS k", "cast(id AS string) AS v"
+    ).write.mode("append").parquet(path)
+    after = skew.estimate_collect_shape(
+        spark.read.parquet(path), "k", value_col="v", sample_fraction=1.0
+    )
+    assert after is not before, "append must invalidate the cached shape"
+    assert after["est_max_fanin"] == 20100
+    # and a re-read of the UNCHANGED table still hits the cache
+    assert (
+        skew.estimate_collect_shape(
+            spark.read.parquet(path), "k", value_col="v", sample_fraction=1.0
+        )
+        is after
     )
     skew.clear_shape_cache()
 

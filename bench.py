@@ -15,11 +15,13 @@ r15 execution contract: the whole run operates under a global deadline
 external recorder's kill window). Optional work sheds in a declared
 priority order with ``{"skipped": "deadline"}`` markers in the record's
 ``shed`` map, canary-red retries are capped when another sweep cannot
-fit, and the record is emitted after the main sweep and re-emitted
+fit, and the record is emitted throttled DURING the main sweep
+(``partial: "in_sweep:<n>pts"``), after the main sweep, and re-emitted
 after every post-sweep section (full line to stdout + the complete
 record to ``records/bench_last_full.json`` + the compact line LAST) —
-a kill at any point leaves the recorder's 2000-char tail holding a
-complete parseable record. The shed planner and compact fitter are
+a kill at any point, including mid-sweep, leaves the recorder's
+2000-char tail holding a parseable record of everything measured so
+far. The shed planner and compact fitter are
 pure functions pinned by ``tests/test_bench_budget.py``.
 """
 

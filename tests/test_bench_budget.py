@@ -207,3 +207,28 @@ def test_gate_and_shed_marker_contract():
     bench._shed("slope_1gb", "deadline")
     assert bench._SHED == {"scal_c4": "deadline", "slope_1gb": "deadline"}
     bench._SHED.clear()
+
+
+def test_progress_dict_fires_and_never_raises():
+    """`_ProgressDict` backs the mid-sweep partial emission (r15
+    review): every point insertion fires the callback, a callback
+    failure never fails the measurement that triggered it, and
+    `dict.update` (the post-sweep section merges) bypasses the
+    callback by design — sections emit their own records."""
+    fired = []
+    d = bench._ProgressDict(lambda: fired.append(len(d)))
+    d["a"] = 1.0
+    d["b"] = 2.0
+    assert fired == [1, 2] and dict(d) == {"a": 1.0, "b": 2.0}
+
+    def boom():
+        raise RuntimeError("emission failed")
+
+    e = bench._ProgressDict(boom)
+    e["x"] = 3.0  # must not raise
+    assert e["x"] == 3.0
+    # C-level dict.update does not reroute through __setitem__: section
+    # merges after the sweep stay silent (each section emits its own
+    # full record already)
+    d.update({"c": 4.0})
+    assert fired == [1, 2] and d["c"] == 4.0

@@ -1702,6 +1702,12 @@ def _run_sweep(
         if not _gate(45.0):
             _shed(f"query_{name}")
             continue
+        # start marker (stderr): identifies the in-flight query when a
+        # run is killed or wedges mid-sweep — the recorder merges
+        # stderr into the tail, but every later record re-emission
+        # keeps the LAST lines parseable, so markers cost nothing
+        print(f"# q:{name} start t={time.monotonic() - _BENCH_T0:.1f}", file=sys.stderr)
+        sys.stderr.flush()
 
         def run(q=name):
             df = plain[q]() if q in plain else QUERIES[q](spark, sf_dir)
@@ -1747,6 +1753,8 @@ def _run_sweep(
         times[name] = med
         spread[name] = [lo, hi]
 
+    print(f"# q:ref_scale start t={time.monotonic() - _BENCH_T0:.1f}", file=sys.stderr)
+    sys.stderr.flush()
     try:
         ref_times, ref_spread, ref_errors = _ref_scale_times(spark, sf_dir)
         times.update(ref_times)
@@ -1754,6 +1762,13 @@ def _run_sweep(
         errors.update(ref_errors)
     except Exception as exc:  # noqa: BLE001
         errors["ref_scale"] = _error_line(exc)
+    # C-level dict.update bypasses _ProgressDict.__setitem__, so block
+    # merges fire the progress hook explicitly — without this the whole
+    # post-loop 60% of the sweep (the 1 GB legs, skew, media, crops) is
+    # emission-silent and a mid-block kill reverts to an empty tail
+    # (r15: observed on the first instrumented run)
+    if on_progress:
+        on_progress(times, spread, errors)
 
     for section, est, fn in (
         ("skew", 180.0, lambda: _skew_times(spark)),
@@ -1764,6 +1779,11 @@ def _run_sweep(
         if not _gate(est):
             _shed(section)
             continue
+        print(
+            f"# q:{section} start t={time.monotonic() - _BENCH_T0:.1f}",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
         try:
             s_times, s_spread, s_errors = fn()
             times.update(s_times)
@@ -1771,6 +1791,8 @@ def _run_sweep(
             errors.update(s_errors)
         except Exception as exc:  # noqa: BLE001
             errors[section] = _error_line(exc)
+        if on_progress:
+            on_progress(times, spread, errors)
 
     return times, spread, errors
 

@@ -298,6 +298,7 @@ def _compact_record(record: dict, limit: int = COMPACT_TAIL_LIMIT) -> str:
         "budget_kills": sorted(record.get("budget_kills", {})),
         "shed": sorted(record.get("shed", {})),
         "attempt": record.get("attempt"),
+        "restored_attempt": record.get("restored_attempt"),
         "n_errors": len(record.get("errors", {})),
         "n_discarded_attempts": len(record.get("discarded_attempts", [])),
         "partial": record.get("partial"),
@@ -1655,6 +1656,160 @@ def _wait_for_idle(max_wait_sec: float, load_bar: float = 1.0) -> float:
     return waited
 
 
+#: Error substrings that mark a query row as lost to a dead context /
+#: dead py4j gateway rather than a real query failure (r15).
+CONTEXT_DEATH_MARKS = ("stopped SparkContext", "Connection refused", "shut down")
+
+
+def _should_restore_discarded(
+    times: dict, errors: dict, best_discarded: dict | None
+) -> bool:
+    """Pure decision (pinned in tests/test_bench_budget.py): ship a
+    discarded-but-complete attempt over the final one ONLY when the
+    final attempt both measured fewer points AND lost rows to a context
+    death — a flagged complete record beats a broken clean one, but a
+    merely-smaller clean attempt (deadline sheds) ships as-is."""
+    if best_discarded is None or len(times) >= len(best_discarded["times"]):
+        return False
+    return any(
+        any(m in v for m in CONTEXT_DEATH_MARKS) for v in (errors or {}).values()
+    )
+
+
+def _spark_is_dead(spark) -> bool:
+    """True when the session's context is stopped OR the py4j gateway
+    itself is gone (a local-mode executor OOM halts the whole JVM —
+    observed r15: stage 4786 heap-space OOM → SparkUncaughtException
+    → every later call 'stopped SparkContext' / ConnectionRefused)."""
+    try:
+        return bool(spark.sparkContext._jsc.sc().isStopped())
+    except Exception:  # noqa: BLE001 — unreachable gateway counts as dead
+        return True
+
+
+#: In-process session rebuilds attempted this run (capped: a machine
+#: that kills every fresh JVM should fail loudly, not loop).
+_SPARK_REBUILDS = [0]
+_SPARK_REBUILD_MAX = 3
+
+
+def _revive_spark(spark):
+    """Return a LIVE session: the given one if healthy, else a full
+    in-process rebuild (r15: an executor heap OOM in local mode halts
+    the entire JVM, and without this every remaining in-process point
+    of the run becomes a 'stopped SparkContext' error row — the r15f
+    run lost 25 points that way while the subprocess sections sailed
+    on). Rebuilding after a gateway death requires resetting pyspark's
+    module singletons so ``getOrCreate`` launches a fresh JVM; wrapped
+    defensively — on any failure the dead session is returned and the
+    caller's per-query error isolation reports honestly."""
+    if not _spark_is_dead(spark):
+        return spark
+    if _SPARK_REBUILDS[0] >= _SPARK_REBUILD_MAX:
+        return spark
+    _SPARK_REBUILDS[0] += 1
+    print(
+        f"# spark context dead — in-process rebuild "
+        f"{_SPARK_REBUILDS[0]}/{_SPARK_REBUILD_MAX}",
+        file=sys.stderr,
+    )
+    sys.stderr.flush()
+    import gc
+
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession as _SS
+
+    import threading
+
+    def _guarded(fn, timeout_s=15.0):
+        # stop()/gateway.shutdown() can BLOCK on a half-dead JVM
+        # (measured: a py4j shutdown wedged >200 s) — run each in a
+        # daemon thread and abandon it past the timeout; the rebuild
+        # must never hang the bench the way the death it repairs did
+        t = threading.Thread(target=fn, daemon=True)
+        t.start()
+        t.join(timeout_s)
+
+    # Tear the old stack down ONLY if the gateway still answers: when
+    # the JVM is gone (the r15f case — executor OOM halts it), stop()/
+    # shutdown() have nothing to clean and py4j's shutdown on a dead
+    # endpoint was measured to wedge; the orphaned singletons are reset
+    # below either way.
+    gateway_alive = False
+    try:
+        if SparkContext._jvm is not None:
+            SparkContext._jvm.System.currentTimeMillis()
+            gateway_alive = True
+    except Exception:  # noqa: BLE001
+        gateway_alive = False
+    if gateway_alive:
+        try:
+            sc = SparkContext._active_spark_context
+            if sc is not None:
+                _guarded(sc.stop)
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            gw = SparkContext._gateway
+            if gw is not None:
+                _guarded(gw.shutdown)
+        except Exception:  # noqa: BLE001
+            pass
+    try:
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkContext._active_spark_context = None
+    except Exception:  # noqa: BLE001
+        pass
+    for attr in ("_instantiatedSession", "_activeSession"):
+        try:
+            setattr(_SS, attr, None)
+        except Exception:  # noqa: BLE001
+            pass
+    gc.collect()
+    try:
+        fresh = get_spark("distributed-computing-platform-mapreduce-spark-bench")
+        fresh.sparkContext.setLogLevel("ERROR")
+        if _spark_is_dead(fresh):
+            return spark
+        return fresh
+    except Exception:  # noqa: BLE001
+        return spark
+
+
+def _attempt_hygiene(spark) -> None:
+    """Between sweep attempts: return the JVM to a near-fresh heap.
+    A retry sweep runs in the SAME 8 g local JVM that just executed a
+    full sweep — r15 measured the consequence: attempt 2's rwlg_1gb
+    collect OOM'd an executor thread (and in local mode that halts the
+    whole JVM) under the accumulated weight of ~117k py4j-pinned plan
+    objects, cached localCheckpoint blocks, and uncollected shuffle
+    state that attempt 1 left behind. Python gc first (py4j handles
+    detach only after Python finalizers run), then cache + persistent
+    RDD cleanup, then a JVM System.gc()."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.values().iterator()
+        while it.hasNext():
+            try:
+                it.next().unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 class _ProgressDict(dict):
     """dict invoking a callback after every insertion — `_run_sweep`
     uses it to emit throttled mid-sweep partial records (r15 review:
@@ -1676,12 +1831,15 @@ class _ProgressDict(dict):
 
 def _run_sweep(
     spark, sf_dir: str, on_progress=None
-) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str], object]:
     """One full query sweep (registered headline queries + reference-scale
     corpora + skew A/B + media dedup). Extracted from main() so a
     red-canary attempt can discard its numbers and rerun the whole sweep.
     `on_progress(times, spread, errors)` (optional) fires after every
-    recorded point — the caller emits partial records from it."""
+    recorded point — the caller emits partial records from it. Returns
+    the (possibly revived — see `_revive_spark`) session as the last
+    element so the caller's post-sweep canary and stop() use the live
+    one."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import MapType
 
@@ -1749,10 +1907,26 @@ def _run_sweep(
             med, lo, hi = _timed_median(run)
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = _error_line(exc)
-            continue
+            # r15: a local-mode executor OOM halts the whole JVM — revive
+            # the session and retry THIS query once, or every remaining
+            # in-process point becomes a dead-context error row
+            if not _spark_is_dead(spark):
+                continue
+            spark = _revive_spark(spark)
+            if _spark_is_dead(spark):
+                continue
+            plain = _bench_plain_queries(spark, sf_dir)
+            try:
+                run()
+                med, lo, hi = _timed_median(run)
+            except Exception as exc2:  # noqa: BLE001
+                errors[name] = _error_line(exc2)
+                continue
+            errors.pop(name, None)
         times[name] = med
         spread[name] = [lo, hi]
 
+    spark = _revive_spark(spark)
     print(f"# q:ref_scale start t={time.monotonic() - _BENCH_T0:.1f}", file=sys.stderr)
     sys.stderr.flush()
     try:
@@ -1779,6 +1953,9 @@ def _run_sweep(
         if not _gate(est):
             _shed(section)
             continue
+        # dead-context recovery between blocks too (the lambdas close
+        # over this scope's `spark`, so the revival reaches them)
+        spark = _revive_spark(spark)
         print(
             f"# q:{section} start t={time.monotonic() - _BENCH_T0:.1f}",
             file=sys.stderr,
@@ -1794,7 +1971,7 @@ def _run_sweep(
         if on_progress:
             on_progress(times, spread, errors)
 
-    return times, spread, errors
+    return times, spread, errors, spark
 
 
 def _run_tool_subprocess(
@@ -1955,6 +2132,8 @@ def main() -> None:
     canary: dict = {"drift_pct": None, "load_contaminated": None}
     attempt = 0
     last_sweep_elapsed = 0.0
+    best_discarded: dict | None = None
+    restored_attempt: int | None = None
     budget_kills: dict[str, dict] = {}
     worker_meta: dict[str, dict] = {}
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1996,6 +2175,9 @@ def main() -> None:
             "worker_meta": worker_meta,
             "shed": dict(_SHED),
             "attempt": attempt,
+            # non-None when a complete discarded attempt was shipped over
+            # a context-death-crippled final attempt (r15)
+            "restored_attempt": restored_attempt,
             "discarded_attempts": discarded,
             "idle_wait_sec": round(idle_waited_total, 1),
             "deadline_sec": BENCH_DEADLINE_SEC,
@@ -2026,6 +2208,12 @@ def main() -> None:
         idle_waited_total += _wait_for_idle(
             max(0.0, min(idle_wait, _remaining_sec() - 1200.0))
         )
+        if attempt > 1:
+            # a retry reuses the JVM that just ran a full sweep — clean
+            # it (or revive it) first, or the retry can OOM where the
+            # original didn't (observed r15: attempt 2's rwlg_1gb)
+            spark = _revive_spark(spark)
+            _attempt_hygiene(spark)
         errors = {}
         try:
             canary_pre = _measure_canary(spark)
@@ -2061,7 +2249,7 @@ def main() -> None:
 
         _SHED.clear()  # a discarded attempt's shed markers don't describe this one
         sweep_t0 = time.monotonic()
-        times, spread, sweep_errors = _run_sweep(
+        times, spread, sweep_errors, spark = _run_sweep(
             spark, sf_dir, on_progress=_sweep_progress
         )
         last_sweep_elapsed = time.monotonic() - sweep_t0
@@ -2099,11 +2287,48 @@ def main() -> None:
                 file=sys.stderr,
             )
             break
+        # stash the discarded-but-COMPLETE numbers: if the retry dies
+        # (context death loses points wholesale), a flagged complete
+        # attempt is a better record than a broken clean one (r15)
+        if best_discarded is None or len(times) > len(best_discarded["times"]):
+            best_discarded = {
+                "attempt": attempt,
+                "times": dict(times),
+                "spread": dict(spread),
+                "errors": dict(errors),
+                "canary": canary,
+                "canary_pre": canary_pre,
+                "canary_post": canary_post,
+                "shed": dict(_SHED),
+            }
         print(
             f"# attempt {attempt} canary-red "
             f"(gemm drift {canary['drift_pct']['gemm_sec']}%) — discarding and rerunning",
             file=sys.stderr,
         )
+
+    # Last-resort restore (r15): if the shipped attempt lost points to a
+    # context death (errors mention a stopped context / dead gateway)
+    # and a discarded attempt measured MORE points, ship the discarded
+    # one — flagged by its own canary verdict and marked restored. The
+    # r15f run would otherwise have shipped 24 broken-attempt points
+    # while a complete 47-point flagged sweep sat in the discard pile.
+    if _should_restore_discarded(times, errors, best_discarded):
+        restored_attempt = best_discarded["attempt"]
+        times = best_discarded["times"]
+        spread = best_discarded["spread"]
+        errors = best_discarded["errors"]
+        canary = best_discarded["canary"]
+        canary_pre = best_discarded["canary_pre"]
+        canary_post = best_discarded["canary_post"]
+        _SHED.clear()
+        _SHED.update(best_discarded["shed"])
+        print(
+            f"# restored discarded attempt {restored_attempt} "
+            f"({len(times)} pts) over the context-death-crippled final attempt",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
 
     # r14 (VERDICT #2): the subprocess sections run strictly AFTER the
     # post-sweep canary — the canary brackets the main sweep it verifies,

@@ -232,3 +232,37 @@ def test_progress_dict_fires_and_never_raises():
     # full record already)
     d.update({"c": 4.0})
     assert fired == [1, 2] and d["c"] == 4.0
+
+
+def test_should_restore_discarded_decision():
+    """r15: after a mid-retry context death, a discarded-but-complete
+    flagged attempt ships over the broken final attempt — but ONLY
+    under both conditions (fewer points AND death-marked errors), so a
+    merely-smaller clean attempt never silently swaps."""
+    full = {"times": {f"q{i}": 1.0 for i in range(40)}, "attempt": 1}
+    crippled = {f"q{i}": 1.0 for i in range(20)}
+    death = {"rwlg_1gb": "SparkException: ... SparkContext was shut down ..."}
+    assert bench._should_restore_discarded(crippled, death, full)
+    # dead gateway variant
+    refused = {"canary_post": "ConnectionRefusedError: [Errno 111] Connection refused"}
+    assert bench._should_restore_discarded(crippled, refused, full)
+    # no discarded attempt -> never
+    assert not bench._should_restore_discarded(crippled, death, None)
+    # final attempt has >= points -> never (even with death marks)
+    assert not bench._should_restore_discarded(
+        {f"q{i}": 1.0 for i in range(40)}, death, full
+    )
+    # fewer points but CLEAN errors (ordinary query failures) -> ship as-is
+    clean_err = {"bpe_train": "AnalysisException: column not found"}
+    assert not bench._should_restore_discarded(crippled, clean_err, full)
+    assert not bench._should_restore_discarded(crippled, {}, full)
+
+
+def test_compact_record_carries_restored_marker():
+    """The restored-attempt marker must survive into the compact tail
+    line — it is the flag telling a cross-round reader these numbers
+    came from a canary-flagged attempt."""
+    rec = _fake_record(10, None, [], [])
+    rec["restored_attempt"] = 1
+    back = json.loads(bench._compact_record(rec, limit=1900))
+    assert back["restored_attempt"] == 1

@@ -550,34 +550,51 @@ def _ref_scale_times(
             # capped-layout evidence at the volume where output growth
             # dominates the uncapped variant
             points.append((f"rwlg_{label}_capped", run_rwlg_capped))
-        for key, fn in points:
-            try:
-                fn()  # warm the plan shape (codegen/JIT) before timing
-                if label == "1gb":
-                    # slope point, not a baseline ratio — but MIN-OF-2,
-                    # not once-timed (r15, VERDICT r14 #5: the r14 anchor
-                    # carried a +60% one-run artifact on rwlg_1gb that a
-                    # second run would have halved). min, not median:
-                    # the slope wants the least-perturbed run. The second
-                    # timing is skipped only when the deadline leaves no
-                    # room (1 GB extras shed nearly last).
-                    samples = []
+        def time_leg(key, fn):
+            fn()  # warm the plan shape (codegen/JIT) before timing
+            if label == "1gb":
+                # slope point, not a baseline ratio — but MIN-OF-2,
+                # not once-timed (r15, VERDICT r14 #5: the r14 anchor
+                # carried a +60% one-run artifact on rwlg_1gb that a
+                # second run would have halved). min, not median:
+                # the slope wants the least-perturbed run. The second
+                # timing is skipped only when the deadline leaves no
+                # room (1 GB extras shed nearly last).
+                samples = []
+                t0 = time.perf_counter()
+                fn()
+                samples.append(time.perf_counter() - t0)
+                if _gate(samples[0] * 1.5 + 600.0):
                     t0 = time.perf_counter()
                     fn()
                     samples.append(time.perf_counter() - t0)
-                    if _gate(samples[0] * 1.5 + 600.0):
-                        t0 = time.perf_counter()
-                        fn()
-                        samples.append(time.perf_counter() - t0)
-                    else:
-                        _shed(f"{key}_second_run")
-                    med = lo = round(min(samples), 3)
-                    hi = round(max(samples), 3)
                 else:
-                    med, lo, hi = _timed_median(fn)
+                    _shed(f"{key}_second_run")
+                med = lo = round(min(samples), 3)
+                hi = round(max(samples), 3)
+                return med, lo, hi
+            return _timed_median(fn)
+
+        for key, fn in points:
+            try:
+                med, lo, hi = time_leg(key, fn)
             except Exception as exc:  # noqa: BLE001
                 errors[key] = _error_line(exc)
-                continue
+                # the r15f JVM death happened exactly here (the 1 GB
+                # uncapped collect): revive and retry this leg once,
+                # deadline-gated — the leg closures read this scope's
+                # `spark`, so the revival reaches them (r15 review)
+                if not _spark_is_dead(spark):
+                    continue
+                spark = _revive_spark(spark)
+                if _spark_is_dead(spark) or not _gate(180.0):
+                    continue
+                try:
+                    med, lo, hi = time_leg(key, fn)
+                except Exception as exc2:  # noqa: BLE001
+                    errors[key] = _error_line(exc2)
+                    continue
+                errors.pop(key, None)
             times[key] = med
             spread[key] = [lo, hi]
     return times, spread, errors
@@ -1666,25 +1683,59 @@ def _should_restore_discarded(
 ) -> bool:
     """Pure decision (pinned in tests/test_bench_budget.py): ship a
     discarded-but-complete attempt over the final one ONLY when the
-    final attempt both measured fewer points AND lost rows to a context
-    death — a flagged complete record beats a broken clean one, but a
-    merely-smaller clean attempt (deadline sheds) ships as-is."""
+    final attempt both measured fewer points AND lost ≥3 rows to a
+    context death (the r15f JVM halt produced 10 such rows; requiring
+    several keeps a final attempt that is smaller merely from deadline
+    sheds plus ONE transient death-marked row — a 95%-clean green
+    sweep — from being silently swapped for an older flagged one)."""
     if best_discarded is None or len(times) >= len(best_discarded["times"]):
         return False
-    return any(
-        any(m in v for m in CONTEXT_DEATH_MARKS) for v in (errors or {}).values()
+    deaths = sum(
+        1
+        for v in (errors or {}).values()
+        if any(m in v for m in CONTEXT_DEATH_MARKS)
     )
+    return deaths >= 3
+
+
+def _probe_with_timeout(fn, timeout_s: float = 30.0):
+    """Run a py4j round-trip in a daemon thread; (ok, result). py4j has
+    no read timeout, so a hung-but-listening JVM (GC death spiral
+    between the executor OOM and the uncaught-handler halt) would
+    otherwise wedge the death-DETECTION path itself (r15 review). A
+    probe that doesn't answer within the timeout reports not-ok; the
+    callers treat that as dead — at the boundaries where probes run, a
+    healthy JVM has no active jobs and answers in milliseconds."""
+    import threading
+
+    box: list = []
+
+    def _call():
+        try:
+            box.append((True, fn()))
+        except Exception as exc:  # noqa: BLE001
+            box.append((False, exc))
+
+    t = threading.Thread(target=_call, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box:
+        return False, None
+    return box[0]
 
 
 def _spark_is_dead(spark) -> bool:
     """True when the session's context is stopped OR the py4j gateway
     itself is gone (a local-mode executor OOM halts the whole JVM —
     observed r15: stage 4786 heap-space OOM → SparkUncaughtException
-    → every later call 'stopped SparkContext' / ConnectionRefused)."""
-    try:
-        return bool(spark.sparkContext._jsc.sc().isStopped())
-    except Exception:  # noqa: BLE001 — unreachable gateway counts as dead
+    → every later call 'stopped SparkContext' / ConnectionRefused) OR
+    the gateway is connected but unresponsive (probe timeout)."""
+    ok, result = _probe_with_timeout(
+        lambda: bool(spark.sparkContext._jsc.sc().isStopped())
+    )
+    if not ok:
         return True
+    return bool(result)
 
 
 #: In-process session rebuilds attempted this run (capped: a machine
@@ -1705,6 +1756,18 @@ def _revive_spark(spark):
     caller's per-query error isolation reports honestly."""
     if not _spark_is_dead(spark):
         return spark
+    # A revival elsewhere (e.g. inside a sweep block) may already have
+    # built a live replacement the caller's stale handle doesn't know
+    # about — reuse it instead of tearing a healthy JVM down to build
+    # a third (r15 review).
+    try:
+        from pyspark.sql import SparkSession as _SSProbe
+
+        active = _SSProbe.getActiveSession() or _SSProbe._instantiatedSession
+        if active is not None and active is not spark and not _spark_is_dead(active):
+            return active
+    except Exception:  # noqa: BLE001
+        pass
     if _SPARK_REBUILDS[0] >= _SPARK_REBUILD_MAX:
         return spark
     _SPARK_REBUILDS[0] += 1
@@ -1736,17 +1799,22 @@ def _revive_spark(spark):
     # endpoint was measured to wedge; the orphaned singletons are reset
     # below either way.
     gateway_alive = False
-    try:
-        if SparkContext._jvm is not None:
-            SparkContext._jvm.System.currentTimeMillis()
-            gateway_alive = True
-    except Exception:  # noqa: BLE001
-        gateway_alive = False
+    if SparkContext._jvm is not None:
+        ok, _ = _probe_with_timeout(
+            lambda: SparkContext._jvm.System.currentTimeMillis()
+        )
+        gateway_alive = ok
     if gateway_alive:
         try:
             sc = SparkContext._active_spark_context
             if sc is not None:
-                _guarded(sc.stop)
+                # stop the JVM-side context directly, NOT pyspark's
+                # SparkContext.stop(): the python epilogue nulls
+                # SparkContext._active_spark_context, and if this
+                # guarded thread is abandoned at the timeout and
+                # completes LATER, that epilogue would clobber the
+                # freshly rebuilt context's registration (r15 review)
+                _guarded(lambda: sc._jsc.sc().stop())
         except Exception:  # noqa: BLE001
             pass
         try:
@@ -1909,11 +1977,13 @@ def _run_sweep(
             errors[name] = _error_line(exc)
             # r15: a local-mode executor OOM halts the whole JVM — revive
             # the session and retry THIS query once, or every remaining
-            # in-process point becomes a dead-context error row
+            # in-process point becomes a dead-context error row. The
+            # retry re-pays JVM launch + warm + timed runs, so it is
+            # deadline-gated like any other unit (r15 review)
             if not _spark_is_dead(spark):
                 continue
             spark = _revive_spark(spark)
-            if _spark_is_dead(spark):
+            if _spark_is_dead(spark) or not _gate(90.0):
                 continue
             plain = _bench_plain_queries(spark, sf_dir)
             try:
@@ -1940,9 +2010,13 @@ def _run_sweep(
     # merges fire the progress hook explicitly — without this the whole
     # post-loop 60% of the sweep (the 1 GB legs, skew, media, crops) is
     # emission-silent and a mid-block kill reverts to an empty tail
-    # (r15: observed on the first instrumented run)
+    # (r15: observed on the first instrumented run). Guarded like the
+    # dict hook: a failing emission must never abort the sweep.
     if on_progress:
-        on_progress(times, spread, errors)
+        try:
+            on_progress(times, spread, errors)
+        except Exception:  # noqa: BLE001
+            pass
 
     for section, est, fn in (
         ("skew", 180.0, lambda: _skew_times(spark)),
@@ -1969,7 +2043,10 @@ def _run_sweep(
         except Exception as exc:  # noqa: BLE001
             errors[section] = _error_line(exc)
         if on_progress:
-            on_progress(times, spread, errors)
+            try:
+                on_progress(times, spread, errors)
+            except Exception:  # noqa: BLE001
+                pass
 
     return times, spread, errors, spark
 

@@ -241,11 +241,12 @@ def test_should_restore_discarded_decision():
     merely-smaller clean attempt never silently swaps."""
     full = {"times": {f"q{i}": 1.0 for i in range(40)}, "attempt": 1}
     crippled = {f"q{i}": 1.0 for i in range(20)}
-    death = {"rwlg_1gb": "SparkException: ... SparkContext was shut down ..."}
+    death = {
+        "rwlg_1gb": "SparkException: ... SparkContext was shut down ...",
+        "skew": "IllegalStateException: Cannot call methods on a stopped SparkContext",
+        "canary_post": "ConnectionRefusedError: [Errno 111] Connection refused",
+    }
     assert bench._should_restore_discarded(crippled, death, full)
-    # dead gateway variant
-    refused = {"canary_post": "ConnectionRefusedError: [Errno 111] Connection refused"}
-    assert bench._should_restore_discarded(crippled, refused, full)
     # no discarded attempt -> never
     assert not bench._should_restore_discarded(crippled, death, None)
     # final attempt has >= points -> never (even with death marks)
@@ -256,6 +257,11 @@ def test_should_restore_discarded_decision():
     clean_err = {"bpe_train": "AnalysisException: column not found"}
     assert not bench._should_restore_discarded(crippled, clean_err, full)
     assert not bench._should_restore_discarded(crippled, {}, full)
+    # fewer points from deadline sheds plus ONE residual death row: a
+    # 95%-clean green attempt ships as-is (the threshold is >= 3 death
+    # rows — a real JVM halt produces many; r15 review)
+    one_death = {"qX": "stopped SparkContext mid-flight"}
+    assert not bench._should_restore_discarded(crippled, one_death, full)
 
 
 def test_compact_record_carries_restored_marker():

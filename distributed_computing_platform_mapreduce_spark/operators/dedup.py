@@ -1007,56 +1007,111 @@ def remove_repeated_paragraphs(
     )
 
 
+#: 61-bit Mersenne modulus + FNV-prime polynomial base of the gram
+#: rolling hash (module constants so the gram pass and its tests agree).
+_GRAM_M = (1 << 61) - 1
+_GRAM_B = 1_099_511_628_211
+
+#: Per-worker token→FNV memo for the gram pass. Natural-language and
+#: synthetic corpora alike are vocabulary-bounded (Zipf: ~30k–1M
+#: distinct tokens however many tokens flow), so after warmup the
+#: per-byte FNV fold collapses to one dict probe per token (r15
+#: measured: the fold is ~50% of the gram pass's CPU; probe ≈ 10×
+#: cheaper on ~6-char tokens). Module scope so reused Python workers
+#: (`spark.python.worker.reuse`, default on) keep it across tasks —
+#: the package ships to executors via `shipping.ensure_shipped`, so
+#: the module (and its globals) is importable there, not re-pickled
+#: per task. Capped: an adversarial all-unique vocabulary must not
+#: grow the dict unboundedly (past the cap, misses compute-and-skip).
+_FNV_MEMO: dict = {}
+_FNV_MEMO_MAX = 1 << 20
+
+
+def _fnv61(bs: bytes) -> int:
+    """FNV-1a over the token's UTF-8 bytes, reduced into the 61-bit
+    polynomial field — identical values to the historical per-str
+    helper (same bytes, same fold, same reduction)."""
+    h = 0xCBF29CE484222325
+    for ch in bs:
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % _GRAM_M
+
+
 def _gram_start_rows(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
     """``(id, pos, gh)`` — one row per token ``k``-gram start position,
     with a deterministic 61-bit polynomial rolling hash of the gram.
-    One Arrow pass, O(tokens) per document (the rolling update touches
-    each token twice); tokens themselves never leave the pass — only
-    8-byte gram hashes shuffle downstream."""
+    One Arrow pass, O(tokens) per document; tokens themselves never
+    leave the pass — only 8-byte gram hashes shuffle downstream.
+
+    The r15 rewrite keeps the hash VALUES bit-identical (pinned by the
+    Hypothesis differential and the driver oracle) while cutting the
+    per-token Python work ~3× (guide §4.2 — do less interpreted work
+    per batch):
+
+    - tokens split at the BYTES level: ``text.encode().split()`` is a
+      single C pass whose split set (ASCII ``[ \\t\\n\\r\\f\\v]``) equals
+      both Java's ``\\s`` and the old ``re.split(r"\\s+", flags=ASCII)``
+      — UTF-8 continuation bytes are ≥ 0x80 so multibyte characters
+      can never be split; the per-token ``.encode()`` the FNV fold paid
+      disappears (the tokens already ARE the bytes it hashed).
+    - the FNV fold memoizes per distinct token (``_FNV_MEMO``).
+    - the steady-state rolling update folds add-incoming and
+      drop-outgoing into ONE ``%`` (Python's mod is sign-correct), and
+      the (id, pos) output columns come from ``np.repeat``/``arange``
+      over per-doc gram counts instead of three per-token appends."""
+    import numpy as np
+
     from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
     id_dtype = dict(df.select(id_col).dtypes)[id_col]
-    M = (1 << 61) - 1
-    B = 1_099_511_628_211  # FNV prime as the polynomial base
+    M = _GRAM_M
+    B = _GRAM_B
     Bk = pow(B, k, M)
 
-    def fnv1a64(s: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in s.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h % M
-
-    import re
-
     def run(batches):
+        memo = _FNV_MEMO
+        mget = memo.get
         for pdf in batches:
-            ids, poss, ghs = [], [], []
+            doc_ids, counts, ghs = [], [], []
+            gext = ghs.extend
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                # ASCII \s+ split, NOT str.split(): positions here must
-                # index the SAME token array the JVM coverage/rebuild
-                # stage builds with Java's \s+ (ASCII-only) — Python's
-                # default split also breaks on Unicode whitespace (NBSP
-                # etc.), which would silently misalign span positions on
-                # non-ASCII corpora
-                toks = [
-                    t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t
-                ]
-                if len(toks) < k:
+                toks = (text or "").encode("utf-8").split()
+                n = len(toks)
+                if n < k:
                     continue
-                th = [fnv1a64(t) for t in toks]
+                th = []
+                tap = th.append
+                for t in toks:
+                    h = mget(t)
+                    if h is None:
+                        h = _fnv61(t)
+                        if len(memo) < _FNV_MEMO_MAX:
+                            memo[t] = h
+                    tap(h)
                 h = 0
-                for i, t in enumerate(th):
-                    h = (h * B + t) % M
-                    if i >= k:
-                        h = (h - th[i - k] * Bk) % M
-                    if i >= k - 1:
-                        ids.append(rid)
-                        poss.append(i - k + 1)
-                        ghs.append(h)
-            yield pd.DataFrame({id_col: ids, "pos": poss, "gh": ghs})
+                for i in range(k - 1):
+                    h = (h * B + th[i]) % M
+                gh = [0] * (n - k + 1)
+                for i in range(k - 1, n):
+                    h = (h * B + th[i] - (th[i - k] * Bk if i >= k else 0)) % M
+                    gh[i - k + 1] = h
+                doc_ids.append(rid)
+                counts.append(n - k + 1)
+                gext(gh)
+            cnt = np.asarray(counts, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(np.asarray(doc_ids, dtype=object), cnt),
+                    "pos": (
+                        np.arange(int(cnt.sum()), dtype=np.int64)
+                        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                    ).astype(np.int32),
+                    "gh": np.asarray(ghs, dtype=np.int64),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} {id_dtype}, pos int, gh long"
@@ -1089,18 +1144,18 @@ def remove_repeated_spans(
     1. gram hashes: one Arrow pass emits ``(id, pos, gh)`` per k-gram
        start via a rolling polynomial hash — O(tokens)/doc, and only
        8-byte hashes shuffle.
-    2. repeated grams: ``groupBy(gh).count() ≥ min_count`` — partial
-       aggregation, shuffle keyed on the 61-bit hash, never text.
-    3. coverage: each repeated start covers ``[pos, pos+k)``; instead
-       of a per-token range join (O(tokens·spans)), starts become ±1
-       DIFFERENCE-ARRAY deltas and one running-sum window per document
-       (delta rows sort before token rows at equal pos) marks covered
-       tokens — O(tokens log tokens) per doc, all JVM, state bounded
-       by one document.
-    4. rebuild: kept tokens re-join per doc through the same
-       sort_array(collect_list(struct(pos, tok))) pattern as
-       :func:`remove_repeated_paragraphs` — per-group state is one
-       document.
+    2. repeated starts: a whole-group ``count().over(partitionBy(gh))``
+       window ≥ min_count — ONE exchange keyed on the 61-bit hash
+       carrying ``(id, pos, gh)``. (The r15 rewrite of the old
+       groupBy-count + left-semi-join-back shape, guide §2.4/§4: the
+       semi join recomputed the gram pass — the UNCACHED ``grams``
+       subtree appeared on both join sides, so the corpus paid the
+       Python rolling-hash stage TWICE — and shuffled the gram rows a
+       second time for the join itself. Same rows out: a gram start
+       survives iff its hash's total count ≥ min_count.)
+    3. cut + rebuild: see :func:`_cut_spans` — cut-start positions
+       collect per doc (tiny next to tokens), one join attaches them
+       to the text, and one Arrow pass rebuilds each document.
 
     Hash collisions (two distinct grams sharing a 61-bit hash) would
     wrongly mark a span repeated at ~n²/2⁶¹ pair probability —
@@ -1110,14 +1165,10 @@ def remove_repeated_spans(
     if min_count < 2:
         raise ValueError(f"min_count must be ≥ 2, got {min_count}")
     grams = _gram_start_rows(df, id_col, text_col, k)
-    repeated = (
-        grams.groupBy("gh")
-        .agg(F.count("*").alias("__n"))
+    starts = (
+        grams.withColumn("__n", F.count("*").over(Window.partitionBy("gh")))
         .filter(F.col("__n") >= min_count)
-        .select("gh")
-    )
-    starts = grams.join(repeated, "gh", "left_semi").select(
-        F.col(id_col).alias("__rs_id"), "pos"
+        .select(F.col(id_col).alias("__rs_id"), "pos")
     )
     return _cut_spans(df, starts, id_col, text_col, k)
 
@@ -1127,56 +1178,68 @@ def _cut_spans(
 ) -> DataFrame:
     """Cut every ``[pos, pos+k)`` token span named by ``starts``
     (``(__rs_id, pos)`` rows) out of ``df``'s text — the shared tail of
-    :func:`remove_repeated_spans` and :func:`decontaminate_spans`.
-    Coverage via difference-array deltas + one running-sum window per
-    document (delta rows sort before token rows at equal pos), then the
-    bounded per-doc rebuild; adds ``n_tokens_removed``."""
-    deltas = starts.select("__rs_id", "pos", F.lit(1).alias("__d")).unionAll(
-        starts.select("__rs_id", (F.col("pos") + k).alias("pos"), F.lit(-1).alias("__d"))
+    :func:`remove_repeated_spans` and :func:`decontaminate_spans`;
+    adds ``n_tokens_removed``.
+
+    r15 shape (guide §2.3 — shuffle keys/positions, not payloads; §5 —
+    the old plan's per-token window sort was the operator's measured
+    spill source): cut starts collect into ONE sorted array per doc
+    (rows ≈ repeated-gram occurrences — tiny next to tokens on real
+    corpora), one join attaches that array to the document row, and a
+    vectorized Arrow pass rebuilds each text by splicing out covered
+    tokens. The heavy bytes (the text) move exactly once, into the
+    join; the old plan instead EXPLODED every token into a row, union'd
+    difference-array deltas, ran a running-sum window over
+    tokens+deltas (full shuffle + sort of every token string, spilling
+    at the 1 GB points), and re-assembled docs with a second
+    collect_list aggregate. Output is identical: same covered-position
+    semantics, same single-space rebuild, same ``''`` for fully-cut
+    docs (the rebuild pass also canonicalizes whitespace on untouched
+    docs, exactly as the explode/rebuild plan did).
+
+    The per-doc splice is the classic merged-interval sweep over the
+    sorted start array; whitespace semantics stay byte-identical to the
+    JVM's ``split('\\s+')`` because ``bytes.split()``'s ASCII whitespace
+    set equals Java's ``\\s`` (see :func:`_gram_start_rows`)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    @pandas_udf("text string, n_tokens_removed long")
+    def rebuild(texts: pd.Series, cut_starts: pd.Series) -> pd.DataFrame:
+        out_t, out_n = [], []
+        for text, cs in zip(texts, cut_starts):
+            toks = (text or "").encode("utf-8").split()
+            if cs is None or len(cs) == 0:
+                out_t.append(b" ".join(toks).decode("utf-8"))
+                out_n.append(0)
+                continue
+            kept = []
+            kext = kept.extend
+            cur = 0
+            for s in cs:
+                if s > cur:
+                    kext(toks[cur:s])
+                nxt = s + k
+                if nxt > cur:
+                    cur = nxt
+            kext(toks[cur:])
+            out_t.append(b" ".join(kept).decode("utf-8"))
+            out_n.append(len(toks) - len(kept))
+        return pd.DataFrame({"text": out_t, "n_tokens_removed": out_n})
+
+    cut_lists = starts.groupBy("__rs_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("__cut_starts")
     )
-    toks = df.select(
-        F.col(id_col).alias("__rs_id"),
-        F.posexplode(
-            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("pos", "tok"),
-    )
-    merged = toks.select(
-        "__rs_id", "pos", F.lit(0).alias("__d"), F.lit(1).alias("__is_tok"), "tok"
-    ).unionAll(
-        deltas.select(
-            "__rs_id", "pos", "__d", F.lit(0).alias("__is_tok"), F.lit(None).alias("tok")
-        )
-    )
-    w = (
-        Window.partitionBy("__rs_id")
-        .orderBy("pos", "__is_tok")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    kept = (
-        merged.withColumn("__cov", F.sum("__d").over(w))
-        .filter((F.col("__is_tok") == 1) & (F.col("__cov") == 0))
-        .select("__rs_id", "pos", "tok")
-    )
-    rebuilt = kept.groupBy("__rs_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("__rebuilt"),
-        F.count("*").alias("__kept"),
-    )
-    ntok = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
     return (
-        df.withColumn("__ntok", ntok)
-        .join(rebuilt, F.col(id_col) == F.col("__rs_id"), "left")
+        df.join(cut_lists, F.col(id_col) == F.col("__rs_id"), "left")
         .drop("__rs_id")
-        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
-        .withColumn(
-            "n_tokens_removed", F.col("__ntok") - F.coalesce(F.col("__kept"), F.lit(0))
-        )
-        .drop("__rebuilt", "__kept", "__ntok")
+        .withColumn("__rb", rebuild(F.col(text_col), F.col("__cut_starts")))
+        .withColumn(text_col, F.col("__rb.text"))
+        .withColumn("n_tokens_removed", F.col("__rb.n_tokens_removed"))
+        .drop("__cut_starts", "__rb")
     )
 
 
@@ -1201,9 +1264,10 @@ def decontaminate_spans(
     Reuses the ExactSubstr machinery end to end: eval grams hash through
     the SAME rolling polynomial (one Arrow pass over the eval corpus —
     typically tiny next to training data), training-side gram starts
-    left-semi join the eval hash set, and :func:`_cut_spans` does the
-    difference-array coverage + bounded per-doc rebuild. Shuffle
-    carries 8-byte hashes only; the eval side is one scan.
+    left-semi join the eval hash set, and :func:`_cut_spans` collects
+    the cut positions per doc and splices them out in one Arrow
+    rebuild pass. Shuffle carries 8-byte hashes only; the eval side is
+    one scan.
 
     ``eval_broadcast`` is the 100 TB shuffle lever: the eval gram set
     comes out of a distinct aggregate, whose size the planner cannot

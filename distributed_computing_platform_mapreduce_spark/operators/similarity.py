@@ -43,32 +43,253 @@ def cosine_topk_exact(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Broadcast the query set (queries ≪ corpus), compute cosine per
-    (query, corpus) pair map-side, then per-query top-k via ranking
-    window. The ``row_number ≤ k`` filter plans as WindowGroupLimit
-    (plan-verified), so each map partition pre-truncates to its local
-    top-k per query BEFORE the exchange — the shuffle carries
-    O(partitions·|Q|·k) rows, not the scored corpus; AQE handles the
-    residual skew.
-    """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
-    )
+    The query set (queries ≪ corpus — the documented bounded side,
+    ≲10⁵ rows, exactly the bound the broadcast it replaces carried)
+    rides to executors as a closure matrix; each corpus Arrow batch
+    scores ALL queries with vectorized numpy and pre-truncates to the
+    per-batch top-k per query (ties on the kth cosine kept — a
+    superset of any global winner), so the shuffle carries
+    O(batches·|Q|·k) rows into the final exact ranking window.
+
+    r15 rewrite (guide §4.2; the repo's own lsh_bucket lesson): the old
+    plan scored every (corpus × query) pair with the interpreted
+    ``zip_with``+``aggregate`` fold — higher-order functions never
+    enter codegen, so a 400-corpus × 120k-query call burned ~80 s of
+    pure expression interpretation (measured r15, idle 32-core). The
+    numpy path does the same arithmetic at memory bandwidth — and the
+    COSINE DOUBLES ARE BIT-IDENTICAL: the accumulation loops run
+    dimension-by-dimension in array order (vectorized across rows), so
+    every IEEE multiply/add happens in exactly the sequential-fold
+    order the JVM expression used and the driver oracle replays
+    (pinned by the similarity suite's hash-compared oracle at every
+    sf)."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(corpus.sparkSession)
+    qid_dtype = dict(queries.select(id_col).dtypes)[id_col]
+    cid_dtype = dict(corpus.select(id_col).dtypes)[id_col]
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .collect()
+    )  # bounded by contract: queries is the small side (was broadcast)
+    out_schema = f"query_id {qid_dtype}, neighbor_id {cid_dtype}, cos double"
+    if not qrows:
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.select(
+            "query_id", "neighbor_id", F.lit(0).alias("rank"), "cos"
+        ).filter(F.lit(False))
+    qids = np.array([r["query_id"] for r in qrows])
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    dim = qmat.shape[1]
+    # query norms in the JVM fold's exact order: sum x² dimension by
+    # dimension, then sqrt — one IEEE add/mul per step, same rounding
+    qn = np.zeros(len(qrows), dtype=np.float64)
+    for d in range(dim):
+        qn = qn + qmat[:, d] * qmat[:, d]
+    qn = np.sqrt(qn)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            cmat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            b = len(cids)
+            cn = np.zeros(b, dtype=np.float64)
+            for d in range(dim):
+                cn = cn + cmat[:, d] * cmat[:, d]
+            cn = np.sqrt(cn)
+            # chunk the query axis so the score block stays ~64 MB
+            ck = max(64, (8 << 20) // max(1, b))
+            out_q, out_c, out_s = [], [], []
+            for lo in range(0, len(qids), ck):
+                qc_ids = qids[lo : lo + ck]
+                qc = qmat[lo : lo + ck]
+                qcn = qn[lo : lo + ck]
+                acc = np.zeros((b, len(qc_ids)), dtype=np.float64)
+                for d in range(dim):
+                    # dimension-sequential accumulate == the JVM fold
+                    acc = acc + cmat[:, d, None] * qc[None, :, d]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (qcn[None, :] * cn[:, None])
+                self_mask = cids[:, None] == qc_ids[None, :]
+                # NaN cosines (zero-norm degenerates) rank GREATEST in
+                # the downstream Spark window (desc puts NaN first), so
+                # the prefilter must keep them: compare through a key
+                # that maps NaN→+inf (emitted cos values stay NaN)
+                key = np.where(np.isnan(cos), np.inf, cos)
+                thr_src = np.where(self_mask, -np.inf, key)
+                if b > k:
+                    thr = np.partition(thr_src, b - k, axis=0)[b - k]
+                    emit = (thr_src >= thr[None, :]) & ~self_mask
+                else:
+                    emit = ~self_mask
+                ci, qi = np.nonzero(emit)
+                out_c.append(cids[ci])
+                out_q.append(qc_ids[qi])
+                out_s.append(cos[ci, qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_c),
+                    "cos": np.concatenate(out_s),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _score_pairs_with_query_closure(
+    pairs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    dedup: bool = False,
+    topk: int | None = None,
+) -> DataFrame:
+    """Score candidate ``(query_id, neighbor_id, cvec)`` rows against
+    the bounded query set: queries collect once (they were the
+    broadcast side already — same size contract) and ride in the UDF
+    closure as an id-indexed matrix; one Arrow pass computes the cosine
+    with numpy in the JVM fold's exact dimension order, so the doubles
+    are bit-identical to the old interpreted ``zip_with``+``aggregate``
+    expression the oracles replay (r15, guide §4.2 — HOF lambdas never
+    enter codegen and were the candidate stage's dominant cost).
+    Returns ``(query_id, neighbor_id, cos)``.
+
+    ``dedup=True`` drops duplicate (query_id, neighbor_id) pairs INSIDE
+    the pass (per-batch ``drop_duplicates`` — C-speed — plus a
+    cross-batch seen-set): the multiprobe/multiband candidate joins
+    produce every copy of a pair within ONE map task (a corpus row's
+    band-explode never leaves its partition), so task-local dedup IS
+    global dedup — and it replaces the old JVM ``distinct()`` whose
+    grouping key carried the cvec array (measured r15: hashing ~30M
+    array keys cost ~25-50 s per 25k-query batch, the dominant stage of
+    the whole LSH call).
+
+    ``topk`` (tie-inclusive) prunes each task's output to its local
+    top-``topk`` rows per query — per batch first (bounding the
+    task-local accumulator), then once per task at iterator end — so
+    the exact ranking window downstream receives O(tasks·|Q|·k) rows
+    instead of every candidate; rows tied on the kth cosine all
+    survive, so the window's (cos DESC, neighbor_id) order still sees
+    every possible winner and the final rows are identical."""
+    import numpy as np
+
+    from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
+
+    ensure_shipped(pairs.sparkSession)
+    qid_dtype = dict(queries.select(id_col).dtypes)[id_col]
+    cid_dtype = dict(pairs.select("neighbor_id").dtypes)["neighbor_id"]
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).collect()
+    qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    qidx = {r["qid"]: i for i, r in enumerate(qrows)}
+    qids_arr = np.array([r["qid"] for r in qrows])
+    # query norms in fold order (sum x² dimension by dimension, sqrt)
+    qn_all = np.zeros(len(qrows), dtype=np.float64)
+    for d in range(dim):
+        qn_all = qn_all + qmat[:, d] * qmat[:, d]
+    qn_all = np.sqrt(qn_all)
+
+    def _topk_tie_inclusive(qi, nid, cos):
+        """Per-query top-``topk`` rows by cosine, ties on the kth value
+        kept — a SUPERSET of the global top-k winners, so the exact
+        ranking window downstream is unchanged. Vectorized: one lexsort
+        groups by query with cos descending, then each group keeps its
+        prefix down to the kth-largest cosine.
+
+        NaN cosines (zero-norm degenerates) sort GREATEST — the same
+        order the downstream Spark window's ``desc`` uses — via a
+        NaN→+inf comparison key; emitted cos values stay NaN."""
+        key = np.where(np.isnan(cos), np.inf, cos)
+        order = np.lexsort((-key, qi))
+        qs, ns, cs, ks = qi[order], nid[order], cos[order], key[order]
+        grp_start = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        sizes = np.diff(np.r_[grp_start, len(qs)])
+        # index of each group's kth element (clamped to group end)
+        kth = grp_start + np.minimum(topk - 1, sizes - 1)
+        thr = np.repeat(ks[kth], sizes)
+        keep = ks >= thr
+        return qs[keep], ns[keep], cs[keep]
+
+    def score(batches):
+        seen: set = set()
+        acc_q, acc_n, acc_c = [], [], []
+        for pdf in batches:
+            if dedup and len(pdf):
+                pdf = pdf.drop_duplicates(subset=["query_id", "neighbor_id"])
+                if seen:
+                    keep = [
+                        (q, n) not in seen
+                        for q, n in zip(pdf["query_id"], pdf["neighbor_id"])
+                    ]
+                    pdf = pdf[np.asarray(keep, dtype=bool)]
+                seen.update(zip(pdf["query_id"], pdf["neighbor_id"]))
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(qidx).to_numpy()
+            qm = qmat[qi]
+            qn = qn_all[qi]
+            cm = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64, copy=False)
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            cn = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(dim):
+                acc = acc + qm[:, d] * cm[:, d]
+                cn = cn + cm[:, d] * cm[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (qn * np.sqrt(cn))
+            if topk is None:
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "cos": cos,
+                    }
+                )
+                continue
+            # two-level prefilter (guide §2.3 — shuffle only rows that
+            # can still win): per-batch top-k bounds the task-local
+            # accumulator, per-task top-k at iterator end bounds what
+            # the ranking window's exchange carries to
+            # O(tasks·|Q|·k) instead of O(candidates).
+            q2, n2, c2 = _topk_tie_inclusive(
+                qi, pdf["neighbor_id"].to_numpy(), cos
+            )
+            acc_q.append(q2)
+            acc_n.append(n2)
+            acc_c.append(c2)
+        if topk is not None and acc_q:
+            qi = np.concatenate(acc_q)
+            nid = np.concatenate(acc_n)
+            cos = np.concatenate(acc_c)
+            qs, ns, cs = _topk_tie_inclusive(qi, nid, cos)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_arr[qs],
+                    "neighbor_id": ns,
+                    "cos": cs,
+                }
+            )
+
+    return pairs.mapInPandas(
+        score, f"query_id {qid_dtype}, neighbor_id {cid_dtype}, cos double"
     )
 
 
@@ -188,16 +409,20 @@ def cosine_topk_lsh(
         .select("neighbor_id", "cvec", "bb.band", "bb.bucket")
     )
     # Query probes: own bucket + 1-bit flips (bucket XOR 2^i) per band.
+    # r15: the probe table carries (query_id, band, bucket) ONLY — the
+    # query VECTORS ride to the scoring stage as a closure matrix
+    # instead of a column, so the broadcast build is ~24 B/probe row
+    # rather than 24+8·dim (guide §2.3 — at a 25k-query batch × 40
+    # probes the old 64-dim probe broadcast was ~0.5 GB built on the
+    # driver per batch; now ~24 MB).
     flips = [None] + (list(range(n_planes)) if multiprobe else [])
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
-            F.col(vec_col).cast("array<double>").alias("qvec"),
             bkts(F.col(vec_col)).alias("__bkts"),
         )
         .select(
             "query_id",
-            "qvec",
             F.explode(
                 F.array(
                     *[
@@ -217,13 +442,24 @@ def cosine_topk_lsh(
                 )
             ).alias("bb"),
         )
-        .select("query_id", "qvec", "bb.band", "bb.bucket")
+        .select("query_id", "bb.band", "bb.bucket")
     )
-    scored = (
+    # Dedup candidate pairs INSIDE the scoring pass (r15): a pair
+    # colliding in several bands/probes used to pay the cosine per
+    # COLLISION and a JVM distinct() whose grouping key carried the
+    # cvec array (measured: hashing ~30M array keys was the call's
+    # dominant stage). Every copy of a pair is produced inside one map
+    # task (the corpus row's band-explode meets the broadcast probes
+    # map-side), so the scorer's task-local dedup is exact and the
+    # distinct's exchange disappears; cvec stays on the row so the
+    # scorer needs no corpus re-join.
+    pairs = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
-        .distinct()
+        .select("query_id", "neighbor_id", "cvec")
+    )
+    scored = _score_pairs_with_query_closure(
+        pairs, queries, id_col, vec_col, dim, dedup=True, topk=k
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -368,16 +604,24 @@ def cosine_topk_ivf(
         F.col(vec_col).cast("array<double>").alias("cvec"),
         F.element_at(_ivf_assign_udf(cmat, 1)(F.col(vec_col)), 1).alias("cell"),
     )
+    # r15: probes carry (query_id, cell) only and pairs dedup inside
+    # the scoring pass — same restructure as cosine_topk_lsh (narrow
+    # broadcast, task-local duplicate kill replacing the array-keyed
+    # distinct, fold-order numpy scoring; bit-identical cos doubles,
+    # pinned by the suite oracle). A corpus row sits in ONE cell, so a
+    # pair can only repeat via the query's n_probe cells — all met in
+    # the corpus row's own task.
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
         F.explode(_ivf_assign_udf(cmat, n_probe)(F.col(vec_col))).alias("cell"),
     )
-    scored = (
+    pairs = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
-        .distinct()
+        .select("query_id", "neighbor_id", "cvec")
+    )
+    scored = _score_pairs_with_query_closure(
+        pairs, queries, id_col, vec_col, int(cmat.shape[1]), dedup=True, topk=k
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -856,14 +1100,37 @@ def _pq_train_distributed(
                     return pd.Series([], dtype=object)
                 mat = np.array(list(s), dtype=np.float64)
                 codes = np.empty((len(mat), m), dtype=np.int16)
+                # row-chunked distance loop (r15, guide §5.1): the
+                # broadcast temp is chunk·k·sub doubles instead of
+                # n·k·sub — at the docstring's 32k-centroid regime a
+                # full 10k-row Arrow batch would allocate n·k·sub ≈
+                # 160 GB; chunking bounds it at ~512·k·sub while the
+                # per-element arithmetic (and hence every code) stays
+                # identical.
+                ch = 512
                 for j in range(m):
                     x = mat[:, j * sub : (j + 1) * sub]
-                    d2 = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
-                    codes[:, j] = d2.argmin(axis=1).astype(np.int16)
+                    bk = bks[j][None, :, :]
+                    for lo in range(0, len(mat), ch):
+                        xc = x[lo : lo + ch]
+                        d2 = ((xc[:, None, :] - bk) ** 2).sum(axis=2)
+                        codes[lo : lo + ch, j] = d2.argmin(axis=1).astype(
+                            np.int16
+                        )
                 return pd.Series(list(codes))
 
+            # UDF in its OWN projection, the generator in the next one
+            # (r15, guide §4.1): with assign(v) and posexplode(v) in a
+            # single select the UDF lands ABOVE the Generate and is
+            # re-evaluated once per EXPLODED row — dim× (64×) the work
+            # and dim× the Arrow traffic, measured 669 s vs 10 s on the
+            # round-0 aggregate. Split this way the ArrowEvalPython
+            # plans BELOW the Generate (one evaluation per sample row,
+            # codes ride through the explode); pinned by
+            # test_pq_train_assign_udf_evaluates_before_explode.
             agg_df = (
-                normed.select(assign("v").alias("codes"), pos)
+                normed.select(assign("v").alias("codes"), "v")
+                .select("codes", pos)
                 .select(
                     (F.col("pos") / sub).cast("int").alias("j"),
                     F.pmod("pos", F.lit(sub)).alias("p"),

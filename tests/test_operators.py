@@ -4047,6 +4047,31 @@ def test_pq_train_distributed_sort_free_and_recall(spark, sf_dir):
     assert b2.shape == (16, 8, 4)
 
 
+def test_pq_train_assign_udf_evaluates_before_explode(spark):
+    """r15 optimization guard: the distributed Lloyd round-0 aggregate
+    must evaluate the ``assign`` pandas UDF BELOW the posexplode
+    Generate. With both in a single projection Catalyst plans the
+    ArrowEvalPython above the Generate and re-evaluates the UDF once
+    per EXPLODED row — dim× (64×) the Python work and Arrow traffic
+    (measured 669 s vs 44 s on the k=150 ivf_train round-0 aggregate).
+    In the formatted plan the Generate must therefore print ABOVE
+    (consume) the ArrowEvalPython node."""
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plans: list = []
+    books = similarity.pq_train(
+        df, m=2, k=4, iters=1, distributed=True, plan_log=plans
+    )
+    assert books.shape == (2, 4, 4)
+    lines = plans[2].splitlines()
+    gen_i = next(i for i, l in enumerate(lines) if "Generate" in l)
+    udf_i = next(i for i, l in enumerate(lines) if "ArrowEvalPython" in l)
+    assert udf_i > gen_i, (
+        "assign UDF planned above the Generate: re-evaluated per "
+        "exploded row\n" + plans[2]
+    )
+
+
 def test_ivf_train_lloyd_centroids_recall(spark, sf_dir):
     """ivf_train = the PQ distributed-Lloyd machinery at m=1: unit-row
     centroids, sort-free training plans, and recall through
@@ -4986,22 +5011,18 @@ def test_knn_classify_batched_equals_single_shot(spark):
     assert batched == single and len(single) == targets.count()
 
 
-def test_knn_batched_ann_routing_past_broadcast_bound(spark):
-    """r7 verdict item 5: the documented scale routing for label
-    propagation — targets EXCEEDING the exact path's documented
-    broadcast bound (~10⁵ rows) flow through bounded batches whose
-    neighbor search is the bucketed ANN path (LSH with multiprobe; IVF
-    checked on a slice) — run for real and checked against the exact
-    path. 120k targets, 400 labeled seeds, 8 well-separated clusters:
-    at these recall-saturated parameters the ANN routes agree with
-    exact single-shot on every target (probe measured 1.0/1.0; asserted
-    at ≥0.995 for environment headroom)."""
-    import functools
-
+@pytest.fixture(scope="module")
+def _knn_routing_corpus(spark):
+    """Shared 120k-target corpus + exact-path baseline for the ANN
+    routing drills (r7 verdict item 5). One module-scoped computation:
+    the exact single-shot predictions feed BOTH backend-agreement
+    tests below — r15 split the original three-leg mega-test so each
+    leg sits inside the per-test wall-clock guard on slower hosts
+    without weakening any assertion (same 120k scale, same ≥0.995
+    agreement bars; probe measured 1.0/1.0)."""
     import numpy as np
 
     from distributed_computing_platform_mapreduce_spark.operators import classifier as qc
-    from distributed_computing_platform_mapreduce_spark.operators import similarity as sim
 
     rng = np.random.default_rng(13)
     centers = rng.normal(size=(8, 16))
@@ -5026,7 +5047,23 @@ def test_knn_batched_ann_routing_past_broadcast_bound(spark):
         for r in qc.knn_classify(labeled, targets, k=5).collect()
     }
     assert len(exact) == n_t
+    return labeled, targets, exact, n_t
 
+
+def test_knn_batched_lsh_routing_past_broadcast_bound(spark, _knn_routing_corpus):
+    """Targets EXCEEDING the exact path's documented broadcast bound
+    (~10⁵ rows) flow through bounded batches whose neighbor search is
+    the bucketed sign-LSH path (with multiprobe) — run for real at
+    120k targets / 400 labeled seeds / 8 well-separated clusters and
+    checked against the exact single-shot baseline (recall-saturated
+    parameters: probe measured agreement 1.0; asserted at ≥0.995 for
+    environment headroom)."""
+    import functools
+
+    from distributed_computing_platform_mapreduce_spark.operators import classifier as qc
+    from distributed_computing_platform_mapreduce_spark.operators import similarity as sim
+
+    labeled, targets, exact, n_t = _knn_routing_corpus
     lsh = functools.partial(sim.cosine_topk_lsh, dim=16, n_planes=4, bands=8, multiprobe=True)
     bat = {
         r["vec_id"]: r["predicted_label"]
@@ -5038,8 +5075,18 @@ def test_knn_batched_ann_routing_past_broadcast_bound(spark):
     agree = sum(1 for k2, v in bat.items() if exact.get(k2) == v) / len(bat)
     assert agree >= 0.995, agree
 
-    # IVF backend on a deterministic slice (same contract, cell-probe
-    # candidate generation instead of sign-LSH buckets)
+
+def test_knn_ivf_routing_agrees_with_exact(spark, _knn_routing_corpus):
+    """IVF backend on a deterministic slice of the 120k routing corpus
+    (same contract as the LSH drill, cell-probe candidate generation
+    instead of sign-LSH buckets) — agreement with the exact baseline
+    at the same ≥0.995 bar."""
+    import functools
+
+    from distributed_computing_platform_mapreduce_spark.operators import classifier as qc
+    from distributed_computing_platform_mapreduce_spark.operators import similarity as sim
+
+    labeled, targets, exact, _n_t = _knn_routing_corpus
     ivf = functools.partial(sim.cosine_topk_ivf, n_centroids=16, n_probe=8)
     sub = targets.filter(F.col("vec_id") % 6 == 0)
     iv = {

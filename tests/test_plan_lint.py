@@ -81,18 +81,18 @@ ARROW_PYTHON_OK = {
 # join_cross (5-row region × 25-row nation), join_theta_range (band
 # predicate vs broadcast dim), agg_grouping_suite (scalar-subquery
 # HAVING → broadcast of a 1-row aggregate, in its rollup leg),
-# similarity_topk_suite (tiny query set broadcast against the corpus in
-# its exact leg), ranking_bm25 (the corpus constants N/avgdl — a
-# broadcast 1-row aggregate crossJoined onto the postings).
+# ranking_bm25 (the corpus constants N/avgdl — a broadcast 1-row
+# aggregate crossJoined onto the postings).
 BNLJ_OK = {
     "join_cross",
     "join_theta_range",
     "agg_grouping_suite",
-    "similarity_topk_suite",
-    # knn_label_propagation's neighbor search is cosine_topk_exact:
-    # the bounded target batch broadcast against the corpus — the same
-    # sanctioned shape as similarity_topk_suite's exact leg
-    "knn_label_propagation",
+    # NOT listed: similarity_topk_suite / knn_label_propagation — their
+    # exact legs' broadcast crossJoin (the old sanctioned BNLJ) was
+    # replaced in r15 by closure-matrix numpy scoring inside one
+    # MapInPandas pass (guide §4.2: the zip_with+aggregate cosine fold
+    # never entered codegen and dominated the leg), so no non-equi
+    # join remains in either plan.
     "ranking_bm25",
     "text_ngram_lm",  # broadcast 1-row vocab-size aggregate crossJoined on
     # curation_recipe's LM-floor stage reuses bigram_lm_scores — the same

@@ -45,7 +45,43 @@ SF_CHECK = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 # blocked in a py4j call, so a hung Spark action fails fast with a
 # traceback instead of stalling the driver's verify. pytest-timeout isn't
 # in the container; this conftest hook is the dependency-free equivalent.
-_TEST_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_TEST_TIMEOUT_S", "180"))
+
+
+def _host_slowdown() -> float:
+    """Measured host slowdown vs the repo's recorded idle reference.
+
+    r15 lesson: the sandbox's speed swings hypervisor-side by large
+    factors (GEMM canary 0.022-0.61 s for the same op in one afternoon;
+    the page-fault path once degraded to ~5 MB/s) — a fixed 180 s guard
+    then fails borderline-but-healthy tests purely environmentally (4
+    such reds on an UNCHANGED tree, all passing once the host settled).
+    One small GEMM probe (~0.1 s healthy) scales the guard's DEFAULT by
+    the measured slowdown, capped at 4x, so the guard still catches
+    runaway plans (minutes vs hours) while not flagging a slow host.
+    An explicit SPARK_GRAFT_TEST_TIMEOUT_S always wins, unscaled."""
+    try:
+        import time
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.random((1024, 1024))
+        a @ a  # warm BLAS threads
+        t0 = time.perf_counter()
+        a @ a
+        dt = time.perf_counter() - t0
+        # 1024^3 idle reference ~0.019 s (0.145 s recorded for 2000^3)
+        return min(4.0, max(1.0, dt / 0.019))
+    except Exception:
+        return 1.0
+
+
+_env_timeout = os.environ.get("SPARK_GRAFT_TEST_TIMEOUT_S")
+_TEST_TIMEOUT_S = (
+    int(_env_timeout)
+    if _env_timeout is not None
+    else int(180 * _host_slowdown())
+)
 
 
 @pytest.hookimpl(wrapper=True)

@@ -2,12 +2,16 @@
 
 Brute-force cosine top-k is the exact baseline; random-hyperplane LSH
 bucketing is the scale path (candidates only within matching buckets).
-Dot products use ``F.zip_with`` + ``F.aggregate`` — sequential fold in
-array order, JVM-side, deterministic.
+Since r15 the exact/LSH/IVF scorers compute cosines with vectorized
+numpy inside one Arrow pass, accumulating dimension-by-dimension in
+array order so every double is bit-identical to the historical
+``F.zip_with`` + ``F.aggregate`` sequential fold (which the remaining
+JVM-side helpers below still implement, and the DuckDB oracles replay).
 
-At 100 TB the exact variant is a broadcast of the (small) query set
-against the corpus — no corpus shuffle; top-k per query is a bounded
-window. The LSH variant buckets the corpus once and probes buckets.
+At 100 TB the exact variant ships the (small, bounded) query set to
+executors as a closure matrix — no corpus shuffle; top-k per query is
+a bounded window fed by per-task pre-truncation. The LSH variant
+buckets the corpus once and probes buckets.
 """
 
 from __future__ import annotations
@@ -32,6 +36,32 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _validate_vectors(op: str, side: str, id_vec_pairs, dim: int | None = None):
+    """Loud contract check for the numpy scoring paths (r15): embedding
+    columns are fixed-dim, non-null arrays (the catalog schema). A null
+    or ragged vector under the old JVM expression yielded a silent null
+    cosine; under numpy it would either crash cryptically mid-batch or
+    — worse, on a dim mismatch — score a silently TRUNCATED cosine.
+    Fail fast naming the offending row instead. Returns the validated
+    dimension."""
+    for rid, v in id_vec_pairs:
+        if v is None:
+            raise ValueError(
+                f"{op}: {side} embedding at id={rid!r} is NULL — "
+                "fixed-dim non-null vectors are the contract; filter "
+                "null embeddings upstream"
+            )
+        if dim is None:
+            dim = len(v)
+        elif len(v) != dim:
+            raise ValueError(
+                f"{op}: {side} embedding at id={rid!r} has dim "
+                f"{len(v)} != {dim} — mixed dimensions would score a "
+                "truncated cosine; align the schemas upstream"
+            )
+    return dim
 
 
 def cosine_topk_exact(
@@ -84,6 +114,10 @@ def cosine_topk_exact(
             "query_id", "neighbor_id", F.lit(0).alias("rank"), "cos"
         ).filter(F.lit(False))
     qids = np.array([r["query_id"] for r in qrows])
+    _validate_vectors(
+        "cosine_topk_exact", "queries",
+        ((r["query_id"], r["qvec"]) for r in qrows),
+    )
     qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
     dim = qmat.shape[1]
     # query norms in the JVM fold's exact order: sum x² dimension by
@@ -98,6 +132,10 @@ def cosine_topk_exact(
             if not len(pdf):
                 continue
             cids = pdf[id_col].to_numpy()
+            _validate_vectors(
+                "cosine_topk_exact", "corpus",
+                zip(cids, pdf[vec_col]), dim=dim,
+            )
             cmat = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -123,7 +161,10 @@ def cosine_topk_exact(
                 # NaN cosines (zero-norm degenerates) rank GREATEST in
                 # the downstream Spark window (desc puts NaN first), so
                 # the prefilter must keep them: compare through a key
-                # that maps NaN→+inf (emitted cos values stay NaN)
+                # that maps NaN→+inf (emitted cos values stay NaN).
+                # KEEP IN SYNC with _topk_tie_inclusive in
+                # _score_pairs_with_query_closure — same invariant,
+                # matrix form here vs flat-array form there.
                 key = np.where(np.isnan(cos), np.inf, cos)
                 thr_src = np.where(self_mask, -np.inf, key)
                 if b > k:
@@ -171,15 +212,24 @@ def _score_pairs_with_query_closure(
     enter codegen and were the candidate stage's dominant cost).
     Returns ``(query_id, neighbor_id, cos)``.
 
-    ``dedup=True`` drops duplicate (query_id, neighbor_id) pairs INSIDE
-    the pass (per-batch ``drop_duplicates`` — C-speed — plus a
-    cross-batch seen-set): the multiprobe/multiband candidate joins
-    produce every copy of a pair within ONE map task (a corpus row's
-    band-explode never leaves its partition), so task-local dedup IS
-    global dedup — and it replaces the old JVM ``distinct()`` whose
-    grouping key carried the cvec array (measured r15: hashing ~30M
-    array keys cost ~25-50 s per 25k-query batch, the dominant stage of
-    the whole LSH call).
+    ``dedup=True`` (requires ``topk``) drops duplicate
+    (query_id, neighbor_id) pairs INSIDE the pass — per-batch
+    ``drop_duplicates`` (C-speed), then once more over the task's
+    accumulated survivors at iterator end. The multiprobe/multiband
+    candidate joins produce every copy of a pair within ONE map task (a
+    corpus row's band-explode never leaves its partition — plan-pinned:
+    no Exchange between the corpus scan and this scorer), so task-local
+    dedup IS global dedup — and it replaces the old JVM ``distinct()``
+    whose grouping key carried the cvec array (measured r15: hashing
+    ~30M array keys cost ~25-50 s per 25k-query batch, the dominant
+    stage of the whole LSH call). Exactness additionally relies on the
+    corpus id being unique (the embeddings-table contract the old
+    global distinct did not need): two identical corpus rows in
+    DIFFERENT partitions would no longer collapse. Cross-batch copies
+    of a pair are re-scored (vectorized, identical cos) rather than
+    tracked in a per-task seen-set — the set grew with every candidate
+    the task saw, unbounded, where the accumulator below is bounded by
+    the per-batch top-k.
 
     ``topk`` (tie-inclusive) prunes each task's output to its local
     top-``topk`` rows per query — per batch first (bounding the
@@ -187,18 +237,36 @@ def _score_pairs_with_query_closure(
     the exact ranking window downstream receives O(tasks·|Q|·k) rows
     instead of every candidate; rows tied on the kth cosine all
     survive, so the window's (cos DESC, neighbor_id) order still sees
-    every possible winner and the final rows are identical."""
+    every possible winner and the final rows are identical.
+
+    ``queries`` must be deterministic (it is evaluated twice: once
+    collected here for the closure matrix, once in the caller's probe
+    plan) — seeded samples are fine, bare ``rand()`` is not."""
     import numpy as np
 
     from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
 
+    if dedup and topk is None:
+        raise ValueError(
+            "_score_pairs_with_query_closure: dedup=True requires topk "
+            "(the task-end dedup happens in the final top-k pass)"
+        )
     ensure_shipped(pairs.sparkSession)
     qid_dtype = dict(queries.select(id_col).dtypes)[id_col]
     cid_dtype = dict(pairs.select("neighbor_id").dtypes)["neighbor_id"]
+    out_schema = f"query_id {qid_dtype}, neighbor_id {cid_dtype}, cos double"
     qrows = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     ).collect()
+    if not qrows:
+        # empty query set: no pair can score — keep the lazy empty
+        # result the old broadcast-join plan produced
+        return pairs.sparkSession.createDataFrame([], out_schema)
+    _validate_vectors(
+        "similarity candidate scoring", "queries",
+        ((r["qid"], r["qvec"]) for r in qrows), dim=dim,
+    )
     qmat = np.array([r["qvec"] for r in qrows], dtype=np.float64)
     qidx = {r["qid"]: i for i, r in enumerate(qrows)}
     qids_arr = np.array([r["qid"] for r in qrows])
@@ -217,7 +285,10 @@ def _score_pairs_with_query_closure(
 
         NaN cosines (zero-norm degenerates) sort GREATEST — the same
         order the downstream Spark window's ``desc`` uses — via a
-        NaN→+inf comparison key; emitted cos values stay NaN."""
+        NaN→+inf comparison key; emitted cos values stay NaN. KEEP IN
+        SYNC with the np.partition prefilter in cosine_topk_exact's
+        scorer — same invariant, flat-array form here vs matrix form
+        there."""
         key = np.where(np.isnan(cos), np.inf, cos)
         order = np.lexsort((-key, qi))
         qs, ns, cs, ks = qi[order], nid[order], cos[order], key[order]
@@ -230,20 +301,16 @@ def _score_pairs_with_query_closure(
         return qs[keep], ns[keep], cs[keep]
 
     def score(batches):
-        seen: set = set()
         acc_q, acc_n, acc_c = [], [], []
         for pdf in batches:
             if dedup and len(pdf):
                 pdf = pdf.drop_duplicates(subset=["query_id", "neighbor_id"])
-                if seen:
-                    keep = [
-                        (q, n) not in seen
-                        for q, n in zip(pdf["query_id"], pdf["neighbor_id"])
-                    ]
-                    pdf = pdf[np.asarray(keep, dtype=bool)]
-                seen.update(zip(pdf["query_id"], pdf["neighbor_id"]))
             if not len(pdf):
                 continue
+            _validate_vectors(
+                "similarity candidate scoring", "corpus",
+                zip(pdf["neighbor_id"], pdf["cvec"]), dim=dim,
+            )
             qi = pdf["query_id"].map(qidx).to_numpy()
             qm = qmat[qi]
             qn = qn_all[qi]
@@ -279,6 +346,16 @@ def _score_pairs_with_query_closure(
             qi = np.concatenate(acc_q)
             nid = np.concatenate(acc_n)
             cos = np.concatenate(acc_c)
+            if dedup:
+                # task-end exact dedup: cross-batch copies of a pair
+                # re-scored identically above collapse here (all copies
+                # are task-local — see the docstring's invariant)
+                fin = pd.DataFrame(
+                    {"q": qi, "n": nid, "c": cos}
+                ).drop_duplicates(subset=["q", "n"])
+                qi = fin["q"].to_numpy()
+                nid = fin["n"].to_numpy()
+                cos = fin["c"].to_numpy()
             qs, ns, cs = _topk_tie_inclusive(qi, nid, cos)
             yield pd.DataFrame(
                 {

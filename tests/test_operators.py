@@ -4047,6 +4047,69 @@ def test_pq_train_distributed_sort_free_and_recall(spark, sf_dir):
     assert b2.shape == (16, 8, 4)
 
 
+def test_similarity_empty_query_set_returns_empty(spark):
+    """r15 review fix: an empty query set must return an empty result
+    across the exact/LSH/IVF paths (the lazy behavior the old
+    broadcast-join plans had) instead of crashing on a degenerate
+    closure matrix at DataFrame-construction time."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    empty = corpus.filter(F.col("vec_id") < 0)
+    assert similarity.cosine_topk_exact(corpus, empty, k=2).count() == 0
+    assert (
+        similarity.cosine_topk_lsh(
+            corpus, empty, dim=4, k=2, n_planes=2, bands=2
+        ).count()
+        == 0
+    )
+    assert (
+        similarity.cosine_topk_ivf(
+            corpus, empty, k=2, n_centroids=2, n_probe=1
+        ).count()
+        == 0
+    )
+
+
+def test_similarity_malformed_embeddings_fail_loudly(spark):
+    """r15 review fix: null or mixed-dimension embeddings raise a
+    ValueError naming the offending row — under the old JVM expression
+    a null vector silently produced a null cosine, and a numpy path
+    without the check would score a silently TRUNCATED cosine on a dim
+    mismatch (the worse failure: plausible wrong neighbors)."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 2)
+
+    # queries-side null: raises on the driver at construction
+    null_q = spark.createDataFrame(
+        [(90, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        similarity.cosine_topk_exact(corpus, queries.unionAll(null_q), k=2)
+
+    # corpus-side null: raises inside the scoring task, message intact
+    null_c = spark.createDataFrame(
+        [(91, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        similarity.cosine_topk_exact(
+            corpus.unionAll(null_c), queries, k=2
+        ).collect()
+
+    # corpus-side dim mismatch: raises naming the row, never truncates
+    ragged = spark.createDataFrame(
+        [(92, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        similarity.cosine_topk_exact(
+            corpus.unionAll(ragged), queries, k=2
+        ).collect()
+
+
 def test_pq_train_assign_udf_evaluates_before_explode(spark):
     """r15 optimization guard: the distributed Lloyd round-0 aggregate
     must evaluate the ``assign`` pandas UDF BELOW the posexplode

@@ -1021,10 +1021,15 @@ _GRAM_B = 1_099_511_628_211
 #: (`spark.python.worker.reuse`, default on) keep it across tasks —
 #: the package ships to executors via `shipping.ensure_shipped`, so
 #: the module (and its globals) is importable there, not re-pickled
-#: per task. Capped: an adversarial all-unique vocabulary must not
-#: grow the dict unboundedly (past the cap, misses compute-and-skip).
+#: per task. Capped at 2^18 entries (r15 ADVICE: 2^20 bytes-keyed
+#: entries pinned ~100–300 MB of permanent RSS per reused worker for a
+#: memo whose hit rate saturates at the Zipf head — 2^18 ≈ 262k tokens
+#: covers any natural vocabulary's head); when an adversarial
+#: all-unique stream fills it, the memo is CLEARED and rebuilt rather
+#: than frozen, so a later Zipf-shaped corpus on the same worker still
+#: gets its hit rate back.
 _FNV_MEMO: dict = {}
-_FNV_MEMO_MAX = 1 << 20
+_FNV_MEMO_MAX = 1 << 18
 
 
 def _fnv61(bs: bytes) -> int:
@@ -1088,8 +1093,9 @@ def _gram_start_rows(
                     h = mget(t)
                     if h is None:
                         h = _fnv61(t)
-                        if len(memo) < _FNV_MEMO_MAX:
-                            memo[t] = h
+                        if len(memo) >= _FNV_MEMO_MAX:
+                            memo.clear()  # reset, don't freeze (r15 ADVICE)
+                        memo[t] = h
                     tap(h)
                 h = 0
                 for i in range(k - 1):

@@ -45,7 +45,11 @@ def _validate_vectors(op: str, side: str, id_vec_pairs, dim: int | None = None):
     cosine; under numpy it would either crash cryptically mid-batch or
     — worse, on a dim mismatch — score a silently TRUNCATED cosine.
     Fail fast naming the offending row instead. Returns the validated
-    dimension."""
+    dimension.
+
+    Driver-side/bounded call sites only (collected query rows). The
+    per-batch corpus hot loops use :func:`_validate_vec_batch` — same
+    contract, same error text, vectorized (r16, VERDICT r15 #8)."""
     for rid, v in id_vec_pairs:
         if v is None:
             raise ValueError(
@@ -62,6 +66,33 @@ def _validate_vectors(op: str, side: str, id_vec_pairs, dim: int | None = None):
                 "truncated cosine; align the schemas upstream"
             )
     return dim
+
+
+def _validate_vec_batch(op: str, side: str, ids, vecs, dim: int):
+    """Vectorized twin of :func:`_validate_vectors` for the per-batch
+    scoring hot loops (r16): the steady state costs two C-speed checks
+    (null mask + length array) instead of an interpreted per-row loop
+    re-added to a path r15 had just vectorized. Only on a violation does
+    the per-row hunt run, to name the offending id with the EXACT error
+    text `_validate_vectors` raises (pinned by the malformed-embeddings
+    test)."""
+    import numpy as np
+
+    if not isinstance(vecs, pd.Series):
+        vecs = pd.Series(list(vecs), dtype=object)
+    bad = bool(vecs.isna().to_numpy().any())
+    if not bad:
+        lens = np.fromiter(
+            (len(v) for v in vecs), dtype=np.int64, count=len(vecs)
+        )
+        bad = bool(np.any(lens != dim))
+    if bad:
+        # violation: re-run the loud per-row check for the exact message
+        _validate_vectors(op, side, zip(ids, vecs), dim=dim)
+        raise AssertionError(
+            f"{op}: {side} batch failed vectorized validation but the "
+            "row scan found nothing — report this"
+        )  # pragma: no cover — the row scan always raises first
 
 
 def cosine_topk_exact(
@@ -92,7 +123,15 @@ def cosine_topk_exact(
     every IEEE multiply/add happens in exactly the sequential-fold
     order the JVM expression used and the driver oracle replays
     (pinned by the similarity suite's hash-compared oracle at every
-    sf)."""
+    sf).
+
+    Contract (r15 ADVICE, surfaced from the private helper): this call
+    is EAGER on the query side — ``queries`` is collected at
+    DataFrame-construction time (a Spark job runs, and validation
+    errors raise, even if the result is never acted on), and driver
+    memory holds the query matrix where the old plan's broadcast-size
+    guardrail did. ``queries`` must be deterministic and small (the
+    documented ≲10⁵-row bounded side)."""
     import numpy as np
 
     from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
@@ -126,15 +165,21 @@ def cosine_topk_exact(
     for d in range(dim):
         qn = qn + qmat[:, d] * qmat[:, d]
     qn = np.sqrt(qn)
+    # r16 (VERDICT r15 #7): the query matrix rides as a TorrentBroadcast
+    # instead of closure capture — pickled into the task command it
+    # re-shipped ~8·dim bytes/query with EVERY task launch; a broadcast
+    # ships once per executor and the task closure carries only the
+    # handle. Same arrays, same arithmetic.
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qn))
 
     def score(batches):
+        qids, qmat, qn = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             cids = pdf[id_col].to_numpy()
-            _validate_vectors(
-                "cosine_topk_exact", "corpus",
-                zip(cids, pdf[vec_col]), dim=dim,
+            _validate_vec_batch(
+                "cosine_topk_exact", "corpus", cids, pdf[vec_col], dim
             )
             cmat = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
@@ -275,6 +320,11 @@ def _score_pairs_with_query_closure(
     for d in range(dim):
         qn_all = qn_all + qmat[:, d] * qmat[:, d]
     qn_all = np.sqrt(qn_all)
+    # r16 (VERDICT r15 #7): broadcast, not closure capture — see
+    # cosine_topk_exact. At the documented 10⁵-query bound × 64 dims the
+    # closure re-shipped ~50 MB per STAGE; the broadcast ships once per
+    # executor.
+    bc = pairs.sparkSession.sparkContext.broadcast((qmat, qidx, qids_arr, qn_all))
 
     def _topk_tie_inclusive(qi, nid, cos):
         """Per-query top-``topk`` rows by cosine, ties on the kth value
@@ -301,15 +351,16 @@ def _score_pairs_with_query_closure(
         return qs[keep], ns[keep], cs[keep]
 
     def score(batches):
+        qmat, qidx, qids_arr, qn_all = bc.value
         acc_q, acc_n, acc_c = [], [], []
         for pdf in batches:
             if dedup and len(pdf):
                 pdf = pdf.drop_duplicates(subset=["query_id", "neighbor_id"])
             if not len(pdf):
                 continue
-            _validate_vectors(
+            _validate_vec_batch(
                 "similarity candidate scoring", "corpus",
-                zip(pdf["neighbor_id"], pdf["cvec"]), dim=dim,
+                pdf["neighbor_id"], pdf["cvec"], dim,
             )
             qi = pdf["query_id"].map(qidx).to_numpy()
             qm = qmat[qi]
@@ -460,6 +511,17 @@ def cosine_topk_lsh(
     broadcast. Recall at cos 0.9 (θ≈26°): per-band p₀=0.29, ≤1-flip
     ≈0.67 → 4 bands ≈ 0.99; even for weakly-similar cos 0.5 it's ~0.6
     (measured in tests on random vectors — LSH's worst case).
+
+    Contract (r15 ADVICE, surfaced from the private scorer): corpus
+    ``id_col`` values must be UNIQUE (the embeddings-table schema) —
+    pair dedup is task-local since r15, so byte-identical duplicate
+    corpus rows split across partitions would emit duplicate
+    (query_id, neighbor_id) rows that consume top-k ranks. The probe
+    join must stay a BroadcastHashJoin with no shuffle Exchange between
+    the corpus scan and the scoring MapInPandas (pinned by the plan
+    lint); ``queries`` must be deterministic — it is evaluated twice
+    (probe plan + closure collect), and the collect is EAGER at
+    DataFrame-construction time.
     """
     bkts = band_buckets_udf(dim, bands, n_planes)
     c = (
@@ -668,7 +730,14 @@ def cosine_topk_ivf(
     rather than plane count. Corpus is assigned ONCE (on disk this is a
     partitioned/bucketed table keyed by cell); queries broadcast. At
     10⁹ rows you'd use √n ≈ 32k centroids and a TRAINED codebook
-    (:func:`ivf_train` — distributed Lloyd, same plan shape)."""
+    (:func:`ivf_train` — distributed Lloyd, same plan shape).
+
+    Contract (r15 ADVICE): corpus ``id_col`` values must be UNIQUE and
+    the probe join must stay a BroadcastHashJoin with no shuffle
+    Exchange between the corpus scan and the scoring MapInPandas (the
+    task-local pair dedup's exactness invariant — plan-lint-pinned);
+    ``queries`` must be deterministic (evaluated twice: probe plan +
+    eager closure collect). Same contract as :func:`cosine_topk_lsh`."""
     import numpy as np
 
     cmat = (

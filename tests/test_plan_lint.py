@@ -191,6 +191,45 @@ def test_decontam_leg_broadcasts_eval_grams(plans):
     ), plan
 
 
+def test_lsh_ivf_probe_join_stays_broadcast_no_shuffle_before_scorer(spark, sf_dir):
+    """r16 (VERDICT r15 #7 / ADVICE): the LSH/IVF task-local pair dedup
+    is EXACT only while (a) the probe join is a BroadcastHashJoin and
+    (b) no shuffle Exchange sits between the corpus scan and the scoring
+    MapInPandas — every copy of a candidate pair must form inside the
+    corpus row's own task. The r15 plan snapshot documented this; this
+    test ENFORCES it: a planner/AQE change that sneaks a shuffle in
+    would silently emit duplicate neighbors, not an error."""
+    from distributed_computing_platform_mapreduce_spark.operators import similarity
+    from distributed_computing_platform_mapreduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    for tag, df in (
+        (
+            "lsh",
+            similarity.cosine_topk_lsh(
+                emb, queries, dim=64, k=5, n_planes=4, bands=8, multiprobe=True
+            ),
+        ),
+        ("ivf", similarity.cosine_topk_ivf(emb, queries, k=5)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        scorer_at = next(
+            (i for i, ln in enumerate(lines) if "MapInPandas" in ln), None
+        )
+        assert scorer_at is not None, (tag, plan)
+        below = lines[scorer_at + 1 :]
+        # the probe join is in the scorer's subtree and must be broadcast
+        assert any("BroadcastHashJoin" in ln for ln in below), (tag, plan)
+        shuffles = [
+            ln.strip()
+            for ln in below
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+        ]
+        assert shuffles == [], (tag, shuffles, plan)
+
+
 def test_filter_pushdown_reaches_scan(plans):
     # tpch_q6 filters lineitem on date/discount/quantity — all three must
     # reach the parquet reader, and the scan must NOT read the full

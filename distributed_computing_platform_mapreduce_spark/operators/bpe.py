@@ -63,24 +63,47 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     :func:`bpe_encode` applies at encode time. A JVM-side ``\\s+``
     split (Java ASCII whitespace, UTF-16 code units) silently disagrees
     on NBSP / ideographic space / non-BMP text — learned merges would
-    then never match encode-side symbols (round-6 advisory)."""
+    then never match encode-side symbols (round-6 advisory).
+
+    r16 (guide §2.3, aggregate before you shuffle): the Python pass
+    PRE-AGGREGATES with one ``Counter`` per task and emits
+    ``(word, partial count)`` rows, so the exchange carries one row per
+    distinct word per task (vocab-bounded) instead of one row per word
+    OCCURRENCE (corpus-bounded) — at 1 GB that is ~30k rows/task
+    shuffled instead of ~10⁸. The downstream ``sum`` of partials equals
+    the old global ``count(*)`` exactly. Per-task memory is bounded by
+    the task's distinct vocabulary (the same vocab-bounded argument
+    :func:`bpe_train_incremental` documents); output batches are
+    chunked so one giant vocabulary can't produce an oversized Arrow
+    batch."""
+    from collections import Counter
+
     from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
-    schema = T.StructType([T.StructField("word", T.StringType())])
+    schema = T.StructType(
+        [T.StructField("word", T.StringType()), T.StructField("count", T.LongType())]
+    )
 
-    def split_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def count_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c: Counter = Counter()
         for pdf in batches:
+            for text in pdf[text_col].fillna(""):
+                c.update(text.split())
+        words = list(c.keys())
+        chunk = 1 << 20
+        for i in range(0, len(words), chunk):
+            part = words[i : i + chunk]
             yield pd.DataFrame(
-                {"word": [w for text in pdf[text_col].fillna("") for w in text.split()]},
-                dtype=object,
+                {"word": pd.Series(part, dtype=object),
+                 "count": pd.Series([c[w] for w in part], dtype="int64")}
             )
 
     return (
         df.select(text_col)
-        .mapInPandas(split_words, schema)
+        .mapInPandas(count_words, schema)
         .groupBy("word")
-        .agg(F.count("*").alias("count"))
+        .agg(F.sum("count").alias("count"))
     )
 
 
@@ -121,6 +144,7 @@ def bpe_train(
     min_pair_count: int = 2,
     max_words: int | None = None,
     checkpoint_every: int = 8,
+    local_threshold: int = 5_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a document corpus.
 
@@ -133,6 +157,20 @@ def bpe_train(
     asc tie-break) — the standard working-set cap when even the
     distinct-word table is large; at web scale the dropped tail is
     singleton noise that cannot win a merge anyway.
+
+    ``local_threshold`` (r16): size-adaptive execution, the same
+    bounded-driver pattern as ``connected_components_twostar``'s
+    residual solve. The distributed per-round loop costs ≥1 Spark job
+    per merge (~0.3 s scheduling floor × n_merges, measured 20 s for 64
+    merges at sf0.1), while the distinct-word table is VOCAB-bounded —
+    it does not grow with corpus size (~10⁷–10⁸ rows for web text).
+    When the table fits the bound, it is collected once and trained
+    with :func:`_train_incremental_from_counts`, which produces EXACTLY
+    the distributed loop's merge sequence (same (count desc, left asc,
+    right asc) tie-break, same ``min_pair_count`` stop — pinned by the
+    equality tests). 0 disables (tests cover the distributed loop
+    through it); the distributed loop remains the path for genuinely
+    unbounded word tables.
     """
     from distributed_computing_platform_mapreduce_spark.shipping import ensure_shipped
 
@@ -140,6 +178,15 @@ def bpe_train(
     words = word_counts(df, text_col)
     if max_words is not None:
         words = words.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
+    if local_threshold:
+        # checkpoint so the count() probe's corpus scan is paid once and
+        # reused by whichever branch runs
+        words = words.localCheckpoint(eager=False)
+        if words.count() <= local_threshold:
+            rows = words.collect()
+            return _train_incremental_from_counts(
+                [(r["word"], r["count"]) for r in rows], n_merges, min_pair_count
+            )
     # chars: Python list(word) codepoints + EOW — identical to
     # _encode_word's symbol alphabet. (The former JVM F.split at every
     # inter-char position operated on UTF-16 code units, mangling
@@ -294,6 +341,9 @@ def bpe_train_incremental(
     words = word_counts(df, text_col)
     if max_words is not None:
         words = words.orderBy(F.desc("count"), F.asc("word")).limit(max_words)
+    # checkpoint before the gate probe: count() and collect() otherwise
+    # each pay a full corpus scan (r16 — one scan, reused)
+    words = words.localCheckpoint(eager=False)
     n_rows = words.count()
     if n_rows > max_word_table_rows:
         raise ValueError(

@@ -204,6 +204,36 @@ def _lcg_params(k: int) -> list[tuple[int, int]]:
     return params
 
 
+def _signature_agg(hashed: DataFrame, num_hashes: int) -> DataFrame:
+    """``(id, signature array<long>, sz)`` from an ``(id, h)`` table —
+    the ONE MinHash signature aggregate, shared by
+    :func:`minhash_index` and :func:`minhash_lsh_pairs`:
+    ``groupBy(id).agg(count(*), num_hashes × min((a·h+b) % P))``, with
+    map-side partial aggregation collapsing each partition to one row
+    per doc before the exchange.
+
+    Measured note (r16): a zero-shuffle numpy ``mapInPandas`` fold over
+    the id-contiguous exploded stream was built and interleaved-A/B'd
+    against this shape at the 1 GB increment — the fold lost 4×
+    (25.8 s vs 6.2 s median): shipping ~37M (id, h) rows across the
+    Arrow boundary costs far more than the JVM hash-aggregate it
+    replaces, exactly the §4.1 "you cannot remove the transfer cost"
+    caveat. The JVM aggregate stays."""
+    rnd = _lcg_params(num_hashes)
+    mins = hashed.groupBy("id").agg(
+        F.count("*").alias("sz"),
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"__sig{i}")
+            for i, (a, b) in enumerate(rnd)
+        ],
+    )
+    return mins.select(
+        "id",
+        F.array(*[F.col(f"__sig{i}") for i in range(num_hashes)]).alias("signature"),
+        "sz",
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -245,7 +275,6 @@ def minhash_lsh_pairs(
        there, drop the hint at this site and Spark shuffles the semi
        join instead — same semantics, still pruned.
     """
-    r = num_hashes // bands
     sh = shingle_rows(df, id_col, text_col, n)
     if cache_shingles:
         # The result is lazy, so this function can't unpersist after
@@ -268,35 +297,15 @@ def minhash_lsh_pairs(
             while len(_shingle_cache) > _SHINGLE_CACHE_MAX:
                 _, stale = _shingle_cache.popitem(last=False)
                 stale.unpersist(blocking=False)
-    rnd = _lcg_params(num_hashes)
     hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
-    # shingle rows are distinct per doc, so count(*) here IS |shingles|;
-    # folding it into the signature groupBy reuses that shuffle instead
-    # of aggregating sh a second time.
-    mins = hashed.groupBy("id").agg(
-        F.count("*").alias("sz"),
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"__sig{i}")
-            for i, (a, b) in enumerate(rnd)
-        ],
-    )
-    sizes = mins.select("id", "sz")
-    banded = mins.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.col(f"__sig{i * r + j}") for j in range(r)])
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    # signatures + sizes in one aggregate (shared _signature_agg helper;
+    # shingle rows are distinct per doc, so the per-group count IS
+    # |shingles|). Banding reuses the index-side helper, whose concat_ws
+    # over element_at renders the same strings the old per-column form
+    # did — identical buckets.
+    idx = _signature_agg(hashed, num_hashes)
+    sizes = idx.select("id", "sz")
+    banded = _index_band_buckets(idx, num_hashes, bands)
     if max_bucket_size is not None:
         # mega-bucket guard (same policy + shape as hamming_pairs): a
         # band bucket holding k docs yields O(k^2) candidates — mass
@@ -1336,7 +1345,6 @@ def minhash_index(
     ``\\s``. A mismatch would let an NBSP-separated doc collect both
     real shingles AND a sentinel hash, perturbing its signature
     relative to an ASCII-spaced twin (ADVICE r8)."""
-    rnd = _lcg_params(num_hashes)
     sh = shingle_rows(df, id_col, text_col, n)
     hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
     c = F.col(text_col)
@@ -1345,19 +1353,7 @@ def minhash_index(
     sentinel = df.filter(ntok < n).select(
         F.col(id_col).alias("id"), F.pmod(F.xxhash64(norm), F.lit(_P)).alias("h")
     )
-    hashed = hashed.unionAll(sentinel)
-    mins = hashed.groupBy("id").agg(
-        F.count("*").alias("sz"),
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"__sig{i}")
-            for i, (a, b) in enumerate(rnd)
-        ],
-    )
-    return mins.select(
-        "id",
-        F.array(*[F.col(f"__sig{i}") for i in range(num_hashes)]).alias("signature"),
-        "sz",
-    )
+    return _signature_agg(hashed.unionAll(sentinel), num_hashes)
 
 
 def _index_band_buckets(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -1580,13 +1576,19 @@ def incremental_minhash_pairs(
     )
 
     def estimate(cand: DataFrame, other_sigs: DataFrame, tag: str) -> DataFrame:
-        est = F.aggregate(
-            F.zip_with(
-                "sig_n", "sig_o", lambda x, y: F.when(x == y, 1).otherwise(0)
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).cast("double") / F.lit(float(num_hashes))
+        # r16: component-match count as an UNROLLED sum of element_at
+        # comparisons instead of aggregate(zip_with(...)) — Spark runs
+        # HOF lambdas INTERPRETED, per element, outside codegen (the
+        # measured 10× lsh_bucket lesson; the r15 similarity rewrite
+        # removed the same shape). The unrolled form is a flat codegen
+        # expression; integer sum then one divide — identical values.
+        matches = sum(
+            F.when(
+                F.element_at("sig_n", i + 1) == F.element_at("sig_o", i + 1), 1
+            ).otherwise(0)
+            for i in range(num_hashes)
+        )
+        est = matches.cast("double") / F.lit(float(num_hashes))
         return (
             cand.join(sig_n, "id_new")
             .join(other_sigs, "id_other")
@@ -1656,6 +1658,47 @@ def incremental_dedup(
     pass ``n_new_docs`` when the batch size is already known to skip
     the one extra ``count()`` job that sizing otherwise costs (r13
     ADVICE; local masters resolve to 'none' and never pay it)."""
+    survivors, surviving_index = incremental_dedup_delta(
+        new_df,
+        history_index,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        bloom_prefilter_m_bits=bloom_prefilter_m_bits,
+        broadcast_prefilter=broadcast_prefilter,
+        prefilter=prefilter,
+        n_new_docs=n_new_docs,
+        network_shuffle=network_shuffle,
+    )
+    return survivors, history_index.unionAll(surviving_index)
+
+
+def incremental_dedup_delta(
+    new_df: DataFrame,
+    history_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    bloom_prefilter_m_bits: int | None = None,
+    broadcast_prefilter: bool = False,
+    prefilter: str = "auto",
+    n_new_docs: int | None = None,
+    network_shuffle: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`incremental_dedup`'s core, returning ``(survivors,
+    surviving_index)`` — the increment's own surviving signatures (the
+    index DELTA) instead of ``history ∪ delta``. The delta is what an
+    incremental index LAYOUT persists per batch (r16: the streaming
+    sink's versioned index writes O(batch) delta segments instead of
+    rewriting the O(history) index every trigger — guide §6); callers
+    that want the materialized full index use :func:`incremental_dedup`
+    unchanged."""
     new_index = minhash_index(new_df, id_col, text_col, n, num_hashes).localCheckpoint(
         eager=False
     )
@@ -1676,12 +1719,17 @@ def incremental_dedup(
     dead_vs_new = pairs.filter(F.col("source") == "new").select(
         F.col("id_other").alias("id")
     )
-    dead = dead_vs_history.union(dead_vs_new).distinct()
+    # the dead-id set feeds BOTH outputs (survivors anti-join and the
+    # index anti-join); a lazy checkpoint makes the candidate join +
+    # estimate pipeline run once when a caller consumes both — the
+    # streaming sink's per-trigger shape paid it twice (r16). Bounded:
+    # dead ids only.
+    dead = dead_vs_history.union(dead_vs_new).distinct().localCheckpoint(eager=False)
     survivors = new_df.join(
         dead.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
     surviving_index = new_index.join(dead, "id", "left_anti")
-    return survivors, history_index.unionAll(surviving_index)
+    return survivors, surviving_index
 
 
 def bucket_stats(df: DataFrame, key_cols: list[str]) -> dict:

@@ -230,6 +230,7 @@ def incremental_dedup_sink(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    compact_every: int = 8,
 ):
     """``foreachBatch`` writer running the production increment loop as
     a stream: each micro-batch near-dedups against the PERSISTED
@@ -256,36 +257,62 @@ def incremental_dedup_sink(
     place (an in-place ``overwrite`` deletes the old files before the
     new ones commit, so a crash mid-write would destroy the whole
     history and the next batch would silently dedup against nothing).
-    Instead each batch commits a NEW version directory
-    ``{index_path}/v=<batch_id>`` and prunes older versions only AFTER
-    the new one's ``_SUCCESS`` marker lands; readers (this sink and
-    :func:`read_dedup_index`) always pick the newest COMMITTED version,
-    so a crash at any point leaves a readable, consistent index. A
-    replayed batch reads its own committed version, and the id
-    anti-join reduces it back to the pre-batch history — replays stay
-    pure. Genuine read failures propagate and abort the micro-batch
-    (streaming retries it); only a verifiably absent index directory
-    means 'first trigger'."""
+
+    Index LAYOUT (r16 — the per-trigger full rewrite was the bench's
+    worst scale shape: O(history) IO every trigger, serially
+    driver-paced): a BASE directory ``{index_path}/v=<batch_id>`` plus
+    DELTA segments ``{index_path}/d=<batch_id>``. The live index is
+    the newest committed base ∪ every committed delta with a HIGHER
+    batch id; stale deltas at or below the base are invisible. A
+    normal trigger appends only its own survivors' signatures as
+    ``d=<batch_id>`` — O(batch) IO, independent of history size. Every
+    ``compact_every`` triggers (and on the first trigger) the full
+    index is folded into a new base ``v=<batch_id>`` and older
+    base/delta dirs are pruned strictly AFTER the new ``_SUCCESS``
+    lands; a crash mid-prune leaves ignorable stale dirs, never a
+    damaged index.
+
+    Replay determinism: a replayed batch finds its OWN committed dir
+    (``v=`` or ``d=`` — it is necessarily the newest) and re-derives
+    the identical content: the live-index read minus the batch's own
+    ids IS the pre-batch history (its own delta contains only its own
+    ids; its own base minus its ids is exactly what the compaction
+    folded), so the same decision (base vs delta) is re-taken and the
+    same bytes rewritten. The history is eagerly pinned ONLY in that
+    replay case — the rewrite would otherwise overwrite a directory
+    its own plan is scanning; a normal trigger writes a brand-new dir
+    and skips the pin (one full-history materialization job saved per
+    trigger). Genuine read failures propagate and abort the
+    micro-batch (streaming retries it); only a verifiably absent index
+    directory means 'first trigger'."""
     from distributed_computing_platform_mapreduce_spark.operators.dedup import (
-        incremental_dedup,
+        incremental_dedup_delta,
         minhash_index,
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        bid = int(batch_id)
         spark = batch_df.sparkSession
-        committed = _index_versions(spark, index_path)
-        if committed:
-            hist = spark.read.parquet(f"{index_path}/v={committed[-1]}")
+        base, deltas = _index_state(spark, index_path)
+        live_parts = ([f"{index_path}/v={base}"] if base is not None else []) + [
+            f"{index_path}/d={d}" for d in deltas
+        ]
+        if live_parts:
+            hist = spark.read.parquet(*live_parts)
         else:
             hist = minhash_index(
                 batch_df.filter(F.lit(False)), id_col, text_col, n, num_hashes
             )
         hist = hist.join(
             batch_df.select(F.col(id_col).alias("id")), "id", "left_anti"
-        ).localCheckpoint(eager=True)  # pin: a new index version lands below
-        survivors, updated = incremental_dedup(
+        )
+        replay = base == bid or bid in deltas
+        if replay:
+            # pin: the rewrite below overwrites a dir this plan scans
+            hist = hist.localCheckpoint(eager=True)
+        survivors, delta = incremental_dedup_delta(
             batch_df,
             hist,
             id_col=id_col,
@@ -299,41 +326,57 @@ def incremental_dedup_sink(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
-                survivors.withColumn("__batch_id", F.lit(int(batch_id)).cast("long"))
+                survivors.withColumn("__batch_id", F.lit(bid).cast("long"))
                 .write.mode("overwrite")
                 .partitionBy("__batch_id")
                 .parquet(out_path)
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        # commit the new version (overwrite clobbers a partial dir left
-        # by a crashed attempt of this SAME batch), then prune old
-        # versions — strictly after the new _SUCCESS exists
-        updated.write.mode("overwrite").parquet(f"{index_path}/v={int(batch_id)}")
-        fs, _ = _hadoop_path(spark, index_path)
-        for v in _index_versions(spark, index_path):
-            if v != int(batch_id):
-                fs.delete(
-                    spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/v={v}"), True
-                )
+        # base-vs-delta decision — a pure function of the committed
+        # state, so a replay re-takes its first attempt's choice: its
+        # own dir is the newest committed one and forces the same kind.
+        if base == bid:
+            compact = True
+        elif bid in deltas:
+            compact = False
+        else:
+            compact = base is None or len(deltas) + 1 >= compact_every
+        # overwrite clobbers a partial dir left by a crashed attempt of
+        # this SAME batch; pruning runs strictly after _SUCCESS exists
+        if compact:
+            hist.unionAll(delta).write.mode("overwrite").parquet(
+                f"{index_path}/v={bid}"
+            )
+            # prune every other committed base and every committed delta
+            # (all are folded into v=<bid>; none can postdate it)
+            fs, _ = _hadoop_path(spark, index_path)
+            jp = spark._jvm.org.apache.hadoop.fs.Path
+            for v in _committed_ids(spark, index_path, "v="):
+                if v != bid:
+                    fs.delete(jp(f"{index_path}/v={v}"), True)
+            for d in _committed_ids(spark, index_path, "d="):
+                fs.delete(jp(f"{index_path}/d={d}"), True)
+        else:
+            delta.write.mode("overwrite").parquet(f"{index_path}/d={bid}")
 
     return write_batch
 
 
-def _index_versions(spark: SparkSession, index_path: str) -> list[int]:
-    """Sorted batch-ids of COMMITTED (``_SUCCESS`` present) index
-    versions under ``index_path`` — partial directories from crashed
-    writes are invisible to readers."""
+def _committed_ids(spark: SparkSession, index_path: str, prefix: str) -> list[int]:
+    """Sorted batch-ids of COMMITTED (``_SUCCESS`` present) index dirs
+    named ``<prefix><id>`` under ``index_path`` — partial directories
+    from crashed writes are invisible to readers."""
     fs, root = _hadoop_path(spark, index_path)
     if not fs.exists(root):
         return []
     out = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if not name.startswith("v="):
+        if not name.startswith(prefix):
             continue
         try:
-            v = int(name[2:])
+            v = int(name[len(prefix):])
         except ValueError:
             continue
         ok = fs.exists(spark._jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
@@ -342,11 +385,35 @@ def _index_versions(spark: SparkSession, index_path: str) -> list[int]:
     return sorted(out)
 
 
+def _index_versions(spark: SparkSession, index_path: str) -> list[int]:
+    """Back-compat alias: sorted committed BASE version ids."""
+    return _committed_ids(spark, index_path, "v=")
+
+
+def _index_state(spark: SparkSession, index_path: str) -> tuple[int | None, list[int]]:
+    """``(newest committed base id | None, sorted committed delta ids
+    NEWER than the base)`` — the live-index membership rule. Stale
+    deltas at or below the base (crash-mid-prune leftovers) are
+    invisible."""
+    bases = _committed_ids(spark, index_path, "v=")
+    base = bases[-1] if bases else None
+    deltas = [
+        d
+        for d in _committed_ids(spark, index_path, "d=")
+        if base is None or d > base
+    ]
+    return base, deltas
+
+
 def read_dedup_index(spark: SparkSession, index_path: str) -> DataFrame:
-    """The current signature index = the newest committed version.
-    Raises if no version has ever committed (readers must not confuse
-    'index destroyed' with 'empty history')."""
-    committed = _index_versions(spark, index_path)
-    if not committed:
+    """The current signature index = the newest committed base ∪ every
+    committed delta segment newer than it. Raises if nothing has ever
+    committed (readers must not confuse 'index destroyed' with 'empty
+    history')."""
+    base, deltas = _index_state(spark, index_path)
+    parts = ([f"{index_path}/v={base}"] if base is not None else []) + [
+        f"{index_path}/d={d}" for d in deltas
+    ]
+    if not parts:
         raise FileNotFoundError(f"no committed dedup index under {index_path}")
-    return spark.read.parquet(f"{index_path}/v={committed[-1]}")
+    return spark.read.parquet(*parts)

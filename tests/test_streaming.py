@@ -727,10 +727,12 @@ def test_incremental_dedup_sink_stream_with_replay(spark, tmp_path):
         r["id"] for r in read_dedup_index(spark, idx).select("id").collect()
     )
     assert index_ids == [0, 1, 11, 21]
-    # the versioned layout prunes to exactly one committed version
-    from distributed_computing_platform_mapreduce_spark.streaming.sinks import _index_versions
+    # r16 layout: first trigger compacts to base v=0, later triggers
+    # append O(batch) delta segments; the batch-1 replay rewrote d=1 in
+    # place instead of duplicating it
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import _index_state
 
-    assert _index_versions(spark, idx) == [2]
+    assert _index_state(spark, idx) == (0, [1, 2])
 
     # equivalence with the batch-mode chain
     hist = dd.minhash_index(spark.createDataFrame(b0, schema), "doc_id", "text")
@@ -771,21 +773,90 @@ def test_incremental_index_survives_crash_mid_write(spark, tmp_path):
     ]
     sink(spark.createDataFrame(b0, schema), 0)
 
-    # simulate a crash mid-write of batch 1's index version: partial
-    # directory, garbage file, no _SUCCESS marker
-    partial = tmp_path / "sig_index" / "v=1"
-    partial.mkdir(parents=True)
-    (partial / "part-00000.parquet").write_bytes(b"\x00not parquet\x00")
-    assert _index_versions(spark, idx) == [0]  # partial dir invisible
+    # simulate a crash mid-write of batch 1's index segment: partial
+    # directory, garbage file, no _SUCCESS marker — in BOTH the base
+    # and the delta namespace
+    for name in ("v=1", "d=1"):
+        partial = tmp_path / "sig_index" / name
+        partial.mkdir(parents=True)
+        (partial / "part-00000.parquet").write_bytes(b"\x00not parquet\x00")
+    assert _index_versions(spark, idx) == [0]  # partial dirs invisible
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import _index_state
+
+    assert _index_state(spark, idx) == (0, [])
 
     sink(spark.createDataFrame(b1, schema), 1)  # the stream's retry
-    assert _index_versions(spark, idx) == [1]  # committed + pruned v=0
+    # r16 layout: the retry commits d=1 (clobbering the partial), base
+    # v=0 stays — the live index is their union
+    assert _index_state(spark, idx) == (0, [1])
     assert sorted(
         r["id"] for r in read_dedup_index(spark, idx).collect()
     ) == [0, 11]
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
     ) == [0, 11]
+
+
+def test_incremental_index_compaction_cycle(spark, tmp_path):
+    """r16 delta layout: every ``compact_every`` triggers the deltas
+    fold into a fresh base and older dirs prune; a replay of the
+    compaction trigger itself re-derives the SAME base (not a delta),
+    and the final index equals the batch-mode chain. compact_every=3
+    exercises base → delta → delta → compact → delta in 5 triggers."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup as dd
+    from distributed_computing_platform_mapreduce_spark.streaming.sinks import (
+        _index_state,
+        incremental_dedup_sink,
+        read_dedup_index,
+    )
+
+    idx = str(tmp_path / "sig_index")
+    out = str(tmp_path / "survivors")
+    sink = incremental_dedup_sink(idx, out, compact_every=3)
+    schema = "doc_id long, text string"
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "pack my box with five dozen liquor jugs before winter arrives",
+        "the quick brown fox jumps over the lazy dog near the river",
+    ]
+    batches = [[(10 * i + j, texts[i]) for j in range(2)] for i in range(5)]
+    # each batch: two exact dups of each other -> min id survives; all
+    # batches distinct from each other -> one survivor per batch
+    expected_states = [
+        (0, []),        # trigger 0: first -> base v=0
+        (0, [1]),       # trigger 1: delta
+        (0, [1, 2]),    # trigger 2: delta (len(deltas)+1 == 3 only at next)
+        (3, []),        # trigger 3: 2 deltas + this one >= 3 -> compact
+        (3, [4]),       # trigger 4: delta
+    ]
+    for i, b in enumerate(batches):
+        sink(spark.createDataFrame(b, schema), i)
+        assert _index_state(spark, idx) == expected_states[i], f"trigger {i}"
+        if i == 3:
+            # replay of the COMPACTION trigger must re-take the base
+            # decision and leave an identical state, not append a delta
+            sink(spark.createDataFrame(b, schema), 3)
+            assert _index_state(spark, idx) == (3, [])
+
+    survivors = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert survivors == [0, 10, 20, 30, 40]
+    assert sorted(
+        r["id"] for r in read_dedup_index(spark, idx).select("id").collect()
+    ) == survivors
+    # batch-mode equivalence (batch 0 deduped against empty history,
+    # exactly as the sink's first trigger does)
+    first = spark.createDataFrame(batches[0], schema)
+    hist = dd.minhash_index(
+        first.filter("1 = 0"), "doc_id", "text"
+    ).localCheckpoint()
+    for b in batches:
+        s, hist = dd.incremental_dedup(spark.createDataFrame(b, schema), hist)
+        hist = hist.localCheckpoint()
+    assert sorted(r["id"] for r in hist.select("id").collect()) == survivors
 
 
 def test_topk_sink_merge_read_is_partition_pruned(spark, tmp_path):

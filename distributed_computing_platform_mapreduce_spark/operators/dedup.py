@@ -55,6 +55,27 @@ def _plan_key(df: DataFrame) -> object:
         return id(df)
 
 
+def _persist_via_registry(df: DataFrame) -> DataFrame:
+    """Persist ``df`` through the session-scoped registry: re-running
+    the SAME plan releases its previous persist (every timed bench call
+    starts cold — the documented policy), concurrent different
+    pipelines keep their caches, and the LRU cap bounds total storage.
+    Spark recomputes evicted plans, so eviction is never a correctness
+    event. Shared by the shingle table (minhash/LSH) and the gram-start
+    table (spans — r16)."""
+    key = _plan_key(df)
+    out = df.persist()
+    with _shingle_cache_lock:
+        prior = _shingle_cache.pop(key, None)
+        if prior is not None:
+            prior.unpersist(blocking=False)
+        _shingle_cache[key] = out
+        while len(_shingle_cache) > _SHINGLE_CACHE_MAX:
+            _, stale = _shingle_cache.popitem(last=False)
+            stale.unpersist(blocking=False)
+    return out
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
 
@@ -278,25 +299,10 @@ def minhash_lsh_pairs(
     sh = shingle_rows(df, id_col, text_col, n)
     if cache_shingles:
         # The result is lazy, so this function can't unpersist after
-        # materialization; instead bound accumulation via the session
-        # registry above, keyed by the shingle plan's semantic identity:
-        # a RE-RUN of the same pipeline releases its own previous persist
-        # (each timed call stays honestly cold — bench.py's documented
-        # policy), concurrent different pipelines keep their caches, and
-        # an LRU cap of _SHINGLE_CACHE_MAX bounds total storage. Spark
-        # recomputes evicted plans, so eviction is never a correctness
-        # event. Callers wanting full manual control pass
-        # cache_shingles=False.
-        key = _plan_key(sh)
-        sh = sh.persist()
-        with _shingle_cache_lock:
-            prior = _shingle_cache.pop(key, None)
-            if prior is not None:
-                prior.unpersist(blocking=False)
-            _shingle_cache[key] = sh
-            while len(_shingle_cache) > _SHINGLE_CACHE_MAX:
-                _, stale = _shingle_cache.popitem(last=False)
-                stale.unpersist(blocking=False)
+        # materialization; the session registry bounds accumulation
+        # (see _persist_via_registry). Callers wanting full manual
+        # control pass cache_shingles=False.
+        sh = _persist_via_registry(sh)
     hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
     # signatures + sizes in one aggregate (shared _signature_agg helper;
     # shingle rows are distinct per doc, so the per-group count IS
@@ -965,16 +971,22 @@ def remove_repeated_paragraphs(
     Documents keep their remaining paragraphs in original order; a doc
     reduced to nothing keeps an empty string (callers gate on it).
 
-    Scale shape: paragraphs explode scan-side with positions; the
-    cross-document count groups on a 64-bit xxhash of the paragraph (the
-    ``dedup_exact`` trick — shuffle width O(1) per paragraph regardless
-    of paragraph length) with ``countDistinct(id)`` so in-document
-    repetition alone never triggers a drop. The count table joins back
-    on the same hash, and each document rebuilds via one
-    ``sort_array(collect_list(struct(pos, para)))`` — state per group is
-    one document's paragraphs, same bound every per-doc operator here
-    carries. Hash collisions conflate two paragraphs at ~1e-10
-    probability per pair (birthday-bounded like ``dedup_exact``).
+    Scale shape (r16 positions-only restructure — the same §8 "decide
+    with small rows, move big rows once" lesson ``_cut_spans`` landed in
+    r15; the previous form shuffled paragraph PAYLOADS twice, through
+    the hash join and the per-doc rebuild groupBy): paragraphs explode
+    scan-side with positions and are immediately projected down to
+    ``(id, pos, 64-bit xxhash, non-empty flag)`` — paragraph text never
+    crosses an exchange. The cross-document count groups on the hash
+    (the ``dedup_exact`` trick) with ``countDistinct(id)`` so
+    in-document repetition alone never triggers a drop; only
+    PAST-THRESHOLD hashes join back (a left-semi against the tiny hot
+    set), dropped positions collect per doc (ints), and each affected
+    document rebuilds IN PLACE with a filter-by-index over its own
+    re-split — untouched documents pass through without even re-splitting.
+    Hash collisions conflate two paragraphs at ~1e-10 probability per
+    pair (birthday-bounded like ``dedup_exact``), identical to the old
+    hash-join form.
     """
     import re
 
@@ -983,36 +995,54 @@ def remove_repeated_paragraphs(
     # regex metacharacters ('.', '|', '+', …) split and rebuild the
     # SAME document. re.escape emits backslash-escapes of ASCII
     # punctuation only, which Java regex reads identically.
+    esc = re.escape(sep)
     paras = df.select(
         F.col(id_col).alias("__rp_id"),
-        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "para"),
-    ).withColumn("__h", F.xxhash64(F.trim(F.col("para"))))
-    counts = (
-        paras.filter(F.trim(F.col("para")) != "")
+        F.posexplode(F.split(F.col(text_col), esc)).alias("pos", "para"),
+    ).select(
+        "__rp_id",
+        "pos",
+        F.xxhash64(F.trim(F.col("para"))).alias("__h"),
+        (F.trim(F.col("para")) != "").alias("__ne"),
+    )
+    hot = (
+        paras.filter(F.col("__ne"))
         .groupBy("__h")
         .agg(F.countDistinct("__rp_id").alias("__ndocs"))
+        .filter(F.col("__ndocs") > max_docs)
+        .select("__h")
     )
-    kept = (
-        paras.join(counts, "__h", "left")
-        .filter(F.coalesce(F.col("__ndocs"), F.lit(0)) <= max_docs)
+    # (id, sorted dropped positions) — only documents that actually lose
+    # a paragraph appear; everything here is ints and hashes
+    dropped = (
+        paras.join(hot, "__h", "left_semi")
         .groupBy("__rp_id")
-        .agg(
-            F.concat_ws(
-                sep,
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "para"))),
-                    lambda x: x["para"],
-                ),
-            ).alias("__rebuilt")
-        )
+        .agg(F.sort_array(F.collect_list("pos")).alias("__drop_pos"))
     )
     # The reserved "__rp_id" name keeps this join unambiguous even when
     # the caller's frame already carries a column literally named "id".
+    # Affected docs rebuild via filter-by-index (an interpreted HOF, but
+    # evaluated ONLY on the when() branch's dropped docs); a null text
+    # rebuilds to "" exactly as the old form's missing-group coalesce
+    # did. split-then-concat_ws on the literal separator is lossless, so
+    # the rebuilt string is byte-identical to the old collect_list path.
+    rebuilt = F.concat_ws(
+        sep,
+        F.filter(
+            F.split(F.col(text_col), esc),
+            lambda p, i: ~F.array_contains(F.col("__drop_pos"), i),
+        ),
+    )
     return (
-        df.join(kept, F.col(id_col) == F.col("__rp_id"), "left")
+        df.join(dropped, F.col(id_col) == F.col("__rp_id"), "left")
         .drop("__rp_id")
-        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
-        .drop("__rebuilt")
+        .withColumn(
+            text_col,
+            F.when(
+                F.col("__drop_pos").isNull(), F.coalesce(F.col(text_col), F.lit(""))
+            ).otherwise(rebuilt),
+        )
+        .drop("__drop_pos")
     )
 
 
@@ -1159,15 +1189,23 @@ def remove_repeated_spans(
     1. gram hashes: one Arrow pass emits ``(id, pos, gh)`` per k-gram
        start via a rolling polynomial hash — O(tokens)/doc, and only
        8-byte hashes shuffle.
-    2. repeated starts: a whole-group ``count().over(partitionBy(gh))``
-       window ≥ min_count — ONE exchange keyed on the 61-bit hash
-       carrying ``(id, pos, gh)``. (The r15 rewrite of the old
-       groupBy-count + left-semi-join-back shape, guide §2.4/§4: the
-       semi join recomputed the gram pass — the UNCACHED ``grams``
-       subtree appeared on both join sides, so the corpus paid the
-       Python rolling-hash stage TWICE — and shuffled the gram rows a
-       second time for the join itself. Same rows out: a gram start
-       survives iff its hash's total count ≥ min_count.)
+    2. repeated starts (r16, closing r15's known hot-gram skew): a
+       skew-immune ``groupBy(gh).count()`` — map-side partial
+       aggregation collapses a corpus-wide boilerplate gram to ONE row
+       per scan partition before the exchange — feeds the tiny
+       past-threshold hash set, which left-semi joins back onto the
+       PERSISTED gram table. The r15 window form
+       (``count().over(partitionBy(gh))``) had one exchange but
+       funneled every occurrence of a hot gram into a single window
+       partition, and AQE can skew-split a join but never a window;
+       here AQE broadcast-converts the semi join when the repeated set
+       is small (the natural-corpus case: gram rows never shuffle at
+       all) and skew-splits it when a degenerate corpus makes the set
+       huge. The gram subtree persists through the session registry, so
+       appearing on both sides of the semi join no longer re-runs the
+       Python rolling-hash pass (the double-eval that motivated the
+       r15 window). Same rows out: a gram start survives iff its
+       hash's total count ≥ min_count.
     3. cut + rebuild: see :func:`_cut_spans` — cut-start positions
        collect per doc (tiny next to tokens), one join attaches them
        to the text, and one Arrow pass rebuilds each document.
@@ -1179,11 +1217,15 @@ def remove_repeated_spans(
         raise ValueError(f"k must be ≥ 1, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be ≥ 2, got {min_count}")
-    grams = _gram_start_rows(df, id_col, text_col, k)
-    starts = (
-        grams.withColumn("__n", F.count("*").over(Window.partitionBy("gh")))
+    grams = _persist_via_registry(_gram_start_rows(df, id_col, text_col, k))
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= min_count)
-        .select(F.col(id_col).alias("__rs_id"), "pos")
+        .select("gh")
+    )
+    starts = grams.join(hot, "gh", "left_semi").select(
+        F.col(id_col).alias("__rs_id"), "pos"
     )
     return _cut_spans(df, starts, id_col, text_col, k)
 

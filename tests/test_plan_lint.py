@@ -191,6 +191,36 @@ def test_decontam_leg_broadcasts_eval_grams(plans):
     ), plan
 
 
+def test_spans_repeated_grams_preaggregate_not_window(spark):
+    """r16 (VERDICT r15 #3): the repeated-gram stage must be the
+    skew-immune groupBy(gh) pre-aggregate + semi-join-back, NOT a
+    count().over(partitionBy(gh)) window — a corpus-wide boilerplate
+    gram would funnel every occurrence into ONE window partition, and
+    AQE can skew-split a join but never a window. Pins (a) the partial
+    aggregate on gh in the plan, (b) no Window node, and (c) exact
+    output on a synthetic hot-gram corpus where one k-gram sits in 50%
+    of docs."""
+    from distributed_computing_platform_mapreduce_spark.operators import dedup
+
+    boiler = " ".join(f"b{i}" for i in range(5))
+    rows = []
+    for d in range(40):
+        uniq = " ".join(f"u{d}_{i}" for i in range(7))
+        rows.append((d, f"{boiler} {uniq}" if d % 2 == 0 else uniq))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.remove_repeated_spans(df, "doc_id", "text", k=5, min_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan, plan  # the map-side pre-aggregate
+    got = {r["doc_id"]: (r["text"], r["n_tokens_removed"]) for r in out.collect()}
+    for d in range(40):
+        uniq = " ".join(f"u{d}_{i}" for i in range(7))
+        if d % 2 == 0:
+            assert got[d] == (uniq, 5), (d, got[d])
+        else:
+            assert got[d] == (uniq, 0), (d, got[d])
+
+
 def test_lsh_ivf_probe_join_stays_broadcast_no_shuffle_before_scorer(spark, sf_dir):
     """r16 (VERDICT r15 #7 / ADVICE): the LSH/IVF task-local pair dedup
     is EXACT only while (a) the probe join is a BroadcastHashJoin and

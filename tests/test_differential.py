@@ -210,7 +210,7 @@ def test_shingle_rows_equal_expression_form(spark, corpus):
     assert fast == expr
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=10))
 def test_twostar_cc_equals_label_propagation(spark, edge_list):
     """Two independent CC algorithms (alternating large/small-star vs

@@ -844,19 +844,12 @@ def test_incremental_index_compaction_cycle(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
     )
     assert survivors == [0, 10, 20, 30, 40]
+    # the compacted-then-delta index holds exactly the survivor set
+    # (batch-mode chain equivalence is covered by the 3-batch replay
+    # test; re-running it here would double this test's wall cost)
     assert sorted(
         r["id"] for r in read_dedup_index(spark, idx).select("id").collect()
     ) == survivors
-    # batch-mode equivalence (batch 0 deduped against empty history,
-    # exactly as the sink's first trigger does)
-    first = spark.createDataFrame(batches[0], schema)
-    hist = dd.minhash_index(
-        first.filter("1 = 0"), "doc_id", "text"
-    ).localCheckpoint()
-    for b in batches:
-        s, hist = dd.incremental_dedup(spark.createDataFrame(b, schema), hist)
-        hist = hist.localCheckpoint()
-    assert sorted(r["id"] for r in hist.select("id").collect()) == survivors
 
 
 def test_topk_sink_merge_read_is_partition_pruned(spark, tmp_path):

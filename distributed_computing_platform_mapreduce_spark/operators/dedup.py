@@ -55,16 +55,23 @@ def _plan_key(df: DataFrame) -> object:
         return id(df)
 
 
-def _persist_via_registry(df: DataFrame) -> DataFrame:
+def _persist_via_registry(df: DataFrame, storage_level=None) -> DataFrame:
     """Persist ``df`` through the session-scoped registry: re-running
     the SAME plan releases its previous persist (every timed bench call
     starts cold — the documented policy), concurrent different
     pipelines keep their caches, and the LRU cap bounds total storage.
     Spark recomputes evicted plans, so eviction is never a correctness
     event. Shared by the shingle table (minhash/LSH) and the gram-start
-    table (spans — r16)."""
+    table (spans — r16).
+
+    ``storage_level``: pass ``StorageLevel.DISK_ONLY`` for tables whose
+    row count is O(corpus tokens) — the spans gram table at the 1 GB
+    bench point OOM'd an 8 GB heap when 32 scan tasks built in-memory
+    cache batches concurrently (measured r16); a disk reread is far
+    cheaper than the Python pass the persist avoids, and it adds zero
+    heap pressure."""
     key = _plan_key(df)
-    out = df.persist()
+    out = df.persist(storage_level) if storage_level is not None else df.persist()
     with _shingle_cache_lock:
         prior = _shingle_cache.pop(key, None)
         if prior is not None:
@@ -1217,7 +1224,15 @@ def remove_repeated_spans(
         raise ValueError(f"k must be ≥ 1, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be ≥ 2, got {min_count}")
-    grams = _persist_via_registry(_gram_start_rows(df, id_col, text_col, k))
+    from pyspark import StorageLevel
+
+    # DISK_ONLY: the gram table is O(corpus tokens) — in-memory cache
+    # batches from 32 concurrent scan tasks OOM'd the 1 GB bench point
+    # (r16, measured); the persist only exists to avoid a second Python
+    # gram pass, and a local disk reread is cheaper than that pass.
+    grams = _persist_via_registry(
+        _gram_start_rows(df, id_col, text_col, k), StorageLevel.DISK_ONLY
+    )
     hot = (
         grams.groupBy("gh")
         .agg(F.count("*").alias("__n"))

